@@ -1,0 +1,52 @@
+"""Engine-wide configuration.
+
+One frozen dataclass carries every tunable so that the Spark pipeline, the
+pure-Python oracle (oracle.py) and the DuckDB cross-check SQL all agree on the
+exact same constants. The reference hard-codes its equivalents (top-k=10 at
+``include/Page/WebPageQuery.hpp:121``, simhash Hamming threshold 3 at
+``include/simhash/Simhasher.hpp:109``, zone=10 partitions at
+``conf/files.json:9``); we make them explicit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# Tokenizer spec shared by engine, oracle and DuckDB SQL: lowercase, then
+# extract identifier-shaped runs.  (SURVEY.md §2.2 case decision: the
+# reference's byte-garbling "case transform" at Page.hpp:298-303 is a
+# transcription bug; we implement its intent — case-insensitive matching.)
+TOKEN_RE = r"[a-z_][a-z0-9_]*"
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 scoring (SURVEY.md §7 scoring note) -------------------------
+    k1: float = 1.2
+    b: float = 0.75
+    top_k: int = 10  # reference: WebPageQuery.hpp:121  min(10, size)
+    # Scores are rounded to this many decimals before ranking so that the
+    # rank order is reproducible across summation orders (Spark vs oracle
+    # vs DuckDB).  1e-6 is ~1e9 × double ulp at BM25 magnitudes.
+    score_decimals: int = 6
+
+    # --- simhash dedup (SURVEY.md §2.6) -----------------------------------
+    hamming_threshold: int = 3  # reference: Simhasher.hpp:109
+    n_bands: int = 4  # 4 × 16-bit bands; pigeonhole covers distance ≤ 3
+
+    # --- posting lists (north rule) ---------------------------------------
+    block_size: int = 128  # docs per block-max block
+    # Salting for the hot-term two-stage aggregation: number of partial
+    # shards a single term's postings are built in before the final merge.
+    n_salts: int = 8
+    # A term is "hot" (gets salted) when its doc frequency exceeds this
+    # fraction of the corpus; cold terms take the single-stage path.
+    hot_df_fraction: float = 0.01
+
+    # --- layout ------------------------------------------------------------
+    shuffle_partitions: int = 32
+    # Filter mirroring the reference's short-document drop (Page.hpp:137-146).
+    min_content_len: int = 10
+
+
+DEFAULT = EngineConfig()

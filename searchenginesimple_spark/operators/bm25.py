@@ -1,0 +1,166 @@
+"""BM25 index statistics + dense top-k scoring, pure DataFrame ops.
+
+Re-expresses the reference's query pipeline (``include/Page/WebPageQuery.hpp``):
+
+* posting fetch per query term  (WebPageQuery.hpp:47-50)   → broadcast hash join
+* empty-posting term prune      (WebPageQuery.hpp:52-58)   → inner join drops OOV
+* conjunctive doc intersection  (WebPageQuery.hpp:62-84)   → matched-term count == n_terms
+* per-candidate score accum     (WebPageQuery.hpp:87-99)   → groupBy(query,doc).sum
+* top-10 bounded heap           (WebPageQuery.hpp:102-121) → row_number window ≤ k
+  (Catalyst turns single-query ORDER BY+LIMIT into TakeOrderedAndProject)
+
+with the scorer swapped from the reference's TF-IDF cosine (Page.hpp:313-333)
+to BM25 per the north rule:  idf = ln((N−df+0.5)/(df+0.5)+1),
+tf_norm = tf·(k1+1)/(tf + k1·(1−b+b·dlen/avgdl)), score = Σ_t qtf·idf·tf_norm.
+Duplicate query tokens weight by query-term frequency, mirroring the
+reference's raw-token-multiset accumulation (WebPageQuery.hpp:87-99).
+
+Determinism: scores are rounded to ``cfg.score_decimals`` BEFORE ranking, and
+ties break on ascending doc_id — canonicalizing the reference's
+insertion-order-dependent heap (SURVEY.md §2.5).
+
+This is the *dense* scorer — every (query-term × posting) row flows through a
+join.  The compressed/pruned path (block-max WAND over varbyte postings) lives
+in operators/wand.py; both must be rank-identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.config import DEFAULT, EngineConfig
+from searchenginesimple_spark.functions.tokenize import tokenize_expr, tokenize_udf
+
+
+@dataclass
+class IndexStats:
+    """Logical index tables (uncompressed).  All lazy DataFrames.
+
+    tf         : (doc_id, term, tf)           — forward index, Page.hpp:419
+    doc_stats  : (doc_id, dlen)               — BM25 length norm input
+    term_stats : (term, df, idf)              — Page.hpp:313-321 analogue
+    corpus     : 1 row (n_docs, avgdl)        — global scalars, kept as a
+                 broadcastable 1-row frame so the whole plan stays lazy
+    """
+
+    tf: DataFrame
+    doc_stats: DataFrame
+    term_stats: DataFrame
+    corpus: DataFrame
+
+
+def tokens_of(docs: DataFrame, text_col: str = "content", use_pandas_udf: bool = True) -> DataFrame:
+    """docs(doc_id, <text_col>) → (doc_id, term) exploded token stream."""
+    tok = tokenize_udf(F.col(text_col)) if use_pandas_udf else tokenize_expr(text_col)
+    return docs.select("doc_id", F.explode(tok).alias("term"))
+
+
+def build_index_stats(
+    docs: DataFrame,
+    text_col: str = "content",
+    cfg: EngineConfig = DEFAULT,
+    use_pandas_udf: bool = True,
+) -> IndexStats:
+    """docs(doc_id, <text_col>) → BM25 statistics tables.
+
+    Two shuffles: tokens → (doc_id, term) hash agg (map-side partial combine is
+    automatic), then term-level DF agg.  At 100 TB these are exactly the
+    shuffles the salted posting build in operators/postings.py re-keys; here
+    we let AQE size them.
+    """
+    tokens = tokens_of(docs, text_col, use_pandas_udf)
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").cast("int").alias("tf"))
+    doc_stats = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
+    corpus = doc_stats.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dlen").alias("avgdl"),
+    )
+    term_stats = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("int").alias("df"))
+        .crossJoin(F.broadcast(corpus.select("n_docs")))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),
+        )
+        .drop("n_docs")
+    )
+    return IndexStats(tf=tf, doc_stats=doc_stats, term_stats=term_stats, corpus=corpus)
+
+
+def query_terms(
+    queries: DataFrame,
+    query_col: str = "query",
+    use_pandas_udf: bool = True,
+) -> DataFrame:
+    """queries(query_id, query) → (query_id, query, term, qtf).
+
+    Query-side TF mirrors WebPageQuery.hpp:140-185 minus its two cancelling
+    sign quirks (constant IDF=−1 × min-heap-on-negatives, SURVEY.md §3.2).
+    NB: no stopword filter on the query path — reference asymmetry preserved.
+    """
+    tok = tokenize_udf(F.col(query_col)) if use_pandas_udf else tokenize_expr(query_col)
+    return (
+        queries.select("query_id", query_col, F.explode(tok).alias("term"))
+        .groupBy("query_id", query_col, "term")
+        .agg(F.count("*").cast("int").alias("qtf"))
+    )
+
+
+def bm25_topk(
+    index: IndexStats,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    query_col: str = "query",
+    use_pandas_udf: bool = True,
+) -> DataFrame:
+    """Score a batch of queries; return (query, rank, docID, score).
+
+    Physical shape: the query side is tiny → broadcast it against the tf
+    table (one broadcast-hash join, no shuffle of tf by term); the per-doc
+    length join rides the existing doc_id distribution; ranking is a window
+    per query_id.  Conjunctive semantics: candidate docs must match ALL
+    indexed query terms (WebPageQuery.hpp:62-84); fully-OOV queries yield
+    zero rows (reference short-circuit WebPageQuery.hpp:64-68).
+    """
+    qt = query_terms(queries, query_col, use_pandas_udf)
+    # OOV prune: inner join against term_stats (WebPageQuery.hpp:52-58).
+    qt_idx = qt.join(index.term_stats, "term", "inner")
+    n_terms = qt_idx.groupBy("query_id").agg(F.count("*").cast("int").alias("n_terms"))
+
+    k1, b = F.lit(cfg.k1), F.lit(cfg.b)
+    contrib = (
+        index.tf.join(F.broadcast(qt_idx), "term", "inner")
+        .join(index.doc_stats, "doc_id", "inner")
+        .crossJoin(F.broadcast(index.corpus.select("avgdl")))
+        .withColumn(
+            "contribution",
+            F.col("qtf")
+            * F.col("idf")
+            * (F.col("tf") * (k1 + F.lit(1.0)))
+            / (F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dlen") / F.col("avgdl"))),
+        )
+    )
+    scored = (
+        contrib.groupBy("query_id", query_col, "doc_id")
+        .agg(
+            F.round(F.sum("contribution"), cfg.score_decimals).alias("score"),
+            F.count("*").cast("int").alias("nmatch"),
+        )
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("nmatch") == F.col("n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cfg.top_k)
+        .select(
+            F.col(query_col).alias("query"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("long").alias("docID"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )

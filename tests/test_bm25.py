@@ -1,0 +1,78 @@
+"""Oracle-parity tests for the dense BM25 path (SURVEY.md §5.2/§5.3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from searchenginesimple_spark.operators.bm25 import bm25_topk, build_index_stats
+from searchenginesimple_spark.oracle import bm25_topk_oracle
+from searchenginesimple_spark.sources.corpus import (
+    QUERY_SET,
+    docs_df,
+    generate_docs_pdf,
+    queries_df,
+    with_doc_ids,
+)
+
+
+@pytest.fixture(scope="module")
+def indexed(spark):
+    docs = with_doc_ids(docs_df(spark, 300)).cache()
+    idx = build_index_stats(docs)
+    return docs, idx
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def test_rank_identical_to_oracle(spark, indexed):
+    docs, idx = indexed
+    got = _canon(bm25_topk(idx, queries_df(spark)).toPandas())
+    docs_pdf = docs.select("doc_id", "content").toPandas()
+    want = _canon(bm25_topk_oracle(docs_pdf, QUERY_SET))
+    assert list(got["query"]) == list(want["query"])
+    assert list(got["rank"]) == list(want["rank"])
+    assert list(got["docID"]) == list(want["docID"]), "rank-identity violated"
+    assert got["score"].tolist() == pytest.approx(want["score"].tolist(), rel=1e-9)
+
+
+def test_conjunctive_semantics(spark, indexed):
+    docs, idx = indexed
+    res = bm25_topk(idx, queries_df(spark)).toPandas()
+    # every returned doc contains all indexed query terms
+    docs_pdf = docs.select("doc_id", "content").toPandas().set_index("doc_id")
+    from searchenginesimple_spark.functions.tokenize import tokenize_py
+
+    vocab = set()
+    for text in docs_pdf["content"]:
+        vocab.update(tokenize_py(text))
+    for _, row in res.iterrows():
+        q_terms = [t for t in tokenize_py(row["query"]) if t in vocab]
+        doc_terms = set(tokenize_py(docs_pdf.loc[row["docID"], "content"]))
+        assert all(t in doc_terms for t in q_terms), (row["query"], row["docID"])
+
+
+def test_fully_oov_query_empty(spark, indexed):
+    _, idx = indexed
+    res = bm25_topk(idx, queries_df(spark, ["zz_never_a_token"])).toPandas()
+    assert len(res) == 0
+
+
+def test_topk_bound_and_rank_contiguity(spark, indexed):
+    _, idx = indexed
+    res = bm25_topk(idx, queries_df(spark)).toPandas()
+    for q, grp in res.groupby("query"):
+        ranks = sorted(grp["rank"])
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
+
+
+def test_doc_id_deterministic_across_parallelism(spark):
+    pdf = generate_docs_pdf(200)
+    a = with_doc_ids(spark.createDataFrame(pdf).repartition(2))
+    b = with_doc_ids(spark.createDataFrame(pdf).repartition(13))
+    pa = a.select("doc_id", "repo", "path").toPandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.select("doc_id", "repo", "path").toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa, pb)
