@@ -1,0 +1,140 @@
+"""64-bit simhash fingerprinting, Arrow-batched.
+
+Re-expresses the reference's simhash (``include/simhash/Simhasher.hpp:44-71``:
+jieba top-N keyword extraction → per-keyword 64-bit jenkins hash → weighted
+bit-vote → sign bits) for source-code payloads:
+
+* terms = engine tokenizer output (functions/tokenize.py), weighted by
+  in-doc TF over ALL terms (the reference's topN=5 keyword cut is a
+  vocabulary-poor shortcut for short news snippets; TF-weighting over all
+  terms is the standard simhash construction and is strictly more robust for
+  code files — parity noted in SURVEY.md §2.7);
+* hash = FNV-1a 64-bit (public domain spec) instead of jenkins lookup3 —
+  fingerprints are engine-internal, the oracle uses the identical hash, so
+  bit-compatibility with jenkins is not required (SURVEY.md §2.7);
+* bit j of the fingerprint = 1 iff Σ_t tf(t)·(2·bit_j(h(t))−1) > 0
+  (reference sign rule, Simhasher.hpp:61-68).
+
+The pandas UDF is numpy throughout: the only Python loop is over the batch's
+*unique terms* (vocabulary-sized, memoized across batches), never over rows.
+Fingerprints are int64 (two's-complement reinterpretation of the uint64, see
+SURVEY.md §1 row 7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from searchenginesimple_spark.config import TOKEN_RE
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+# process-level memo: term -> uint64 hash (vocabulary-sized, not row-sized)
+_HASH_CACHE: dict[str, int] = {}
+
+
+def fnv1a64(term: str) -> int:
+    """FNV-1a 64-bit over UTF-8 bytes (public-domain algorithm)."""
+    h = _FNV_OFFSET
+    for byte in term.encode("utf-8"):
+        h = ((h ^ byte) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def _term_hashes(terms: np.ndarray) -> np.ndarray:
+    """uint64 hashes for an array of unique terms (memoized)."""
+    out = np.empty(len(terms), dtype=np.uint64)
+    for i, t in enumerate(terms):
+        h = _HASH_CACHE.get(t)
+        if h is None:
+            h = fnv1a64(t)
+            if len(_HASH_CACHE) < 1_000_000:
+                _HASH_CACHE[t] = h
+        out[i] = h
+    return out
+
+
+def simhash_batch(token_lists: list[list[str]]) -> np.ndarray:
+    """Vectorized simhash of a batch of token lists → int64 array.
+
+    Docs with no tokens fingerprint to 0 (the reference then drops them,
+    Page.hpp:129-133).
+    """
+    n = len(token_lists)
+    fp = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return fp
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if t])
+    doc_idx = np.repeat(np.arange(n), lens)
+
+    uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+    hashes = _term_hashes(uniq)
+    # per-(doc, term) tf via unique over combined keys
+    combined = doc_idx.astype(np.int64) * len(uniq) + inv
+    pair_keys, tf = np.unique(combined, return_counts=True)
+    pair_doc = pair_keys // len(uniq)
+    pair_term = pair_keys % len(uniq)
+
+    bit_sign = (
+        ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        * 2
+        - 1
+    )  # (n_uniq, 64) in {-1, +1}
+    votes = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(votes, pair_doc, tf[:, None] * bit_sign[pair_term])
+
+    bits = (votes > 0).astype(np.uint64)  # sign rule: strictly positive → 1
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    fp_u64 = (bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return fp_u64.view(np.int64)
+
+
+@pandas_udf(T.LongType())
+def simhash64_udf(content: pd.Series) -> pd.Series:
+    """content → 64-bit simhash (int64).  Tokenization spec = tokenize.py."""
+    tokens = content.fillna("").str.lower().str.findall(TOKEN_RE)
+    return pd.Series(simhash_batch(list(tokens)), index=content.index)
+
+
+def simhash_py(text: str) -> int:
+    """Single-doc oracle simhash — independent scalar implementation."""
+    from collections import Counter
+
+    from searchenginesimple_spark.functions.tokenize import tokenize_py
+
+    tf = Counter(tokenize_py(text))
+    if not tf:
+        return 0
+    votes = [0] * 64
+    for t, w in tf.items():
+        h = fnv1a64(t)
+        for j in range(64):
+            votes[j] += w if (h >> j) & 1 else -w
+    u = 0
+    for j in range(64):
+        if votes[j] > 0:
+            u |= 1 << j
+    return u - (1 << 64) if u >= (1 << 63) else u  # reinterpret as int64
+
+
+def band_key(simhash: Column, band_id: int, n_bands: int = 4) -> Column:
+    """16-bit band extraction from the int64 fingerprint (JVM-side).
+
+    Pigeonhole: any pair at Hamming distance ≤ 3 agrees exactly on ≥ 1 of the
+    4 disjoint 16-bit bands (SURVEY.md §2.6).
+    """
+    width = 64 // n_bands
+    return F.shiftrightunsigned(simhash, band_id * width).bitwiseAND(
+        F.lit((1 << width) - 1)
+    )

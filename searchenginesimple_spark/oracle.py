@@ -18,7 +18,27 @@ from collections import Counter
 import pandas as pd
 
 from searchenginesimple_spark.config import DEFAULT, EngineConfig
+from searchenginesimple_spark.functions.simhash import simhash_py
 from searchenginesimple_spark.functions.tokenize import tokenize_py
+
+
+def dedup_survivors_oracle(
+    docs: pd.DataFrame, cfg: EngineConfig = DEFAULT, text_col: str = "content"
+) -> set[int]:
+    """Simhash near-dup survivors under the canonical rule (SURVEY.md §2.6):
+    keep d ⇔ simhash(d) != 0 and no e < d with hamming(e, d) ≤ threshold.
+    O(n²) scan — the executable spec, not the algorithm."""
+    fps = {
+        int(d): simhash_py(t)
+        for d, t in zip(docs["doc_id"], docs[text_col])
+    }
+    ids = sorted(d for d, f in fps.items() if f != 0)
+    keep: set[int] = set()
+    for d in ids:
+        fd = fps[d]
+        if all(bin((fps[e] ^ fd) & 0xFFFFFFFFFFFFFFFF).count("1") > cfg.hamming_threshold for e in ids if e < d):
+            keep.add(d)
+    return keep
 
 
 def bm25_topk_oracle(

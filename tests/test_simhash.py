@@ -1,0 +1,113 @@
+"""simhash fingerprint + Hamming-band dedup tests (SURVEY.md §5.1, FIXTURES §4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.config import DEFAULT
+from searchenginesimple_spark.functions.simhash import (
+    band_key,
+    simhash64_udf,
+    simhash_batch,
+    simhash_py,
+)
+from searchenginesimple_spark.operators.dedup import (
+    exact_dedup,
+    simhash_dedup,
+    simhash_dup_pairs,
+)
+from searchenginesimple_spark.oracle import dedup_survivors_oracle
+from searchenginesimple_spark.sources.corpus import docs_df, with_doc_ids
+
+TEXTS = [
+    "def foo(): return bar + baz",
+    "def foo(): return bar + qux",
+    "",
+    "completely unrelated words here about spark window functions",
+    "def foo(): return bar + baz",  # exact copy of [0]
+]
+
+
+def test_udf_matches_scalar_oracle(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, content string"
+    )
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash64_udf("content").alias("s")).collect()}
+    for i, t in enumerate(TEXTS):
+        assert got[i] == simhash_py(t), f"doc {i}"
+
+
+def test_batch_matches_scalar():
+    from searchenginesimple_spark.functions.tokenize import tokenize_py
+
+    fps = simhash_batch([tokenize_py(t) for t in TEXTS])
+    for i, t in enumerate(TEXTS):
+        assert int(fps[i]) == simhash_py(t)
+
+
+def test_empty_doc_fingerprints_zero():
+    assert simhash_py("") == 0
+    assert simhash_py("+-*/ 123") == 0  # no valid tokens
+
+
+def test_banding_pigeonhole_recall():
+    """Any pair at Hamming distance ≤ 3 shares ≥ 1 of the 4×16-bit bands."""
+    rng = np.random.default_rng(42)
+    xs = rng.integers(0, 2**63, size=200, dtype=np.int64)
+    for x in xs:
+        for k in (0, 1, 2, 3):
+            flips = rng.choice(64, size=k, replace=False)
+            y = int(x)
+            for f in flips:
+                y ^= 1 << int(f)
+            y = np.int64(np.uint64(y & 0xFFFFFFFFFFFFFFFF).view(np.int64) if y >= 2**63 else y)
+            shared = any(
+                (int(np.uint64(x)) >> (16 * b)) & 0xFFFF == (int(np.uint64(y)) >> (16 * b)) & 0xFFFF
+                for b in range(4)
+            )
+            assert shared, (x, y, k)
+
+
+@pytest.mark.parametrize(
+    "dist,expect_pair",
+    [(0, True), (1, True), (3, True), (4, False)],
+)
+def test_pair_detection_at_distance(spark, dist, expect_pair):
+    base = 0x0123456789ABCDEF
+    other = base
+    for j in range(dist):
+        other ^= 1 << (j * 7)  # flips spread over multiple bands
+    fp = spark.createDataFrame([(0, base), (1, other)], "doc_id long, simhash long")
+    pairs = simhash_dup_pairs(fp).collect()
+    if expect_pair and dist > 0:
+        assert len(pairs) == 1 and pairs[0]["a_id"] == 0 and pairs[0]["b_id"] == 1
+    elif dist == 0:
+        assert len(pairs) == 1
+    else:
+        assert len(pairs) == 0
+
+
+def test_dedup_matches_oracle_on_corpus(spark):
+    docs = with_doc_ids(docs_df(spark, 250)).cache()
+    survivors = {r["doc_id"] for r in simhash_dedup(docs).select("doc_id").collect()}
+    want = dedup_survivors_oracle(docs.select("doc_id", "content").toPandas())
+    assert survivors == want
+    assert len(survivors) < 250  # planted near-dups actually dropped
+
+
+def test_dedup_idempotent(spark):
+    docs = with_doc_ids(docs_df(spark, 150)).cache()
+    once = simhash_dedup(docs).select("doc_id", "repo", "path", "commit", "lang", "content")
+    twice = simhash_dedup(once)
+    assert {r["doc_id"] for r in once.collect()} == {r["doc_id"] for r in twice.collect()}
+
+
+def test_exact_dedup(spark):
+    docs = with_doc_ids(docs_df(spark, 200)).cache()
+    kept = exact_dedup(docs)
+    pdf = docs.select("doc_id", "content").toPandas()
+    want = set(pdf.groupby("content")["doc_id"].min())
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert got == want
