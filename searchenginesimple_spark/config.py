@@ -35,7 +35,12 @@ class EngineConfig:
     n_bands: int = 4  # 4 × 16-bit bands; pigeonhole covers distance ≤ 3
 
     # --- posting lists (north rule) ---------------------------------------
-    block_size: int = 128  # docs per block-max block
+    block_size: int = 128
+    # Doc-range shard span: shard = doc_id // shard_span.  The range salt of
+    # the posting-build shuffle — bounds every (term, shard) group at
+    # shard_span postings regardless of term hotness, and keeps shards in
+    # global doc order so concatenation needs no merge shuffle.
+    shard_span: int = 16384  # docs per block-max block
     # Salting for the hot-term two-stage aggregation: number of partial
     # shards a single term's postings are built in before the final merge.
     n_salts: int = 8

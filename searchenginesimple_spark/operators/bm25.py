@@ -116,8 +116,13 @@ def bm25_topk(
     cfg: EngineConfig = DEFAULT,
     query_col: str = "query",
     use_pandas_udf: bool = True,
+    mode: str = "and",
 ) -> DataFrame:
     """Score a batch of queries; return (query, rank, docID, score).
+
+    mode="and" (default): conjunctive candidates, the reference semantics.
+    mode="or": disjunctive — any doc matching ≥1 indexed term scores; the
+    dense baseline the block-max pruned path (operators/wand.py) must equal.
 
     Physical shape: the query side is tiny → broadcast it against the tf
     table (one broadcast-hash join, no shuffle of tf by term); the per-doc
@@ -151,8 +156,9 @@ def bm25_topk(
             F.count("*").cast("int").alias("nmatch"),
         )
         .join(F.broadcast(n_terms), "query_id")
-        .filter(F.col("nmatch") == F.col("n_terms"))
     )
+    if mode == "and":
+        scored = scored.filter(F.col("nmatch") == F.col("n_terms"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,139 @@
+"""Partition-parallel posting-list construction (north rule core).
+
+Re-expresses the reference's single-threaded in-memory inverted-index build
+(``include/Page/Page.hpp:275-335``: token loop → ``std::map<term, map<doc,w>>``)
+and its dead MapReduce coordinator/worker intent (``src/MapReduce/*``,
+SURVEY.md §3.4) as one declarative Spark job with explicit skew handling:
+
+* **Doc-range sharding as the salt.**  The shuffle key is ``(term, shard)``
+  where ``shard = doc_id // shard_span`` — a *range* salt, so every shard's
+  posting run is (a) bounded in size regardless of term hotness (the planted
+  20 %-frequency hot term lands in every shard instead of one reducer), and
+  (b) already in global doc_id order across shards, so no second-stage merge
+  shuffle is needed: a term's full posting list is the shard-ordered
+  concatenation.  This is the salted-repartition construction the north rule
+  names, with the salt chosen so the "merge" is free.
+* **Sorted runs, delta+varbyte compressed** (functions/codec.py), with
+  per-block (last doc_id, max tf) metadata for block-max pruning
+  (operators/wand.py).
+* **Arrow-batched encode** — the varbyte encoder is a pandas UDF over the
+  grouped, sorted arrays; numpy inside, no per-row Python.
+
+Output tables (FIXTURES.md §3 schemas, sharded):
+
+    postings(term, shard, df, ids:binary, tfs:binary,
+             block_last_id:array<long>, block_max_tf:array<int>)
+    doc_stats_packed(shard, n, ids:binary, dlens:binary)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from searchenginesimple_spark.config import DEFAULT, EngineConfig
+from searchenginesimple_spark.functions.codec import (
+    block_stats,
+    delta_encode,
+    varbyte_encode,
+)
+
+_POSTING_STRUCT = T.StructType(
+    [
+        T.StructField("df", T.IntegerType()),
+        T.StructField("ids", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("block_last_id", T.ArrayType(T.LongType())),
+        T.StructField("block_max_tf", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def _make_encode_udf(block_size: int):
+    @pandas_udf(_POSTING_STRUCT)
+    def encode_postings(ids: pd.Series, tfs: pd.Series) -> pd.DataFrame:
+        out = {"df": [], "ids": [], "tfs": [], "block_last_id": [], "block_max_tf": []}
+        for id_arr, tf_arr in zip(ids, tfs):
+            a = np.asarray(id_arr, dtype=np.uint64)
+            t = np.asarray(tf_arr, dtype=np.uint64)
+            last, mx = block_stats(a, t, block_size)
+            out["df"].append(len(a))
+            out["ids"].append(varbyte_encode(delta_encode(a)))
+            out["tfs"].append(varbyte_encode(t))
+            out["block_last_id"].append(last.tolist())
+            out["block_max_tf"].append(mx.astype(np.int32).tolist())
+        return pd.DataFrame(out)
+
+    return encode_postings
+
+
+_DOCPACK_STRUCT = T.StructType(
+    [
+        T.StructField("n", T.IntegerType()),
+        T.StructField("ids", T.BinaryType()),
+        T.StructField("dlens", T.BinaryType()),
+    ]
+)
+
+
+@pandas_udf(_DOCPACK_STRUCT)
+def _encode_doc_stats(ids: pd.Series, dlens: pd.Series) -> pd.DataFrame:
+    out = {"n": [], "ids": [], "dlens": []}
+    for id_arr, dl_arr in zip(ids, dlens):
+        a = np.asarray(id_arr, dtype=np.uint64)
+        d = np.asarray(dl_arr, dtype=np.uint64)
+        out["n"].append(len(a))
+        out["ids"].append(varbyte_encode(delta_encode(a)))
+        out["dlens"].append(varbyte_encode(d))
+    return pd.DataFrame(out)
+
+
+def shard_of(doc_id_col, cfg: EngineConfig = DEFAULT):
+    return F.floor(doc_id_col / F.lit(cfg.shard_span)).cast("int")
+
+
+def build_postings(tf: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """tf(doc_id, term, tf) → compressed sharded postings.
+
+    One shuffle, keyed (term, shard).  ``sort_array(collect_list(struct))``
+    sorts by the struct's first field (doc_id) JVM-side, handing the encoder
+    presorted runs.  Per-group size ≤ shard_span postings by construction —
+    the skew bound the north rule asks for.
+    """
+    sharded = tf.withColumn("shard", shard_of(F.col("doc_id"), cfg))
+    grouped = (
+        sharded.repartition(cfg.shuffle_partitions, "term", "shard")
+        .groupBy("term", "shard")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("plist"))
+        .select(
+            "term",
+            "shard",
+            F.transform("plist", lambda x: x.doc_id).alias("id_arr"),
+            F.transform("plist", lambda x: x.tf.cast("long")).alias("tf_arr"),
+        )
+    )
+    enc = _make_encode_udf(cfg.block_size)
+    return grouped.select(
+        "term", "shard", enc("id_arr", "tf_arr").alias("p")
+    ).select("term", "shard", "p.df", "p.ids", "p.tfs", "p.block_last_id", "p.block_max_tf")
+
+
+def build_doc_stats_packed(doc_stats: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """doc_stats(doc_id, dlen) → per-shard packed (ids, dlens) sidecar."""
+    grouped = (
+        doc_stats.withColumn("shard", shard_of(F.col("doc_id"), cfg))
+        .groupBy("shard")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "dlen"))).alias("ds"))
+        .select(
+            "shard",
+            F.transform("ds", lambda x: x.doc_id).alias("id_arr"),
+            F.transform("ds", lambda x: x.dlen.cast("long")).alias("dl_arr"),
+        )
+    )
+    return grouped.select("shard", _encode_doc_stats("id_arr", "dl_arr").alias("p")).select(
+        "shard", "p.n", "p.ids", "p.dlens"
+    )

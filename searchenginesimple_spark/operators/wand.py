@@ -1,0 +1,196 @@
+"""BM25 top-k over compressed sharded postings, with block-max pruning.
+
+The scale path of the query engine (the dense join path in operators/bm25.py
+is the correctness baseline; both must be rank-identical).  Physical shape:
+
+  query terms (tiny)  ─broadcast join→  postings(term, shard)  rows
+        + doc_stats_packed(shard) sidecar join
+        → applyInPandas grouped by (query_id, shard)     ← the scoring kernel
+        → per-shard top-k → global window top-k per query
+
+Because shards are doc-id RANGES (operators/postings.py), conjunctive
+intersection is shard-local and each kernel group is independent — the job
+parallelizes over (query × shard) with no cross-shard state, exactly what a
+1000-executor cluster wants.
+
+Inside the kernel (numpy only):
+
+* AND mode (reference semantics, WebPageQuery.hpp:62-84): intersect ascending
+  by shard-df (rarest term seeds, cf. SURVEY.md §4 — improves on the
+  reference's first-term seeding), gather tfs via binary search, exact BM25.
+* OR mode: block-max pruned score-at-a-time — per-block BM25 upper bounds
+  (from block_max_tf, the north rule's block-max metadata) bound every doc's
+  best possible score; docs whose bound cannot reach the running kth exact
+  score are never scored.  Same family as block-max WAND (Ding & Suel 2011):
+  block upper bounds + threshold skipping, vectorized instead of
+  document-at-a-time cursors.
+
+Local top-k uses the SAME comparator as the global ranking (rounded score
+desc, doc_id asc) so shard truncation can never disagree with the final
+order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.config import DEFAULT, EngineConfig
+from searchenginesimple_spark.functions.codec import varbyte_decode
+from searchenginesimple_spark.operators.bm25 import IndexStats, query_terms
+
+_KERNEL_SCHEMA = "query_id long, doc_id long, score double"
+
+
+def _decode_ids(buf: bytes) -> np.ndarray:
+    return np.cumsum(varbyte_decode(buf), dtype=np.uint64).astype(np.int64)
+
+
+def _bm25(tf, qtf, idf, dlen, avgdl, k1, b):
+    return qtf * idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dlen / avgdl))
+
+
+def _topk_local(doc_ids, scores, k, decimals):
+    r = np.round(scores, decimals)
+    order = np.lexsort((doc_ids, -r))[:k]
+    return doc_ids[order], scores[order]
+
+
+def _make_kernel(cfg: EngineConfig, mode: str):
+    k1, b, k, dec = cfg.k1, cfg.b, cfg.top_k, cfg.score_decimals
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        n_terms = int(pdf["n_terms"].iloc[0])
+        if mode == "and" and len(pdf) < n_terms:
+            return empty  # some query term absent from this shard → no conjunctive hit
+        qid = int(pdf["query_id"].iloc[0])
+        avgdl = float(pdf["avgdl"].iloc[0])
+        ds_ids = _decode_ids(pdf["ds_ids"].iloc[0])
+        ds_dlens = varbyte_decode(pdf["ds_dlens"].iloc[0]).astype(np.float64)
+
+        pdf = pdf.sort_values("df").reset_index(drop=True)  # rarest-first
+        ids_l = [_decode_ids(x) for x in pdf["ids"]]
+        qtfs = pdf["qtf"].to_numpy(dtype=np.float64)
+        idfs = pdf["idf"].to_numpy(dtype=np.float64)
+
+        if mode == "and":
+            cand = ids_l[0]
+            for other in ids_l[1:]:
+                pos = np.searchsorted(other, cand)
+                pos_ok = pos < other.size
+                hit = np.zeros(cand.size, dtype=bool)
+                hit[pos_ok] = other[pos[pos_ok]] == cand[pos_ok]
+                cand = cand[hit]
+                if cand.size == 0:
+                    return empty
+            dlen = ds_dlens[np.searchsorted(ds_ids, cand)]
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for i in range(len(pdf)):
+                tfs = varbyte_decode(pdf["tfs"].iloc[i]).astype(np.float64)
+                tf_c = tfs[np.searchsorted(ids_l[i], cand)]
+                scores += _bm25(tf_c, qtfs[i], idfs[i], dlen, avgdl, k1, b)
+            top_ids, top_scores = _topk_local(cand, scores, k, dec)
+            return pd.DataFrame({"query_id": qid, "doc_id": top_ids, "score": top_scores})
+
+        # --- OR mode: block-max pruned score-at-a-time --------------------
+        # per-doc upper bound = Σ_t block_ub of the block containing the doc
+        full = ds_ids  # superset of every posting list in this shard
+        bound_full = np.zeros(full.size, dtype=np.float64)
+        raw_pos_l = []
+        for i in range(len(pdf)):
+            bmtf = np.asarray(pdf["block_max_tf"].iloc[i], dtype=np.float64)
+            # optimistic dlen → 0: ub = qtf·idf·bmtf(k1+1)/(bmtf + k1(1−b));
+            # strictly above any real score (real dlen ≥ 1, tf ≤ bmtf)
+            block_ub = qtfs[i] * idfs[i] * (bmtf * (k1 + 1.0)) / (bmtf + k1 * (1.0 - b))
+            per_post_ub = np.repeat(block_ub, cfg.block_size)[: ids_l[i].size]
+            pos = np.searchsorted(full, ids_l[i])
+            raw_pos_l.append(pos)
+            np.add.at(bound_full, pos, per_post_ub)
+
+        # candidates = docs matching ≥ 1 query term (bound > 0)
+        cand_idx = np.nonzero(bound_full > 0)[0]
+        if cand_idx.size == 0:
+            return empty
+        remap = np.full(full.size, -1, dtype=np.int64)
+        remap[cand_idx] = np.arange(cand_idx.size)
+        union = full[cand_idx]
+        bound = bound_full[cand_idx]
+        pos_l = [remap[p] for p in raw_pos_l]
+
+        # score candidates in descending-bound waves until no unscored doc's
+        # bound can beat the running kth exact score (margin = one rounding
+        # quantum, so rounded-tie doc_id ordering can never be affected)
+        margin = 10.0 ** (-dec)
+        order = np.argsort(-bound, kind="stable")
+        n = union.size
+        width = max(4 * k, 64)
+        scored_scores = np.full(n, -np.inf)
+        hi = 0
+        theta = -np.inf
+        while hi < n:
+            lo, hi = hi, min(n, hi + width)
+            sel = order[lo:hi]
+            if theta > -np.inf and bound[sel].max(initial=-np.inf) <= theta - margin:
+                break
+            mask = np.zeros(n, dtype=bool)
+            mask[sel] = True
+            part = np.zeros(n, dtype=np.float64)
+            for i in range(len(pdf)):
+                take = mask[pos_l[i]]
+                if not take.any():
+                    continue
+                tfs = varbyte_decode(pdf["tfs"].iloc[i]).astype(np.float64)[take]
+                dlen = ds_dlens[cand_idx[pos_l[i][take]]]
+                part[pos_l[i][take]] += _bm25(tfs, qtfs[i], idfs[i], dlen, avgdl, k1, b)
+            scored_scores[sel] = part[sel]
+            done = scored_scores[scored_scores > -np.inf]
+            if done.size >= k:
+                theta = np.partition(done, -k)[-k]
+            width *= 2
+        got = scored_scores > -np.inf
+        top_ids, top_scores = _topk_local(union[got], scored_scores[got], k, dec)
+        return pd.DataFrame({"query_id": qid, "doc_id": top_ids, "score": top_scores})
+
+    return kernel
+
+
+def bm25_topk_compressed(
+    postings: DataFrame,
+    doc_stats_packed: DataFrame,
+    index: IndexStats,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    mode: str = "and",
+    query_col: str = "query",
+) -> DataFrame:
+    """Compressed-path BM25 top-k → (query, rank, docID, score)."""
+    qt = query_terms(queries, query_col)
+    qt_idx = qt.join(index.term_stats.select("term", "idf"), "term", "inner")
+    n_terms = qt_idx.groupBy("query_id").agg(F.count("*").cast("int").alias("n_terms"))
+
+    rows = (
+        postings.join(F.broadcast(qt_idx), "term", "inner")
+        .join(F.broadcast(n_terms), "query_id")
+        .join(doc_stats_packed.withColumnRenamed("ids", "ds_ids").withColumnRenamed("dlens", "ds_dlens"), "shard")
+        .crossJoin(F.broadcast(index.corpus.select("avgdl")))
+    )
+    kernel = _make_kernel(cfg, mode)
+    local = rows.groupBy("query_id", "shard").applyInPandas(kernel, _KERNEL_SCHEMA)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), cfg.score_decimals)), F.asc("doc_id")
+    )
+    ranked = (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cfg.top_k)
+        .join(F.broadcast(queries.select("query_id", query_col)), "query_id")
+    )
+    return ranked.select(
+        F.col(query_col).alias("query"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("docID"),
+        F.round("score", cfg.score_decimals).cast("double").alias("score"),
+    )
