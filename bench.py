@@ -1,0 +1,146 @@
+"""Benchmark harness: index-build throughput + BM25 query latency + N→4N scaling.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total wall sec>, "unit": "sec",
+   "queries": {<component>: sec, ...}, "sf": ...,
+   "build_docs_per_sec": ..., "scaling_efficiency": ...}
+
+Components:
+  build_full        — full resumable index build (tfidf-simhash dedup →
+                      sharded delta+varbyte postings) over the deterministic
+                      synthetic corpus (BENCH_DOCS docs, seed 42)
+  bm25_batch        — compressed-path BM25 top-k, full query set, one batch
+  bm25_p95_ms       — per-query p95 latency (ms) over repeated single-query runs
+  driver_bm25_dense — dense-path flagship over $SPARK_GRAFT_SF_DIR documents
+  scaling_*         — same build job at local[8] vs local[32] on the same
+                      input (sandbox proxy for N vs 4N executors, BASELINE.md)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS (32),
+     SPARK_GRAFT_BENCH_DOCS (50000), SPARK_GRAFT_SCALING_DOCS (10000),
+     SPARK_GRAFT_SKIP_SCALING (unset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _fresh_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        # local-mode master is fixed per JVM; force a new context
+        SparkSession._instantiatedSession = None  # noqa: SLF001
+
+    from searchenginesimple_spark.session import get_spark
+
+    return get_spark(f"bench-{cores}", master=f"local[{cores}]", shuffle_partitions=max(8, cores))
+
+
+def _build(spark, pdf, out_dir, cfg):
+    from searchenginesimple_spark.plans.build import build_index
+    from searchenginesimple_spark.sources.io import TableIO
+
+    docs = spark.createDataFrame(pdf).repartition(cfg.shuffle_partitions)
+    io = TableIO(spark, out_dir)
+    t0 = time.time()
+    build_index(spark, docs, io, cfg)
+    return time.time() - t0, io
+
+
+def main() -> None:
+    import dataclasses
+
+    from searchenginesimple_spark.config import DEFAULT
+    from searchenginesimple_spark.sources.corpus import QUERY_SET, generate_docs_pdf, queries_df
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
+    n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "10000"))
+    t_start = time.time()
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    cfg = dataclasses.replace(DEFAULT, shuffle_partitions=max(8, cpus))
+    work = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        pdf = generate_docs_pdf(n_docs)
+
+        spark = _fresh_spark(cpus)
+        wall, io = _build(spark, pdf, f"{work}/full", cfg)
+        queries["build_full"] = round(wall, 3)
+        extra["build_docs_per_sec"] = round(n_docs / wall, 1)
+
+        # --- query latency over the built index ---------------------------
+        from searchenginesimple_spark.operators.wand import bm25_topk_compressed
+        from searchenginesimple_spark.plans.build import load_index
+
+        postings, dsp, idx = load_index(io)
+        postings = postings.cache()
+        dsp = dsp.cache()
+        idx.term_stats = idx.term_stats.cache()
+        postings.count(), dsp.count(), idx.term_stats.count()  # warm caches
+
+        t0 = time.time()
+        bm25_topk_compressed(postings, dsp, idx, queries_df(spark), cfg).collect()
+        queries["bm25_batch"] = round(time.time() - t0, 3)
+
+        lat: list[float] = []
+        for _rep in range(3):
+            for q in QUERY_SET:
+                t0 = time.time()
+                bm25_topk_compressed(postings, dsp, idx, queries_df(spark, [q]), cfg).collect()
+                lat.append(time.time() - t0)
+        lat.sort()
+        extra["bm25_p95_ms"] = round(lat[int(0.95 * len(lat)) - 1] * 1000, 1)
+        queries["bm25_single_avg"] = round(sum(lat) / len(lat), 3)
+
+        # --- flagship over the driver testdata -----------------------------
+        from searchenginesimple_spark.operators.bm25 import bm25_topk, build_index_stats
+        from searchenginesimple_spark.sources.documents import load_documents
+
+        import __spark_entry__ as entrymod
+
+        t0 = time.time()
+        docs = load_documents(spark, sf_dir)
+        stats = build_index_stats(docs)
+        bm25_topk(stats, entrymod._queries_df(spark)).collect()
+        queries["driver_bm25_dense"] = round(time.time() - t0, 3)
+
+        # --- N → 4N scaling (same input, 8 vs 32 threads) -------------------
+        if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+            pdf_s = generate_docs_pdf(n_scale)
+            spark = _fresh_spark(8)
+            w8, _ = _build(spark, pdf_s, f"{work}/s8", dataclasses.replace(cfg, shuffle_partitions=8))
+            spark = _fresh_spark(32)
+            w32, _ = _build(spark, pdf_s, f"{work}/s32", dataclasses.replace(cfg, shuffle_partitions=32))
+            queries["scaling_build_8c"] = round(w8, 3)
+            queries["scaling_build_32c"] = round(w32, 3)
+            extra["scaling_efficiency"] = round((n_scale / w32) / (n_scale / w8) / 4.0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    out = {
+        "metric": "index_build_and_bm25_query_wall",
+        "value": round(time.time() - t_start, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "bench_docs": n_docs,
+        **extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,11 @@ class EngineConfig:
     # fraction of the corpus; cold terms take the single-stage path.
     hot_df_fraction: float = 0.01
 
+    # --- checkpoint/resume (plans/build.py) --------------------------------
+    # Shards committed per checkpoint batch: one Spark job + one metrics
+    # append per batch; a crash re-does at most one batch.
+    checkpoint_batch_shards: int = 64
+
     # --- layout ------------------------------------------------------------
     shuffle_partitions: int = 32
     # Filter mirroring the reference's short-document drop (Page.hpp:137-146).

@@ -100,6 +100,76 @@ def simhash_batch(token_lists: list[list[str]]) -> np.ndarray:
     return fp_u64.view(np.int64)
 
 
+def simhash_weighted_batch(
+    term_lists: list[np.ndarray], weight_lists: list[np.ndarray]
+) -> np.ndarray:
+    """Weighted simhash of a batch: per doc, terms with float weights → int64.
+
+    This is the build-pipeline fingerprint (weights = tf·idf): the reference's
+    simhash likewise feeds TF-IDF-extracted keywords, not raw tokens
+    (``Simhasher.hpp:21-25`` jieba keyword extractor) — idf weighting is what
+    stops the shared zipf-head vocabulary from dominating every vote and
+    collapsing all fingerprints together.
+
+    Determinism: terms are processed in sorted order per doc so the float
+    vote summation order is fixed (collect_list order is not).
+    """
+    n = len(term_lists)
+    fp = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in term_lists), dtype=np.int64, count=n)
+    if int(lens.sum()) == 0:
+        return fp
+    flat_terms = np.concatenate(
+        [np.asarray(t, dtype="U") for t in term_lists if len(t)]
+    )
+    flat_w = np.concatenate(
+        [np.asarray(w, dtype=np.float64) for w, t in zip(weight_lists, term_lists) if len(t)]
+    )
+    doc_idx = np.repeat(np.arange(n), lens)
+    order = np.lexsort((flat_terms, doc_idx))
+    flat_terms, flat_w, doc_idx = flat_terms[order], flat_w[order], doc_idx[order]
+
+    uniq, inv = np.unique(flat_terms, return_inverse=True)
+    hashes = _term_hashes(uniq)
+    bit_sign = (
+        ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.float64
+        )
+        * 2.0
+        - 1.0
+    )
+    votes = np.zeros((n, 64), dtype=np.float64)
+    np.add.at(votes, doc_idx, flat_w[:, None] * bit_sign[inv])
+    bits = (votes > 0).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return (bits * weights[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
+@pandas_udf(T.LongType())
+def simhash_weighted_udf(terms: pd.Series, weights: pd.Series) -> pd.Series:
+    """(array<string> terms, array<double> weights) → int64 fingerprint."""
+    t = [np.asarray(x if x is not None else [], dtype=object) for x in terms]
+    w = [np.asarray(x if x is not None else [], dtype=np.float64) for x in weights]
+    return pd.Series(simhash_weighted_batch(t, w), index=terms.index)
+
+
+def simhash_weighted_py(tf: dict[str, int], idf: dict[str, float]) -> int:
+    """Scalar oracle for the tf·idf-weighted fingerprint (sorted-term order)."""
+    if not tf:
+        return 0
+    votes = [0.0] * 64
+    for t in sorted(tf):
+        w = tf[t] * idf.get(t, 0.0)
+        h = fnv1a64(t)
+        for j in range(64):
+            votes[j] += w if (h >> j) & 1 else -w
+    u = 0
+    for j in range(64):
+        if votes[j] > 0:
+            u |= 1 << j
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 @pandas_udf(T.LongType())
 def simhash64_udf(content: pd.Series) -> pd.Series:
     """content → 64-bit simhash (int64).  Tokenization spec = tokenize.py."""

@@ -20,11 +20,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from searchenginesimple_spark.config import DEFAULT, EngineConfig
-from searchenginesimple_spark.functions.simhash import band_key, simhash64_udf
+from searchenginesimple_spark.functions.simhash import (
+    band_key,
+    simhash64_udf,
+    simhash_weighted_udf,
+)
 
 
 def with_simhash(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """Raw tf-weighted content fingerprint (single-pass, corpus-free)."""
     return docs.withColumn("simhash", simhash64_udf(F.col(text_col)))
+
+
+def tfidf_fingerprints(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """docs(doc_id, <text_col>) → (doc_id, simhash) with tf·idf vote weights.
+
+    Weights: w(t,d) = tf(t,d) · ln((N+1)/(df(t)+1)) over the *input* corpus —
+    idf computed in the same job (one extra small agg + broadcast join), so
+    ubiquitous terms stop dominating the bit votes (see
+    functions/simhash.py::simhash_weighted_batch).  Docs with no tokens get
+    no row (treated as fingerprint 0 → dropped, Page.hpp:129-133).
+    """
+    from searchenginesimple_spark.operators.bm25 import tokens_of
+
+    tf = tokens_of(docs, text_col).groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    grouped = w.groupBy("doc_id").agg(
+        F.collect_list("term").alias("terms"), F.collect_list("w").alias("ws")
+    )
+    return grouped.select(
+        "doc_id", simhash_weighted_udf("terms", "ws").alias("simhash")
+    )
 
 
 def simhash_dup_pairs(fp: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
@@ -70,14 +107,22 @@ def simhash_dup_pairs(fp: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
 
 
 def simhash_dedup(
-    docs: DataFrame, cfg: EngineConfig = DEFAULT, text_col: str = "content"
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    text_col: str = "content",
+    weighting: str = "tfidf",
 ) -> DataFrame:
     """docs(doc_id, <text_col>, …) → surviving docs (+ simhash column).
 
     Survivors: simhash != 0 and no near-dup neighbor with a smaller doc_id.
-    One pandas-UDF pass + one banded self-join + one left-anti join.
+    weighting="tfidf" (default, build pipeline): idf-weighted fingerprints;
+    weighting="tf": single-pass raw content fingerprints.
     """
-    fp = with_simhash(docs, text_col)
+    if weighting == "tfidf":
+        fp_only = tfidf_fingerprints(docs, text_col)
+        fp = docs.join(fp_only, "doc_id", "inner")  # no-token docs drop here
+    else:
+        fp = with_simhash(docs, text_col)
     dropped = simhash_dup_pairs(fp.select("doc_id", "simhash"), cfg).select(
         F.col("b_id").alias("doc_id")
     ).distinct()

@@ -74,6 +74,7 @@ def _make_encode_udf(block_size: int):
 _DOCPACK_STRUCT = T.StructType(
     [
         T.StructField("n", T.IntegerType()),
+        T.StructField("sum_dlen", T.LongType()),
         T.StructField("ids", T.BinaryType()),
         T.StructField("dlens", T.BinaryType()),
     ]
@@ -82,11 +83,12 @@ _DOCPACK_STRUCT = T.StructType(
 
 @pandas_udf(_DOCPACK_STRUCT)
 def _encode_doc_stats(ids: pd.Series, dlens: pd.Series) -> pd.DataFrame:
-    out = {"n": [], "ids": [], "dlens": []}
+    out = {"n": [], "sum_dlen": [], "ids": [], "dlens": []}
     for id_arr, dl_arr in zip(ids, dlens):
         a = np.asarray(id_arr, dtype=np.uint64)
         d = np.asarray(dl_arr, dtype=np.uint64)
         out["n"].append(len(a))
+        out["sum_dlen"].append(int(d.sum()))  # → global avgdl without re-decoding
         out["ids"].append(varbyte_encode(delta_encode(a)))
         out["dlens"].append(varbyte_encode(d))
     return pd.DataFrame(out)
@@ -135,5 +137,5 @@ def build_doc_stats_packed(doc_stats: DataFrame, cfg: EngineConfig = DEFAULT) ->
         )
     )
     return grouped.select("shard", _encode_doc_stats("id_arr", "dl_arr").alias("p")).select(
-        "shard", "p.n", "p.ids", "p.dlens"
+        "shard", "p.n", "p.sum_dlen", "p.ids", "p.dlens"
     )

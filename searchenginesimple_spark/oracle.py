@@ -23,15 +23,36 @@ from searchenginesimple_spark.functions.tokenize import tokenize_py
 
 
 def dedup_survivors_oracle(
-    docs: pd.DataFrame, cfg: EngineConfig = DEFAULT, text_col: str = "content"
+    docs: pd.DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    text_col: str = "content",
+    weighting: str = "tfidf",
 ) -> set[int]:
     """Simhash near-dup survivors under the canonical rule (SURVEY.md §2.6):
     keep d ⇔ simhash(d) != 0 and no e < d with hamming(e, d) ≤ threshold.
     O(n²) scan — the executable spec, not the algorithm."""
-    fps = {
-        int(d): simhash_py(t)
-        for d, t in zip(docs["doc_id"], docs[text_col])
-    }
+    if weighting == "tfidf":
+        import math
+
+        from searchenginesimple_spark.functions.simhash import simhash_weighted_py
+
+        tfs = {
+            int(d): Counter(tokenize_py(t))
+            for d, t in zip(docs["doc_id"], docs[text_col])
+        }
+        tfs = {d: c for d, c in tfs.items() if c}
+        n = len(tfs)
+        dfc: Counter = Counter()
+        for c in tfs.values():
+            for t in c:
+                dfc[t] += 1
+        idf = {t: math.log((n + 1.0) / (dfc[t] + 1.0)) for t in dfc}
+        fps = {d: simhash_weighted_py(c, idf) for d, c in tfs.items()}
+    else:
+        fps = {
+            int(d): simhash_py(t)
+            for d, t in zip(docs["doc_id"], docs[text_col])
+        }
     ids = sorted(d for d, f in fps.items() if f != 0)
     keep: set[int] = set()
     for d in ids:

@@ -89,18 +89,32 @@ def test_pair_detection_at_distance(spark, dist, expect_pair):
         assert len(pairs) == 0
 
 
-def test_dedup_matches_oracle_on_corpus(spark):
+@pytest.mark.parametrize("weighting", ["tfidf", "tf"])
+def test_dedup_matches_oracle_on_corpus(spark, weighting):
     docs = with_doc_ids(docs_df(spark, 250)).cache()
-    survivors = {r["doc_id"] for r in simhash_dedup(docs).select("doc_id").collect()}
-    want = dedup_survivors_oracle(docs.select("doc_id", "content").toPandas())
+    survivors = {
+        r["doc_id"]
+        for r in simhash_dedup(docs, weighting=weighting).select("doc_id").collect()
+    }
+    want = dedup_survivors_oracle(
+        docs.select("doc_id", "content").toPandas(), weighting=weighting
+    )
     assert survivors == want
     assert len(survivors) < 250  # planted near-dups actually dropped
+    if weighting == "tfidf":
+        # idf weighting must keep genuinely distinct docs apart
+        assert len(survivors) > 200, f"fingerprints collapsed: {len(survivors)} survivors"
 
 
 def test_dedup_idempotent(spark):
+    # raw-tf fingerprints are content-only → dedup(dedup(x)) == dedup(x).
+    # (tfidf fingerprints depend on corpus df, so strict idempotency is not
+    # guaranteed for them — documented in operators/dedup.py.)
     docs = with_doc_ids(docs_df(spark, 150)).cache()
-    once = simhash_dedup(docs).select("doc_id", "repo", "path", "commit", "lang", "content")
-    twice = simhash_dedup(once)
+    once = simhash_dedup(docs, weighting="tf").select(
+        "doc_id", "repo", "path", "commit", "lang", "content"
+    )
+    twice = simhash_dedup(once, weighting="tf")
     assert {r["doc_id"] for r in once.collect()} == {r["doc_id"] for r in twice.collect()}
 
 
