@@ -168,6 +168,140 @@ def _q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (training-data op; functions/text.py)."""
+    from searchenginesimple_spark.functions.text import quality_features
+
+    docs = load_documents(spark, sf_dir)
+    feats = quality_features(F.col("content"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (training-data op)."""
+    from searchenginesimple_spark.functions.text import lang_id
+
+    docs = load_documents(spark, sf_dir)
+    return docs.select("doc_id", lang_id(F.col("content")).alias("lang_pred"))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (training-data op)."""
+    from searchenginesimple_spark.functions.text import fingerprint_expr
+
+    docs = load_documents(spark, sf_dir)
+    return docs.select("doc_id", fingerprint_expr(F.col("content")).alias("fp"))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (SURVEY §2.6 family)."""
+    from searchenginesimple_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_documents(spark, sf_dir)
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only check: xxhash64 is Spark-side)."""
+    from searchenginesimple_spark.operators.dedup import minhash_dup_pairs
+
+    docs = load_documents(spark, sf_dir)
+    return minhash_dup_pairs(docs, threshold=0.5)
+
+
+def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup survivors (rows-only: FNV fingerprints are engine-side;
+    exactness vs the pure-Python oracle is covered in tests/test_simhash.py)."""
+    from searchenginesimple_spark.operators.dedup import simhash_dedup
+
+    docs = load_documents(spark, sf_dir)
+    return simhash_dedup(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table."""
+    from searchenginesimple_spark.operators.ann import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, qv, k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (rows-only: approximate)."""
+    from searchenginesimple_spark.operators.ann import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, qv, dim=64, k=10, n_planes=8)
+
+
+def _q_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suggestion dictionary build (reference Dictionary.hpp:171-218)."""
+    from searchenginesimple_spark.operators.suggest import build_dict
+
+    docs = load_documents(spark, sf_dir)
+    return build_dict(docs)
+
+
+def _q_char_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codepoint → dict-id index (reference Dictionary.hpp:220-224)."""
+    from searchenginesimple_spark.operators.suggest import build_char_index, build_dict
+
+    docs = load_documents(spark, sf_dir)
+    ci = build_char_index(build_dict(docs))
+    return ci.select(
+        "cp",
+        F.concat_ws(",", F.transform("dict_ids", lambda x: x.cast("string"))).alias("ids_csv"),
+    )
+
+
+SUGGEST_QUERIES = ["spakr", "windwo", "mrege", "qurey", "joinn"]
+
+
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein suggestion top-10 (reference KeyRecommander.hpp:95-113)."""
+    from searchenginesimple_spark.operators.suggest import (
+        build_char_index,
+        build_dict,
+        suggest_topk,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    d = build_dict(docs)
+    ci = build_char_index(d)
+    qdf = spark.createDataFrame([(w,) for w in SUGGEST_QUERIES], "word string")
+    return suggest_topk(d, ci, qdf)
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window agg (batch mirror of the streaming op)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join + agg breadth check: revenue per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf": _q_tf,
@@ -179,6 +313,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "topk_window": _q_topk_window,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_dedup": _q_simhash_dedup,
+        "ann_cosine": _q_ann_cosine,
+        "ann_lsh": _q_ann_lsh,
+        "dict": _q_dict,
+        "char_index": _q_char_index,
+        "suggest": _q_suggest,
+        "events_window": _q_events_window,
+        "join_agg": _q_join_agg,
     }
 
 
@@ -226,8 +373,174 @@ FROM ranked WHERE rank <= {DEFAULT.top_k}
 """
 
 
+_STOPS_SQL = "'the','a','of','and','is','to','in','for','on'"
+_LANG_SQL = {
+    "de": "'der','die','das','und','ist','nicht'",
+    "en": "'the','a','of','and','is','to','in'",
+    "es": "'el','la','de','que','y','es'",
+    "fr": "'le','la','les','de','et','est'",
+}
+_SUGGEST_VALUES = ", ".join(f"('{w}')" for w in SUGGEST_QUERIES)
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  length(text)::bigint AS n_chars,
+  len(toks)::bigint AS n_tokens,
+  round(CASE WHEN len(toks) > 0
+    THEN list_reduce(list_prepend(0::bigint, list_transform(toks, t -> length(t)::bigint)), (a,b) -> a+b)::double / len(toks)
+    ELSE 0.0 END, 6) AS avg_token_len,
+  round(CASE WHEN len(toks) > 0
+    THEN len(list_filter(toks, t -> t IN ({_STOPS_SQL})))::double / len(toks)
+    ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN length(text) > 0
+    THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / length(text)
+    ELSE 0.0 END, 6) AS alpha_ratio
+FROM base
+"""
+
+_LANG_ID_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> t IN ({_LANG_SQL['de']}))) AS s_de,
+    len(list_filter(toks, t -> t IN ({_LANG_SQL['en']}))) AS s_en,
+    len(list_filter(toks, t -> t IN ({_LANG_SQL['es']}))) AS s_es,
+    len(list_filter(toks, t -> t IN ({_LANG_SQL['fr']}))) AS s_fr
+  FROM base
+)
+SELECT doc_id, CASE
+  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+  ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+_FINGERPRINT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::bigint, list_transform(toks, t -> (17*length(t) + ascii(t))::bigint)),
+    (a, b) -> (a*31 + b) % 2147483647
+  ) AS fp
+FROM base
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)])) AS sh
+  FROM tok WHERE len(toks) >= 5
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(i::double / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON a_id = sa.doc_id
+JOIN sizes sb ON b_id = sb.doc_id
+WHERE i::double / (sa.n + sb.n - i) >= 0.5
+"""
+
+_ANN_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], q.qvec::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qvec::DOUBLE[], q.qvec::DOUBLE[]))), 6) AS cos
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::int AS rank, vec_id, cos::double AS cos FROM ranked WHERE rank <= 10
+"""
+
+_DICT_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word FROM documents
+),
+c AS (SELECT word, count(*) AS "count" FROM tok GROUP BY word)
+SELECT word, "count", row_number() OVER (ORDER BY word)::bigint AS dict_id FROM c
+"""
+
+_CHAR_INDEX_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word FROM documents
+),
+c AS (SELECT word FROM tok GROUP BY word),
+d AS (SELECT word, row_number() OVER (ORDER BY word)::bigint AS dict_id FROM c),
+chars AS (SELECT dict_id, unnest(regexp_extract_all(word, '.')) AS ch FROM d),
+cps AS (SELECT DISTINCT dict_id, ascii(ch) AS cp FROM chars)
+SELECT cp, string_agg(dict_id::varchar, ',' ORDER BY dict_id) AS ids_csv FROM cps GROUP BY cp
+"""
+
+_SUGGEST_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word FROM documents
+),
+c AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+d AS (SELECT word, row_number() OVER (ORDER BY word)::bigint AS dict_id FROM c),
+q(qw) AS (VALUES {_SUGGEST_VALUES}),
+qc AS (
+  SELECT DISTINCT qw AS query_word, ascii(ch) AS cp
+  FROM (SELECT qw, unnest(regexp_extract_all(qw, '.')) AS ch FROM q)
+),
+ci AS (
+  SELECT DISTINCT dict_id, ascii(ch) AS cp
+  FROM (SELECT dict_id, unnest(regexp_extract_all(word, '.')) AS ch FROM d)
+),
+cand AS (SELECT DISTINCT qc.query_word, ci.dict_id FROM qc JOIN ci USING (cp)),
+scored AS (
+  SELECT c2.query_word, d.word, levenshtein(c2.query_word, d.word) AS dist
+  FROM cand c2 JOIN d USING (dict_id)
+),
+ranked AS (
+  SELECT query_word, word, dist,
+         row_number() OVER (PARTITION BY query_word ORDER BY dist ASC, word ASC) AS rank
+  FROM scored
+)
+SELECT query_word, rank::int AS rank, word, dist::int AS dist FROM ranked WHERE rank <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_score": _QUALITY_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "fingerprint": _FINGERPRINT_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ann_cosine": _ANN_COSINE_SQL,
+        "dict": _DICT_SQL,
+        "char_index": _CHAR_INDEX_SQL,
+        "suggest": _SUGGEST_SQL,
+        "events_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "join_agg": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
         "tf": f"WITH {_SQL_TOK} SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term",
         "df": f"""WITH {_SQL_TOK},
             tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term)

@@ -46,11 +46,17 @@ def _fresh_spark(cores: int):
     return get_spark(f"bench-{cores}", master=f"local[{cores}]", shuffle_partitions=max(8, cores))
 
 
-def _build(spark, pdf, out_dir, cfg):
+def _stage_corpus(spark, pdf, path: str) -> None:
+    """Write the synthetic corpus as parquet once — the build's input is a
+    table scan (input_hint: an Iceberg table), not a driver-side DataFrame."""
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+
+
+def _build(spark, raw_path, out_dir, cfg):
     from searchenginesimple_spark.plans.build import build_index
     from searchenginesimple_spark.sources.io import TableIO
 
-    docs = spark.createDataFrame(pdf).repartition(cfg.shuffle_partitions)
+    docs = spark.read.parquet(raw_path)
     io = TableIO(spark, out_dir)
     t0 = time.time()
     build_index(spark, docs, io, cfg)
@@ -77,7 +83,8 @@ def main() -> None:
         pdf = generate_docs_pdf(n_docs)
 
         spark = _fresh_spark(cpus)
-        wall, io = _build(spark, pdf, f"{work}/full", cfg)
+        _stage_corpus(spark, pdf, f"{work}/raw_full")
+        wall, io = _build(spark, f"{work}/raw_full", f"{work}/full", cfg)
         queries["build_full"] = round(wall, 3)
         extra["build_docs_per_sec"] = round(n_docs / wall, 1)
 
@@ -120,10 +127,11 @@ def main() -> None:
         # --- N → 4N scaling (same input, 8 vs 32 threads) -------------------
         if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
             pdf_s = generate_docs_pdf(n_scale)
+            _stage_corpus(spark, pdf_s, f"{work}/raw_scale")
             spark = _fresh_spark(8)
-            w8, _ = _build(spark, pdf_s, f"{work}/s8", dataclasses.replace(cfg, shuffle_partitions=8))
+            w8, _ = _build(spark, f"{work}/raw_scale", f"{work}/s8", dataclasses.replace(cfg, shuffle_partitions=8))
             spark = _fresh_spark(32)
-            w32, _ = _build(spark, pdf_s, f"{work}/s32", dataclasses.replace(cfg, shuffle_partitions=32))
+            w32, _ = _build(spark, f"{work}/raw_scale", f"{work}/s32", dataclasses.replace(cfg, shuffle_partitions=32))
             queries["scaling_build_8c"] = round(w8, 3)
             queries["scaling_build_32c"] = round(w32, 3)
             extra["scaling_efficiency"] = round((n_scale / w32) / (n_scale / w8) / 4.0, 3)

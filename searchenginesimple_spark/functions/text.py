@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side column expressions (whole-stage codegen, no Python) unless noted.
+Each has an exact ANSI-SQL mirror in ``__spark_entry__.oracle_sql`` — the
+specs are deliberately deterministic so engine and oracle agree bit-for-bit.
+
+These extend the reference's capability surface (SURVEY.md §2.7) with the ops
+a 100 TB corpus pipeline needs: quality scoring, language ID, token counting,
+document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.functions.tokenize import tokenize_expr
+
+# Tiny marker lexicons for the n-gram/stopword language heuristic.  The spec
+# is the deterministic scoring rule, not lexicon quality: score(lang) =
+# #tokens in marker set; argmax, ties broken by language code ascending,
+# zero-evidence docs → 'und'.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "les", "de", "et", "est"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in", "for", "on"]
+
+
+def quality_features(text_col: Column) -> dict[str, Column]:
+    """Deterministic quality-score features over a text column.
+
+    n_chars, n_tokens, avg_token_len, stopword_ratio, alpha_ratio — the
+    length/punct/stopword family used for corpus filtering.
+    """
+    toks = tokenize_expr(text_col)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return {
+        "n_chars": F.length(text_col).cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "avg_token_len": F.round(
+            F.when(n_tokens > 0, tok_chars.cast("double") / n_tokens).otherwise(F.lit(0.0)),
+            6,
+        ),
+        "stopword_ratio": F.round(
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0)), 6
+        ),
+        "alpha_ratio": F.round(
+            F.when(F.length(text_col) > 0, n_alpha.cast("double") / F.length(text_col)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ),
+    }
+
+
+def lang_id(text_col: Column) -> Column:
+    """Marker-token language heuristic → lang code ('und' if no evidence)."""
+    toks = tokenize_expr(text_col)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append((lang, score))
+    # argmax with tie-break on lang code ascending: fold left, strict >
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang, score in scores:
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+FP_MOD = 2_147_483_647  # 2^31 − 1
+FP_BASE = 31
+
+
+def fingerprint_expr(text_col: Column) -> Column:
+    """Polynomial rolling hash over the token sequence (order-sensitive).
+
+    h = fold(tokens, 0, (acc, t) → (acc·31 + tokhash(t)) mod (2³¹−1)) with
+    tokhash(t) = 17·len(t) + ascii(t[0]) — chosen to be expressible
+    identically in ANSI SQL (the production variant would swap tokhash for
+    xxhash64; the fold shape is the operator).
+    """
+    toks = tokenize_expr(text_col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + F.length(t) * 17 + F.ascii(F.substring(t, 1, 1)))
+        % F.lit(FP_MOD),
+    )
+
+
+def shingles(text_col: Column, n: int = 5) -> Column:
+    """Distinct token n-gram shingles as array<string> (for Jaccard/MinHash).
+
+    JVM-side: transform over token index range + array_distinct.
+    """
+    toks = tokenize_expr(text_col)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))

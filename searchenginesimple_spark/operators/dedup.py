@@ -129,6 +129,121 @@ def simhash_dedup(
     return fp.filter(F.col("simhash") != 0).join(dropped, "doc_id", "left_anti")
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold: float = 0.8,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (a_id < b_id, jaccard ≥ threshold).
+
+    Shingle-inverted-index shape: explode distinct shingles → self-equi-join
+    on shingle → |A∩B| per pair → Jaccard from per-doc shingle counts.  Exact
+    (no hashing); at 100 TB the MinHash path below replaces the raw shingle
+    join (common shingles fan out), but high thresholds keep this tractable
+    because only pairs sharing ≥ 1 shingle ever materialize.
+    """
+    from searchenginesimple_spark.functions.text import shingles
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    shingle_n: int = 5,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig:array<long>) MinHash signatures over n-gram shingles.
+
+    h_i(shingle) = xxhash64(shingle, i); sig[i] = min over shingles — all
+    JVM-side (explode + groupBy(min) pivoted as an aggregate of structs).
+    """
+    from searchenginesimple_spark.functions.text import shingles
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_dup_pairs(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket join → estimated Jaccard filter.
+
+    rows-per-band r = n_hashes/bands; candidate pairs share ≥ 1 full band
+    (the classic banding construction); the signature-estimated Jaccard
+    (matching components / n_hashes) filters to ≥ threshold.
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_key"),
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sig").alias("siga"),
+            F.col("b.sig").alias("sigb"),
+        )
+        .distinct()
+    )
+    est = F.size(
+        F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(float(n_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a_id", "b_id", "est_jaccard")
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "content") -> DataFrame:
     """Exact dedup on sha256(content); lowest doc_id per hash survives.
 

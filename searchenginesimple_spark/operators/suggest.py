@@ -1,0 +1,85 @@
+"""Query-suggestion operators (reference's KeyServer/Dictionary path, SURVEY §3.3).
+
+* dictionary build — ``DictProducer::buildDict`` (Dictionary.hpp:171-218):
+  per-zone token count + global sorted merge → here one groupBy + row_number.
+* char index — ``creatIndex`` (Dictionary.hpp:220-224,131-145):
+  codepoint → set of dict ids → explode + collect_set.
+* suggestion — ``KeyRecommander`` (KeyRecommander.hpp:95-113): candidate
+  union via char index, codepoint Levenshtein, min-heap top-10 → candidate
+  join + built-in ``levenshtein`` + window top-k (distance asc, word asc —
+  canonicalized tie-break, the reference heap is insertion-order-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.operators.bm25 import tokens_of
+
+
+def build_dict(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """(word, count, dict_id) — dict_id = row_number over word order."""
+    counts = (
+        tokens_of(docs, text_col)
+        .groupBy(F.col("term").alias("word"))
+        .agg(F.count("*").cast("long").alias("count"))
+    )
+    w = Window.orderBy("word")
+    return counts.withColumn("dict_id", F.row_number().over(w).cast("long"))
+
+
+def build_char_index(dictionary: DataFrame) -> DataFrame:
+    """(cp:int, dict_ids:array<long> sorted) — ASCII codepoint → dict entries.
+
+    The reference indexes unicode codepoints (Dictionary.hpp:137-143); the
+    code-token vocabulary is ASCII so ``ascii()`` (first-char codepoint)
+    over exploded single chars is exact here.
+    """
+    chars = dictionary.select(
+        "dict_id",
+        F.explode(F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))).alias("ch"),
+    ).select("dict_id", F.ascii("ch").alias("cp"))
+    return (
+        chars.distinct()
+        .groupBy("cp")
+        .agg(F.sort_array(F.collect_set("dict_id")).alias("dict_ids"))
+    )
+
+
+def suggest_topk(
+    dictionary: DataFrame,
+    char_index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    query_col: str = "word",
+) -> DataFrame:
+    """(query_word, rank, word, dist) — top-k dictionary words by edit distance.
+
+    Candidates: dict words sharing ≥ 1 codepoint with the query
+    (KeyRecommander.hpp:101-105) — an explode + broadcast join against the
+    char index, then exact ``levenshtein`` and a per-query window top-k.
+    """
+    q = queries.select(F.col(query_col).alias("query_word")).distinct()
+    q_chars = q.select(
+        "query_word",
+        F.explode(F.filter(F.split(F.col("query_word"), ""), lambda c: c != F.lit(""))).alias("ch"),
+    ).select("query_word", F.ascii("ch").alias("cp")).distinct()
+    cand = (
+        q_chars.join(F.broadcast(char_index), "cp")
+        .select("query_word", F.explode("dict_ids").alias("dict_id"))
+        .distinct()
+        .join(dictionary, "dict_id")
+        .withColumn("dist", F.levenshtein(F.col("query_word"), F.col("word")))
+    )
+    w = Window.partitionBy("query_word").orderBy(F.asc("dist"), F.asc("word"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_word",
+            F.col("rank").cast("int").alias("rank"),
+            "word",
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -7,27 +7,29 @@ Replaces the reference's single-process build (``src/page.cc`` →
 §3.4): Spark's DAG covers intra-run recovery; THIS layer covers cross-run
 resume, which Spark does not give you.
 
-Design — the checkpoint unit is the doc-range ``shard`` (the same salt the
+Stage graph (checkpoint unit = the doc-range ``shard``, the same salt the
 posting shuffle uses):
 
-  stage "docstore"   global: short-doc filter → deterministic doc_ids →
-                     sha256 → simhash dedup → docstore parquet partitioned
-                     by shard.  Global because doc_id assignment is a total
-                     order; all-or-nothing checkpoint.
-  stage "shards"     per-partition: for every shard NOT marked done in
-                     build_metrics: tokenize that shard's docstore slice →
-                     tf → compressed postings + doc_stats_packed, written
-                     with dynamic partition overwrite (idempotent — a
-                     half-written shard from a crash is replaced on resume).
-                     Metrics row (docs/postings/bytes) appended AFTER the
-                     data write = the commit point.
-  stage "finalize"   derived globals: term_stats (df/idf from postings),
-                     corpus (n_docs/avgdl from doc_stats_packed sidecars).
-                     Cheap; recomputed idempotently.
+  stage "tf"        tokenize ONCE (Arrow pandas UDF) over the short-filtered,
+                    deterministically-id'd corpus → tf(doc_id, term, tf)
+                    parquet partitioned by shard.  Materializing tf is the
+                    build's big staged intermediate: it feeds BOTH the
+                    tf·idf simhash fingerprints and the posting lists, and
+                    resume never re-tokenizes a committed shard.
+  stage "docstore"  fingerprints from tf → Hamming-band dedup → docstore
+                    parquet partitioned by shard.  Global (doc_id total
+                    order + corpus-wide df), all-or-nothing.
+  stage "shards"    per-partition: for every shard not marked done: tf slice
+                    (partition-pruned read) semi-joined to surviving doc_ids
+                    → compressed postings + doc_stats_packed, dynamic
+                    partition overwrite (idempotent).  Metrics row appended
+                    AFTER the write = the commit point.
+  stage "finalize"  derived globals: term_stats (df/idf from postings),
+                    corpus (n_docs/avgdl from sidecars).  Idempotent.
 
-Resume = rerun the same command: done shards are anti-joined away via the
-metrics table (``status='done'``), everything else is recomputed.  Lineage
-rows record input path, config and run ids.
+Resume = rerun the same command: done shards are skipped via the metrics
+table (``status='done'``); a half-written shard from a crash is replaced by
+the dynamic partition overwrite.  Lineage rows record config + run ids.
 """
 
 from __future__ import annotations
@@ -41,8 +43,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from searchenginesimple_spark.config import DEFAULT, EngineConfig
-from searchenginesimple_spark.operators.bm25 import IndexStats
-from searchenginesimple_spark.operators.dedup import simhash_dedup
+from searchenginesimple_spark.operators.bm25 import IndexStats, tokens_of
+from searchenginesimple_spark.operators.dedup import simhash_dup_pairs
 from searchenginesimple_spark.operators.postings import (
     build_doc_stats_packed,
     build_postings,
@@ -67,37 +69,45 @@ class BuildResult:
     wall_ms: int
 
 
-def _metrics(io: TableIO) -> DataFrame | None:
-    return io.read("build_metrics") if io.exists("build_metrics") else None
-
-
 def _done(io: TableIO, stage: str) -> set[int]:
-    m = _metrics(io)
-    if m is None:
+    if not io.exists("build_metrics"):
         return set()
-    rows = m.filter((F.col("stage") == stage) & (F.col("status") == "done")).select("shard").collect()
+    rows = (
+        io.read("build_metrics")
+        .filter((F.col("stage") == stage) & (F.col("status") == "done"))
+        .select("shard")
+        .collect()
+    )
     return {r["shard"] for r in rows}
 
 
-def _log_metrics(io: TableIO, rows: list[tuple]) -> None:
+def _log(io: TableIO, rows: list[tuple]) -> None:
     io.append(io.spark.createDataFrame(rows, METRICS_SCHEMA), "build_metrics")
 
 
-def prepare_docstore(
-    docs_raw: DataFrame, cfg: EngineConfig = DEFAULT, text_col: str = "content"
-) -> DataFrame:
-    """(repo,path,commit,lang,content) → deduped docstore with doc_id/sha256/simhash/shard.
+def _fingerprints_from_tf(tf: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — tf·idf-weighted simhash from the staged tf table.
 
-    Order of operations mirrors the reference reduce (Page.hpp:121-161):
-    short-doc drop (137-146), then simhash near-dup dedup (127-133) — with
-    doc_ids assigned first so the canonical min-id survivor rule is defined.
+    Same spec as operators/dedup.py::tfidf_fingerprints, but reuses the
+    already-materialized tf instead of re-tokenizing.
     """
-    ided = with_doc_ids(docs_raw)
-    kept = ided.filter(F.length(F.col(text_col)) >= cfg.min_content_len)
-    deduped = simhash_dedup(kept, cfg, text_col)  # adds simhash, drops near-dups
-    return deduped.withColumn("sha256", F.sha2(F.col(text_col), 256)).withColumn(
-        "shard", shard_of(F.col("doc_id"), cfg)
+    from searchenginesimple_spark.functions.simhash import simhash_weighted_udf
+
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf").cast("double")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
     )
+    grouped = w.groupBy("doc_id").agg(
+        F.collect_list("term").alias("terms"), F.collect_list("w").alias("ws")
+    )
+    return grouped.select("doc_id", simhash_weighted_udf("terms", "ws").alias("simhash"))
 
 
 def build_index(
@@ -111,16 +121,39 @@ def build_index(
 ) -> BuildResult:
     """Run (or resume) the full index build.  ``fail_after_shards`` is a
     test-only fault injection: raise after N shard checkpoints commit."""
-    from searchenginesimple_spark.operators.bm25 import tokens_of
-
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:12]
-    lineage = json.dumps({"config": asdict(cfg), "input": "caller-supplied DataFrame"})
+    lineage = json.dumps({"config": asdict(cfg)})
 
-    # ---- stage: docstore (global) -----------------------------------------
-    docstore_done = -1 in _done(io, "docstore")
-    if not docstore_done:
-        ds = prepare_docstore(docs_raw, cfg)
+    # ---- stage: tf (global tokenize, staged once) --------------------------
+    if -1 not in _done(io, "tf"):
+        ided = with_doc_ids(docs_raw).filter(
+            F.length(F.col("content")) >= cfg.min_content_len
+        )
+        staged = ided.withColumn("shard", shard_of(F.col("doc_id"), cfg))
+        io.overwrite_partitions(staged.select("doc_id", "shard", "repo", "path", "commit", "lang", "content"), "staged_docs", "shard")
+        staged = io.read("staged_docs")
+        tf = (
+            tokens_of(staged.select("doc_id", "content"), "content", use_pandas_udf)
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("int").alias("tf"))
+            .withColumn("shard", shard_of(F.col("doc_id"), cfg))
+        )
+        io.overwrite_partitions(tf, "tf", "shard")
+        _log(io, [(run_id, "tf", -1, 0, 0, 0, int((time.time() - t0) * 1000), "done", lineage, time.time())])
+
+    # ---- stage: docstore (dedup; global) -----------------------------------
+    if -1 not in _done(io, "docstore"):
+        ts = time.time()
+        tf = io.read("tf")
+        fp = _fingerprints_from_tf(tf)
+        dropped = simhash_dup_pairs(fp, cfg).select(F.col("b_id").alias("doc_id")).distinct()
+        survivors = fp.filter(F.col("simhash") != 0).join(dropped, "doc_id", "left_anti")
+        ds = (
+            io.read("staged_docs")
+            .join(survivors, "doc_id", "inner")
+            .withColumn("sha256", F.sha2(F.col("content"), 256))
+        )
         io.overwrite_partitions(ds, "docstore", "shard")
         per_shard = (
             io.read("docstore")
@@ -128,8 +161,8 @@ def build_index(
             .agg(F.count("*").alias("docs"), F.sum(F.length("content")).alias("bytes"))
             .collect()
         )
-        wall = int((time.time() - t0) * 1000)
-        _log_metrics(
+        wall = int((time.time() - ts) * 1000)
+        _log(
             io,
             [
                 (run_id, "docstore_shard", int(r["shard"]), int(r["docs"]), 0, int(r["bytes"]), wall, "done", lineage, time.time())
@@ -142,32 +175,27 @@ def build_index(
     all_shards = {r["shard"] for r in docstore.select("shard").distinct().collect()}
 
     # ---- stage: shards (per-partition checkpoint, batched) ----------------
-    # All shards of one batch are built in a SINGLE Spark job (the per-shard
-    # loop would serialize a 10^12-file build); the checkpoint commit point is
-    # the metrics append after each batch, so a crash re-does at most one
-    # batch and dynamic partition overwrite makes the redo idempotent.
+    # One Spark job per BATCH of shards (a per-shard loop would serialize a
+    # 10^12-file build); crash re-does at most one batch, idempotently.
     done = _done(io, "shards")
     todo = sorted(all_shards - done)
     built = 0
     bsz = max(1, cfg.checkpoint_batch_shards)
+    tf_all = io.read("tf")
     for i in range(0, len(todo), bsz):
         if fail_after_shards is not None and built >= fail_after_shards:
             raise RuntimeError(f"fault injection: stopping after {built} shards")
         batch = todo[i : i + bsz]
         ts = time.time()
-        slice_df = docstore.filter(F.col("shard").isin(batch)).select("doc_id", "content")
-        tf = (
-            tokens_of(slice_df, "content", use_pandas_udf)
-            .groupBy("doc_id", "term")
-            .agg(F.count("*").cast("int").alias("tf"))
-        )
-        doc_stats = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
-        postings = build_postings(tf, cfg)
-        dsp = build_doc_stats_packed(doc_stats, cfg)
-        io.overwrite_partitions(postings, "postings", "shard")
-        io.overwrite_partitions(dsp, "doc_stats_packed", "shard")
+        # partition-pruned tf slice, restricted to dedup survivors
+        tf_b = tf_all.filter(F.col("shard").isin(batch)).drop("shard")
+        surv = docstore.filter(F.col("shard").isin(batch)).select("doc_id")
+        tf_b = tf_b.join(surv, "doc_id", "left_semi")
+        doc_stats = tf_b.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
+        io.overwrite_partitions(build_postings(tf_b, cfg), "postings", "shard")
+        io.overwrite_partitions(build_doc_stats_packed(doc_stats, cfg), "doc_stats_packed", "shard")
         wall_batch = int((time.time() - ts) * 1000)
-        pstats = {
+        stats = {
             int(r["shard"]): r
             for r in io.read("postings")
             .filter(F.col("shard").isin(batch))
@@ -178,20 +206,17 @@ def build_index(
             )
             .collect()
         }
-        dcounts = {
-            int(r["shard"]): int(r["docs"])
-            for r in slice_df.join(docstore.select("doc_id", "shard"), "doc_id")
-            .groupBy("shard")
-            .agg(F.count("*").alias("docs"))
-            .collect()
+        ndocs = {
+            int(r["shard"]): int(r["n"])
+            for r in io.read("doc_stats_packed").filter(F.col("shard").isin(batch)).select("shard", "n").collect()
         }
-        _log_metrics(
+        _log(
             io,
             [
                 (
-                    run_id, "shards", int(s), dcounts.get(int(s), 0),
-                    int(pstats[int(s)]["postings"] or 0) if int(s) in pstats else 0,
-                    int(pstats[int(s)]["bytes"] or 0) if int(s) in pstats else 0,
+                    run_id, "shards", int(s), ndocs.get(int(s), 0),
+                    int(stats[int(s)]["postings"] or 0) if int(s) in stats else 0,
+                    int(stats[int(s)]["bytes"] or 0) if int(s) in stats else 0,
                     wall_batch, "done", lineage, time.time(),
                 )
                 for s in batch
@@ -200,7 +225,6 @@ def build_index(
         built += len(batch)
 
     # ---- stage: finalize (derived globals, idempotent) --------------------
-    postings = io.read("postings")
     dsp = io.read("doc_stats_packed")
     corpus_row = dsp.agg(
         F.sum("n").cast("long").alias("n_docs"),
@@ -209,7 +233,8 @@ def build_index(
     io.overwrite(corpus_row, "corpus")
     n_docs = io.read("corpus").collect()[0]["n_docs"]
     term_stats = (
-        postings.groupBy("term")
+        io.read("postings")
+        .groupBy("term")
         .agg(F.sum("df").cast("int").alias("df"))
         .withColumn(
             "idf",
@@ -218,7 +243,7 @@ def build_index(
     )
     io.overwrite(term_stats, "term_stats")
     wall = int((time.time() - t0) * 1000)
-    _log_metrics(io, [(run_id, "finalize", -1, int(n_docs), 0, 0, wall, "done", lineage, time.time())])
+    _log(io, [(run_id, "finalize", -1, int(n_docs), 0, 0, wall, "done", lineage, time.time())])
 
     return BuildResult(
         run_id=run_id,
@@ -233,13 +258,14 @@ def build_index(
 def load_index(io: TableIO) -> tuple[DataFrame, DataFrame, IndexStats]:
     """→ (postings, doc_stats_packed, IndexStats for the query layer).
 
-    IndexStats.tf is not materialized on disk (it is an intermediate); the
-    dense scorer can rebuild it from docstore when needed — the compressed
-    scorer (operators/wand.py) never needs it.
+    IndexStats.tf/doc_stats point at the staged tables (dense-path scoring);
+    the compressed scorer (operators/wand.py) only touches term_stats/corpus.
     """
-    postings = io.read("postings")
-    dsp = io.read("doc_stats_packed")
-    term_stats = io.read("term_stats")
-    corpus = io.read("corpus")
-    idx = IndexStats(tf=None, doc_stats=None, term_stats=term_stats, corpus=corpus)
-    return postings, dsp, idx
+    tf = io.read("tf") if io.exists("tf") else None
+    idx = IndexStats(
+        tf=tf,
+        doc_stats=None,
+        term_stats=io.read("term_stats"),
+        corpus=io.read("corpus"),
+    )
+    return io.read("postings"), io.read("doc_stats_packed"), idx
