@@ -46,10 +46,12 @@ def _fresh_spark(cores: int):
     return get_spark(f"bench-{cores}", master=f"local[{cores}]", shuffle_partitions=max(8, cores))
 
 
-def _stage_corpus(spark, pdf, path: str) -> None:
-    """Write the synthetic corpus as parquet once — the build's input is a
-    table scan (input_hint: an Iceberg table), not a driver-side DataFrame."""
-    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+def _stage_corpus(spark, n_docs: int, path: str) -> None:
+    """Generate the synthetic corpus executor-side and stage it as parquet —
+    the build's input is a table scan (input_hint: an Iceberg table)."""
+    from searchenginesimple_spark.sources.corpus import docs_df_distributed
+
+    docs_df_distributed(spark, n_docs).write.mode("overwrite").parquet(path)
 
 
 def _build(spark, raw_path, out_dir, cfg):
@@ -67,7 +69,7 @@ def main() -> None:
     import dataclasses
 
     from searchenginesimple_spark.config import DEFAULT
-    from searchenginesimple_spark.sources.corpus import QUERY_SET, generate_docs_pdf, queries_df
+    from searchenginesimple_spark.sources.corpus import QUERY_SET, queries_df
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -80,10 +82,8 @@ def main() -> None:
     cfg = dataclasses.replace(DEFAULT, shuffle_partitions=max(8, cpus))
     work = tempfile.mkdtemp(prefix="bench_idx_")
     try:
-        pdf = generate_docs_pdf(n_docs)
-
         spark = _fresh_spark(cpus)
-        _stage_corpus(spark, pdf, f"{work}/raw_full")
+        _stage_corpus(spark, n_docs, f"{work}/raw_full")
         wall, io = _build(spark, f"{work}/raw_full", f"{work}/full", cfg)
         queries["build_full"] = round(wall, 3)
         extra["build_docs_per_sec"] = round(n_docs / wall, 1)
@@ -126,8 +126,7 @@ def main() -> None:
 
         # --- N → 4N scaling (same input, 8 vs 32 threads) -------------------
         if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
-            pdf_s = generate_docs_pdf(n_scale)
-            _stage_corpus(spark, pdf_s, f"{work}/raw_scale")
+            _stage_corpus(spark, n_scale, f"{work}/raw_scale")
             spark = _fresh_spark(8)
             w8, _ = _build(spark, f"{work}/raw_scale", f"{work}/s8", dataclasses.replace(cfg, shuffle_partitions=8))
             spark = _fresh_spark(32)

@@ -1,0 +1,97 @@
+"""spark-submit entry points (north rule: ships via ``spark-submit --py-files``).
+
+Usage on a cluster (module zip built by e.g. ``zip -r engine.zip
+searchenginesimple_spark``):
+
+    spark-submit --py-files engine.zip -m searchenginesimple_spark.cli ...
+
+or locally:
+
+    python -m searchenginesimple_spark.cli build  --input /path/docs_parquet --index /path/idx
+    python -m searchenginesimple_spark.cli query  --index /path/idx --query "spark window" [--mode or]
+    python -m searchenginesimple_spark.cli suggest --index-docs /path/docs_parquet --word spakr
+
+Replaces the reference's three binaries + HTTP servers (``src/page.cc``,
+``src/keyWord.cc``, ``src/Server/*``) with batch jobs over tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="searchenginesimple_spark")
+    p.add_argument("--master", default=None, help="spark master (default: env/local)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    b.add_argument("--input", required=True, help="parquet dir of docs(repo,path,commit,lang,content)")
+    b.add_argument("--index", required=True, help="output index root")
+    b.add_argument("--run-id", default=None)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", action="append", required=True, help="repeatable")
+    q.add_argument("--mode", choices=["and", "or"], default="and")
+    q.add_argument("--k", type=int, default=10)
+
+    s = sub.add_parser("suggest", help="levenshtein suggestions from a docs corpus")
+    s.add_argument("--input", required=True)
+    s.add_argument("--word", action="append", required=True)
+
+    args = p.parse_args(argv)
+
+    from searchenginesimple_spark.config import DEFAULT
+    from searchenginesimple_spark.session import get_spark
+
+    spark = get_spark("cli", master=args.master)
+
+    if args.cmd == "build":
+        from searchenginesimple_spark.plans.build import build_index
+        from searchenginesimple_spark.sources.io import TableIO
+
+        docs = spark.read.parquet(args.input)
+        res = build_index(spark, docs, TableIO(spark, args.index), DEFAULT, run_id=args.run_id)
+        print(json.dumps(res.__dict__))
+        return 0
+
+    if args.cmd == "query":
+        import dataclasses
+
+        from searchenginesimple_spark.operators.wand import bm25_topk_compressed
+        from searchenginesimple_spark.plans.build import load_index
+        from searchenginesimple_spark.sources.io import TableIO
+
+        cfg = dataclasses.replace(DEFAULT, top_k=args.k)
+        postings, dsp, idx = load_index(TableIO(spark, args.index))
+        queries = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(args.query)], "query_id long, query string"
+        )
+        out = bm25_topk_compressed(postings, dsp, idx, queries, cfg, mode=args.mode)
+        for r in out.collect():
+            print(json.dumps({"query": r["query"], "rank": r["rank"], "docID": r["docID"], "score": r["score"]}))
+        return 0
+
+    if args.cmd == "suggest":
+        from searchenginesimple_spark.operators.suggest import (
+            build_char_index,
+            build_dict,
+            suggest_topk,
+        )
+
+        docs = spark.read.parquet(args.input).withColumnRenamed("text", "content")
+        d = build_dict(docs)
+        ci = build_char_index(d)
+        qdf = spark.createDataFrame([(w,) for w in args.word], "word string")
+        for r in suggest_topk(d, ci, qdf).collect():
+            print(json.dumps({"query_word": r["query_word"], "rank": r["rank"], "word": r["word"], "dist": r["dist"]}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,17 +48,36 @@ def fnv1a64(term: str) -> int:
     return h
 
 
+def fnv1a64_batch(terms: list[str] | np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64 over a batch of terms.
+
+    The per-byte recurrence h = (h ^ b)·prime runs column-wise over a padded
+    uint8 matrix: one numpy step per byte POSITION (≤ max term length), not
+    per term — the per-unique-term python loop was the simhash hot spot at
+    ~500k unique identifiers per corpus.
+    """
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [t.encode("utf-8") for t in terms]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    max_len = int(lens.max()) if n else 0
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    mat = np.zeros((n, max_len), dtype=np.uint8)
+    mask = np.arange(max_len)[None, :] < lens[:, None]
+    mat[mask] = flat  # row-major fill order == concatenation order
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            m = lens > j
+            h[m] = (h[m] ^ mat[m, j].astype(np.uint64)) * prime
+    return h
+
+
 def _term_hashes(terms: np.ndarray) -> np.ndarray:
-    """uint64 hashes for an array of unique terms (memoized)."""
-    out = np.empty(len(terms), dtype=np.uint64)
-    for i, t in enumerate(terms):
-        h = _HASH_CACHE.get(t)
-        if h is None:
-            h = fnv1a64(t)
-            if len(_HASH_CACHE) < 1_000_000:
-                _HASH_CACHE[t] = h
-        out[i] = h
-    return out
+    """uint64 hashes for an array of unique terms (vectorized FNV)."""
+    return fnv1a64_batch(list(terms))
 
 
 def simhash_batch(token_lists: list[list[str]]) -> np.ndarray:

@@ -86,15 +86,31 @@ def with_lsh_bucket(
     n_planes: int = 12,
     vec_col: str = "embedding",
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Add a random-hyperplane sign-sketch bucket column (JVM-side dot products)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
-        bucket = bucket + F.shiftleft(bit, i)
-    return embeddings.withColumn("bucket", bucket)
+    """Random-hyperplane sign-sketch buckets (JVM-side dot products).
+
+    n_tables > 1 → the standard multi-table LSH construction: one row per
+    (item, table_id) with that table's bucket; candidates co-bucket in ANY
+    table.  Recall rises as 1−(1−p^planes)^tables at linear cost in rows.
+    """
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    buckets = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes):
+            p = planes[t * n_planes + i]
+            plane = F.array(*[F.lit(float(x)) for x in p])
+            bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+            bucket = bucket + F.shiftleft(bit, i)
+        buckets.append(bucket)
+    if n_tables == 1:
+        return embeddings.withColumn("bucket", buckets[0]).withColumn(
+            "table_id", F.lit(0)
+        )
+    return embeddings.select(
+        "*", F.posexplode(F.array(*buckets)).alias("table_id", "bucket")
+    )
 
 
 def lsh_topk(
@@ -103,26 +119,29 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 12,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the LSH bucket, exact re-rank inside.
+    """Approximate top-k: candidates co-bucket in ≥ 1 LSH table, exact re-rank.
 
-    The bucket equi-join replaces the cross join — at scale the shuffle is by
-    bucket key and each task sees one bucket's candidates only.
+    The (table_id, bucket) equi-join replaces the cross join — at scale the
+    shuffle is by bucket key and each task sees one bucket's candidates only.
     """
     e = with_lsh_bucket(
         embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")),
-        dim, n_planes, "vec",
+        dim, n_planes, "vec", n_tables=n_tables,
     )
     q = with_lsh_bucket(
         query_vecs.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
-        dim, n_planes, "qvec",
+        dim, n_planes, "qvec", n_tables=n_tables,
     )
     scored = (
-        e.join(q, "bucket")
+        e.join(q, ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select("vec_id", "query_id", "vec", "qvec")
+        .distinct()
         .withColumn(
             "cos",
             F.round(

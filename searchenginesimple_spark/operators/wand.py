@@ -167,8 +167,10 @@ def bm25_topk_compressed(
     query_col: str = "query",
 ) -> DataFrame:
     """Compressed-path BM25 top-k → (query, rank, docID, score)."""
-    qt = query_terms(queries, query_col)
-    qt_idx = qt.join(index.term_stats.select("term", "idf"), "term", "inner")
+    # JVM tokenizer on the (tiny) query side: same spec as the build-side
+    # pandas UDF (tested identical), avoids a python stage per query batch
+    qt = query_terms(queries, query_col, use_pandas_udf=False)
+    qt_idx = F.broadcast(qt).join(index.term_stats.select("term", "idf"), "term", "inner")
     n_terms = qt_idx.groupBy("query_id").agg(F.count("*").cast("int").alias("n_terms"))
 
     rows = (

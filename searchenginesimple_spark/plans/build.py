@@ -10,15 +10,15 @@ resume, which Spark does not give you.
 Stage graph (checkpoint unit = the doc-range ``shard``, the same salt the
 posting shuffle uses):
 
-  stage "tf"        tokenize ONCE (Arrow pandas UDF) over the short-filtered,
-                    deterministically-id'd corpus → tf(doc_id, term, tf)
-                    parquet partitioned by shard.  Materializing tf is the
-                    build's big staged intermediate: it feeds BOTH the
-                    tf·idf simhash fingerprints and the posting lists, and
-                    resume never re-tokenizes a committed shard.
-  stage "docstore"  fingerprints from tf → Hamming-band dedup → docstore
-                    parquet partitioned by shard.  Global (doc_id total
-                    order + corpus-wide df), all-or-nothing.
+  stage "tf"        stage the corpus once (docstore_raw: + doc_id, sha256,
+                    shard — the ONLY full-content write) and tokenize ONCE
+                    (Arrow pandas UDF) → tf(doc_id, term, tf) parquet
+                    partitioned by shard.  tf feeds BOTH the tf·idf simhash
+                    fingerprints and the posting lists; resume never
+                    re-tokenizes a committed shard.
+  stage "dedup"     fingerprints from tf → Hamming-band dedup → small
+                    ``survivors(doc_id, simhash, shard)`` table.  Global
+                    (corpus-wide df), all-or-nothing, no content rewrite.
   stage "shards"    per-partition: for every shard not marked done: tf slice
                     (partition-pruned read) semi-joined to surviving doc_ids
                     → compressed postings + doc_stats_packed, dynamic
@@ -93,10 +93,16 @@ def _fingerprints_from_tf(tf: DataFrame) -> DataFrame:
     """
     from searchenginesimple_spark.functions.simhash import simhash_weighted_udf
 
+    # df table is vocabulary-sized (≪ tf) → broadcast it so the weight join
+    # is map-side and the 6-7M-row tf never shuffles here.  At 10^12-file
+    # scale the identifier vocabulary outgrows a broadcast; the scale variant
+    # broadcasts only the top-K frequent terms' df (rare terms take
+    # idf ≈ ln(N+1), the same downweighting outcome) or falls back to the
+    # shuffle join — the weight SPEC is unchanged either way.
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
     w = (
-        tf.join(dfc, "term")
+        tf.join(F.broadcast(dfc), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "w",
@@ -125,14 +131,23 @@ def build_index(
     run_id = run_id or uuid.uuid4().hex[:12]
     lineage = json.dumps({"config": asdict(cfg)})
 
-    # ---- stage: tf (global tokenize, staged once) --------------------------
+    # ---- stage: tf (stage corpus once, tokenize once) ----------------------
+    # docstore_raw carries the full content exactly ONCE (doc_id, sha256,
+    # shard added); dedup later emits only a small survivors table — no
+    # second full-content write.
     if -1 not in _done(io, "tf"):
         ided = with_doc_ids(docs_raw).filter(
             F.length(F.col("content")) >= cfg.min_content_len
         )
-        staged = ided.withColumn("shard", shard_of(F.col("doc_id"), cfg))
-        io.overwrite_partitions(staged.select("doc_id", "shard", "repo", "path", "commit", "lang", "content"), "staged_docs", "shard")
-        staged = io.read("staged_docs")
+        staged = ided.withColumn("shard", shard_of(F.col("doc_id"), cfg)).withColumn(
+            "sha256", F.sha2(F.col("content"), 256)
+        )
+        io.overwrite_partitions(
+            staged.select("doc_id", "shard", "repo", "path", "commit", "lang", "content", "sha256"),
+            "docstore_raw",
+            "shard",
+        )
+        staged = io.read("docstore_raw")
         tf = (
             tokens_of(staged.select("doc_id", "content"), "content", use_pandas_udf)
             .groupBy("doc_id", "term")
@@ -140,39 +155,38 @@ def build_index(
             .withColumn("shard", shard_of(F.col("doc_id"), cfg))
         )
         io.overwrite_partitions(tf, "tf", "shard")
-        _log(io, [(run_id, "tf", -1, 0, 0, 0, int((time.time() - t0) * 1000), "done", lineage, time.time())])
+        per_shard = (
+            staged.groupBy("shard")
+            .agg(F.count("*").alias("docs"), F.sum(F.length("content")).alias("bytes"))
+            .collect()
+        )
+        wall = int((time.time() - t0) * 1000)
+        _log(
+            io,
+            [
+                (run_id, "tf_shard", int(r["shard"]), int(r["docs"]), 0, int(r["bytes"]), wall, "done", lineage, time.time())
+                for r in per_shard
+            ]
+            + [(run_id, "tf", -1, 0, 0, 0, wall, "done", lineage, time.time())],
+        )
 
-    # ---- stage: docstore (dedup; global) -----------------------------------
-    if -1 not in _done(io, "docstore"):
+    # ---- stage: dedup (global; emits the small survivors table) -----------
+    if -1 not in _done(io, "dedup"):
         ts = time.time()
         tf = io.read("tf")
         fp = _fingerprints_from_tf(tf)
         dropped = simhash_dup_pairs(fp, cfg).select(F.col("b_id").alias("doc_id")).distinct()
-        survivors = fp.filter(F.col("simhash") != 0).join(dropped, "doc_id", "left_anti")
-        ds = (
-            io.read("staged_docs")
-            .join(survivors, "doc_id", "inner")
-            .withColumn("sha256", F.sha2(F.col("content"), 256))
+        survivors = (
+            fp.filter(F.col("simhash") != 0)
+            .join(dropped, "doc_id", "left_anti")
+            .withColumn("shard", shard_of(F.col("doc_id"), cfg))
         )
-        io.overwrite_partitions(ds, "docstore", "shard")
-        per_shard = (
-            io.read("docstore")
-            .groupBy("shard")
-            .agg(F.count("*").alias("docs"), F.sum(F.length("content")).alias("bytes"))
-            .collect()
-        )
-        wall = int((time.time() - ts) * 1000)
-        _log(
-            io,
-            [
-                (run_id, "docstore_shard", int(r["shard"]), int(r["docs"]), 0, int(r["bytes"]), wall, "done", lineage, time.time())
-                for r in per_shard
-            ]
-            + [(run_id, "docstore", -1, sum(int(r["docs"]) for r in per_shard), 0, 0, wall, "done", lineage, time.time())],
-        )
+        io.overwrite_partitions(survivors, "survivors", "shard")
+        n_surv = io.read("survivors").count()
+        _log(io, [(run_id, "dedup", -1, int(n_surv), 0, 0, int((time.time() - ts) * 1000), "done", lineage, time.time())])
 
-    docstore = io.read("docstore")
-    all_shards = {r["shard"] for r in docstore.select("shard").distinct().collect()}
+    survivors = io.read("survivors")
+    all_shards = {r["shard"] for r in survivors.select("shard").distinct().collect()}
 
     # ---- stage: shards (per-partition checkpoint, batched) ----------------
     # One Spark job per BATCH of shards (a per-shard loop would serialize a
@@ -189,7 +203,7 @@ def build_index(
         ts = time.time()
         # partition-pruned tf slice, restricted to dedup survivors
         tf_b = tf_all.filter(F.col("shard").isin(batch)).drop("shard")
-        surv = docstore.filter(F.col("shard").isin(batch)).select("doc_id")
+        surv = survivors.filter(F.col("shard").isin(batch)).select("doc_id")
         tf_b = tf_b.join(surv, "doc_id", "left_semi")
         doc_stats = tf_b.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
         io.overwrite_partitions(build_postings(tf_b, cfg), "postings", "shard")
@@ -226,12 +240,17 @@ def build_index(
 
     # ---- stage: finalize (derived globals, idempotent) --------------------
     dsp = io.read("doc_stats_packed")
-    corpus_row = dsp.agg(
+    stats_row = dsp.agg(
         F.sum("n").cast("long").alias("n_docs"),
         (F.sum("sum_dlen") / F.sum("n")).alias("avgdl"),
+    ).collect()[0]
+    n_docs = stats_row["n_docs"]
+    io.overwrite(
+        spark.createDataFrame(
+            [(int(n_docs), float(stats_row["avgdl"]))], "n_docs long, avgdl double"
+        ),
+        "corpus",
     )
-    io.overwrite(corpus_row, "corpus")
-    n_docs = io.read("corpus").collect()[0]["n_docs"]
     term_stats = (
         io.read("postings")
         .groupBy("term")
@@ -252,6 +271,17 @@ def build_index(
         resumed_shards=len(done),
         built_shards=built,
         wall_ms=wall,
+    )
+
+
+def read_docstore(io: TableIO) -> DataFrame:
+    """The logical docstore = raw staged docs ∩ dedup survivors (with simhash).
+
+    Content bytes are stored once (docstore_raw); the survivors table is
+    (doc_id, simhash, shard) only.
+    """
+    return io.read("docstore_raw").join(
+        io.read("survivors").select("doc_id", "simhash"), "doc_id", "inner"
     )
 
 

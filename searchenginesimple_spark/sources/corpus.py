@@ -5,16 +5,18 @@ planted structure the tests assert on:
 
 * zipf(1.2) identifier vocabulary (500 terms) + one hot term (``return``) at
   ~20 % token frequency (skew-handling test, SURVEY.md §4.1);
+* file-local identifiers (~1 in 8 tokens) — real code files carry many
+  file-specific names; without them every doc's tf·idf simhash collapses;
 * rare discriminative terms (one per ~25 docs) for selective queries;
 * every 20th doc ≈ its predecessor with a tiny token perturbation (simhash
   near-dup, must dedup — reference Page.hpp:121-161);
-* every 50th doc byte-identical to another repo's file (exact dup);
+* every 50th doc byte-identical to an earlier file (exact dup);
 * ~2 % short docs (<10 chars) that the reference drops (Page.hpp:137-146).
 
-Generation is driver-side numpy (cheap at test scale) then parallelized via
-``spark.createDataFrame`` — at real scale the corpus is an Iceberg table, not
-generated.  ``doc_id`` is NOT generated: it is assigned deterministically by
-``row_number() over (order by repo, path, commit)`` (SURVEY.md §4.6) so it is
+Content is a PURE FUNCTION of (seed, doc index): generation distributes over
+executors (``docs_df_distributed`` mapInPandas) and the pandas/oracle path
+(``generate_docs_pdf``) produces byte-identical rows.  ``doc_id`` is NOT
+generated: it is assigned deterministically by ``with_doc_ids`` so it is
 identical at any parallelism.
 """
 
@@ -36,68 +38,73 @@ NEAR_DUP_EVERY = 20
 EXACT_DUP_EVERY = 50
 SHORT_EVERY = 47  # ~2%
 
+_VOCAB = np.array([f"ident_{i:03d}" for i in range(VOCAB_SIZE)])
+_RANKS = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+_PROBS = _RANKS**-1.2
+_PROBS /= _PROBS.sum()
 
-def _vocab() -> list[str]:
-    return [f"ident_{i:03d}" for i in range(VOCAB_SIZE)]
+
+def _base_content(i: int, seed: int) -> str:
+    """Deterministic per-doc body (no dup/short overrides)."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    n_tok = int(rng.integers(50, 401))
+    body = rng.choice(_VOCAB, size=n_tok, p=_PROBS)
+    hot_mask = rng.random(n_tok) < HOT_FRACTION
+    body[hot_mask] = HOT_TERM
+    local_pos = np.arange(7, n_tok, 8)
+    for k, p in enumerate(local_pos):
+        body[p] = f"loc_{i}_{k % 11}"
+    toks = body.tolist()
+    if i % RARE_EVERY == 3:
+        toks.append(f"rare_{i // RARE_EVERY:04d}")
+    parts: list[str] = []
+    for j, t in enumerate(toks):
+        parts.append(t)
+        parts.append("\n" if (j + 1) % 12 == 0 else " ")
+    return "".join(parts).strip()
+
+
+def _short_or_base(j: int, seed: int) -> str:
+    if j % SHORT_EVERY == 5:
+        return "x = 1"  # <10 chars → dropped by the short-doc rule
+    return _base_content(j, seed)
+
+
+def doc_content(i: int, seed: int = 42) -> str:
+    """Pure content function: exact-dup > near-dup > short > base.
+
+    (The dup sources i−1 / i−7 are provably never themselves dup-overridden
+    for these moduli, so one level of indirection fully defines the corpus.)
+    """
+    if i % EXACT_DUP_EVERY == 11 and i >= 7:
+        return _short_or_base(i - 7, seed)
+    if i % NEAR_DUP_EVERY == 9 and i >= 1:
+        prev = _short_or_base(i - 1, seed)
+        words = prev.split(" ")
+        if len(words) > 30:
+            words[17] = "perturbed_token"
+            return " ".join(words)
+        return prev
+    return _short_or_base(i, seed)
+
+
+def doc_row(i: int, seed: int = 42) -> dict:
+    lang = LANGS[i % len(LANGS)]
+    return {
+        "repo": f"org{i % 7}/repo{i % 97}",
+        "path": f"src/m{i % 13}/f{i}.{lang}",
+        "commit": hashlib.sha256(f"c{i}".encode()).hexdigest()[:40],
+        "lang": lang,
+        "content": doc_content(i, seed),
+    }
 
 
 def generate_docs_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
     """Pure-pandas generator — shared by Spark tests and the Python oracle."""
-    rng = np.random.default_rng(seed)
-    vocab = np.array(_vocab())
-    # zipf-ish rank weights over the vocab
-    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
-    probs = ranks**-1.2
-    probs /= probs.sum()
-
-    rows: list[dict] = []
-    for i in range(n_docs):
-        n_tok = int(rng.integers(50, 401))
-        body = rng.choice(vocab, size=n_tok, p=probs)
-        hot_mask = rng.random(n_tok) < HOT_FRACTION
-        body[hot_mask] = HOT_TERM
-        # file-local identifiers (~1 in 8 tokens): real code files carry many
-        # file-specific names; without them every doc's tf-weighted simhash is
-        # dominated by the shared zipf head and ALL docs collapse within
-        # Hamming ≤ 3 of each other (observed: 300 docs → 5 survivors)
-        local_pos = np.arange(7, n_tok, 8)
-        for k, p in enumerate(local_pos):
-            body[p] = f"loc_{i}_{k % 11}"
-        toks = body.tolist()
-        if i % RARE_EVERY == 3:
-            toks.append(f"rare_{i // RARE_EVERY:04d}")
-        # newline every ~12 tokens to look like code lines
-        parts: list[str] = []
-        for j, t in enumerate(toks):
-            parts.append(t)
-            parts.append("\n" if (j + 1) % 12 == 0 else " ")
-        content = "".join(parts).strip()
-
-        if i % SHORT_EVERY == 5:
-            content = "x = 1"  # <10 chars → dropped by the short-doc rule
-        if i % NEAR_DUP_EVERY == 9 and rows:
-            # near-dup of previous doc: change one rare-ish token
-            prev = rows[-1]["content"]
-            words = prev.split(" ")
-            if len(words) > 30:
-                words[17] = "perturbed_token"
-                content = " ".join(words)
-            else:
-                content = prev
-        if i % EXACT_DUP_EVERY == 11 and len(rows) > 3:
-            content = rows[i - 7]["content"]  # byte-identical cross-repo copy
-
-        lang = LANGS[i % len(LANGS)]
-        rows.append(
-            {
-                "repo": f"org{i % 7}/repo{i % 97}",
-                "path": f"src/m{i % 13}/f{i}.{lang}",
-                "commit": hashlib.sha256(f"c{i}".encode()).hexdigest()[:40],
-                "lang": lang,
-                "content": content,
-            }
-        )
-    return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    return pd.DataFrame(
+        [doc_row(i, seed) for i in range(n_docs)],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
 
 
 def docs_df(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int = 8) -> DataFrame:
@@ -106,16 +113,42 @@ def docs_df(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int = 
     return spark.createDataFrame(pdf).repartition(partitions)
 
 
+def docs_df_distributed(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int = 32
+) -> DataFrame:
+    """Executor-side generation: content is a pure function of (seed, i), so
+    the id range distributes and the result is identical to generate_docs_pdf
+    at any parallelism.  Used by bench for corpora too big to build on the
+    driver."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield _pd.DataFrame([doc_row(int(i), seed) for i in pdf["id"]])
+
+    return (
+        spark.range(0, n_docs)
+        .repartition(partitions)
+        .mapInPandas(gen, "repo string, path string, commit string, lang string, content string")
+    )
+
+
 def with_doc_ids(docs: DataFrame) -> DataFrame:
     """Assign deterministic doc_id = row_number() over (repo, path, commit).
 
     Reproducible across cluster sizes — unlike monotonically_increasing_id
-    (SURVEY.md §4.6).  The global window is a single total sort of the key
-    columns only; at 10^12-file scale this would instead be a sort-based
-    zipWithIndex over (repo, path, commit) ranges, same contract.
+    (SURVEY.md §4.6).  The global window runs over the KEY COLUMNS ONLY
+    (projected, then joined back on the unique key) so the single-partition
+    sort never carries content bytes; at 10^12-file scale this step becomes a
+    range-partitioned rank (sortWithinPartitions + per-partition offsets),
+    same contract — the key projection is what makes either plan cheap.
     """
-    w = Window.orderBy("repo", "path", "commit")
-    return docs.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    keys = ["repo", "path", "commit"]
+    w = Window.orderBy(*keys)
+    ids = docs.select(*keys).withColumn(
+        "doc_id", F.row_number().over(w).cast("long") - 1
+    )
+    return docs.join(ids, keys)
 
 
 QUERY_SET: list[str] = [

@@ -1,0 +1,80 @@
+"""Click-log event stream (reference's Kafka produce/consume, SURVEY.md §2.9).
+
+The reference's only streaming surface is a fire-and-forget Kafka produce of
+click-jump events (``src/Server/WebServer.cc:205-233``, topic
+``SearchResultsJump``) and a tutorial fetch/commit consumer
+(``WebServer.cc:64-146``).  There are no watermarks/windows/state in the
+reference, so the core engine is batch-only; this module provides the
+Structured Streaming equivalent for parity plus the windowed aggregation a
+real click log needs.
+
+Kafka needs an external broker + the spark-sql-kafka package, neither present
+in this sandbox — the transformations are defined against any streaming
+DataFrame and tested with the file/rate sources (tests/test_streaming.py);
+``read_clicklog_kafka`` is the production wiring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CLICK_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("query", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def read_clicklog_kafka(
+    spark: SparkSession, brokers: str, topic: str = "SearchResultsJump"
+) -> DataFrame:
+    """Production source: Kafka topic → parsed click events.
+
+    Offsets/commits are Spark's checkpoint, replacing the reference's manual
+    ``kafka.<topic>.<part>.<offset>`` files (WebServer.cc:127-146).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), CLICK_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+def clicks_per_window(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window click counts per url with late-data watermark.
+
+    Works identically on a streaming or batch DataFrame with (url, ts).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "url")
+        .agg(F.count("*").alias("clicks"))
+        .select(F.col("w.start").alias("window_start"), "url", "clicks")
+    )
+
+
+def write_clicklog(
+    counts: DataFrame, path: str, checkpoint: str, trigger_once: bool = True
+):
+    """Sink: append windowed counts to parquet with exactly-once checkpointing."""
+    w = (
+        counts.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

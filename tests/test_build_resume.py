@@ -63,7 +63,8 @@ def test_kill_and_resume_equals_fresh(spark, raw_docs, tmp_path_factory):
     assert res.built_shards == res.n_shards - 2
 
     for name, key in [
-        ("docstore", ["doc_id"]),
+        ("docstore_raw", ["doc_id"]),
+        ("survivors", ["doc_id"]),
         ("postings", ["term", "shard"]),
         ("doc_stats_packed", ["shard"]),
         ("term_stats", ["term"]),

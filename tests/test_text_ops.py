@@ -1,0 +1,185 @@
+"""Unit tests for text analysis, ANN, suggestion, multimodal, streaming ops."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def test_quality_features_known_values(spark):
+    from searchenginesimple_spark.functions.text import quality_features
+
+    df = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, ""), (2, "+++")], "doc_id long, content string"
+    )
+    feats = quality_features(F.col("content"))
+    rows = {r["doc_id"]: r for r in df.select("doc_id", *[c.alias(n) for n, c in feats.items()]).collect()}
+    r0 = rows[0]
+    assert r0["n_tokens"] == 5
+    assert r0["avg_token_len"] == 3.0
+    assert r0["stopword_ratio"] == 0.6  # the, and, the
+    assert r0["alpha_ratio"] == round(15 / 19, 6)
+    assert rows[1]["n_tokens"] == 0 and rows[1]["avg_token_len"] == 0.0
+    assert rows[2]["n_tokens"] == 0 and rows[2]["alpha_ratio"] == 0.0
+
+
+def test_lang_id_markers_and_ties(spark):
+    from searchenginesimple_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is of the house"),
+            (1, "der hund ist nicht das"),
+            (2, "el que la y es"),
+            (3, "xyzzy qwerty"),
+            (4, "de de de"),  # 'de' ∈ es & fr markers → tie → es (asc order)
+        ],
+        "doc_id long, content string",
+    )
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", lang_id(F.col("content")).alias("p")).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "es"
+    assert got[3] == "und"
+    assert got[4] == "es"
+
+
+def test_shingles(spark):
+    from searchenginesimple_spark.functions.text import shingles
+
+    df = spark.createDataFrame([(0, "a b c d"), (1, "a b")], "doc_id long, content string")
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", shingles(F.col("content"), 3).alias("sh")).collect()}
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == []
+
+
+def test_ngram_jaccard_planted_pair(spark):
+    from searchenginesimple_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" if i != 20 else "CHANGED" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, "totally different text here entirely")],
+        "doc_id long, content string",
+    )
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert len(pairs) == 1 and pairs[0]["a_id"] == 0 and pairs[0]["b_id"] == 1
+
+
+def test_minhash_estimates_jaccard(spark):
+    from searchenginesimple_spark.operators.dedup import minhash_dup_pairs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" if i % 30 else "X%d" % i for i in range(60))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, near)], "doc_id long, content string"
+    )
+    pairs = {(r["a_id"], r["b_id"]): r["est_jaccard"] for r in minhash_dup_pairs(df, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical docs → all minhashes equal
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    from searchenginesimple_spark.operators.ann import cosine_topk, lsh_topk
+
+    # clustered vectors: 20 centers + small noise → real nearest neighbors
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 16))
+    vecs = np.vstack([
+        centers[i % 20] + 0.15 * rng.standard_normal(16) for i in range(300)
+    ])
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(300)], "vec_id long, embedding array<double>"
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(df, q, k=5).toPandas()
+    approx = lsh_topk(df, q, dim=16, k=5, n_planes=8, n_tables=8).toPandas()
+    recall = 0.0
+    for qid in range(3):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 3 >= 0.8, f"LSH recall too low: {recall / 3}"
+    # and every approx hit's cosine must equal the exact cosine (re-rank is exact)
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert (merged["cos_a"] == merged["cos_e"]).all()
+
+
+def test_suggest_known_case(spark):
+    from searchenginesimple_spark.operators.suggest import (
+        build_char_index,
+        build_dict,
+        suggest_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "spark sparks apache flink beam")], "doc_id long, content string"
+    )
+    d = build_dict(docs)
+    ci = build_char_index(d)
+    q = spark.createDataFrame([("spak",)], "word string")
+    rows = suggest_topk(d, ci, q).collect()
+    assert rows[0]["word"] == "spark" and rows[0]["dist"] == 1
+
+
+def test_multimodal_features(spark):
+    from searchenginesimple_spark.sources.multimodal import (
+        extract_features,
+        frame_sample,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feat"]) == 8 for r in feats)
+    assert all(r["n_bytes"] > 0 for r in feats)
+    # deterministic: same payload → same sha + feat on re-run
+    feats2 = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert all(feats2[i]["sha256"] == by_id[i]["sha256"] for i in by_id)
+    frames = frame_sample(media, every_n=10).collect()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len(frames) == vids * 3  # n_frames=30, every 10th → idx 0,10,20
+
+
+def test_streaming_clicklog_windowed(spark, tmp_path):
+    """Drive the windowed click agg through a real micro-batch stream."""
+    import pandas as pd
+
+    from searchenginesimple_spark.streaming.clicklog import clicks_per_window, write_clicklog
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1"] * 5 + ["u2"] * 3,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:01", "2024-01-01 00:02", "2024-01-01 00:03",
+                 "2024-01-01 00:11", "2024-01-01 00:12",
+                 "2024-01-01 00:01", "2024-01-01 00:21", "2024-01-01 00:22"]
+            ),
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(src / "batch0"))
+    stream = spark.readStream.schema("url string, ts timestamp").parquet(str(src / "*"))
+    q = write_clicklog(
+        clicks_per_window(stream, "10 minutes", "0 minutes"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    got = {(str(r.window_start), r.url): r.clicks for r in out.itertuples()}
+    # append mode emits only CLOSED windows (window end ≤ watermark = max ts
+    # 00:22): the in-flight [00:20, 00:30) window is correctly withheld
+    assert got[("2024-01-01 00:00:00", "u1")] == 3
+    assert got[("2024-01-01 00:10:00", "u1")] == 2
+    assert got[("2024-01-01 00:00:00", "u2")] == 1
+    assert ("2024-01-01 00:20:00", "u2") not in got
+
+
+def test_cli_build_and_query(spark, tmp_path):
+    from searchenginesimple_spark import cli
+    from searchenginesimple_spark.sources.corpus import generate_docs_pdf
+
+    raw = tmp_path / "raw"
+    spark.createDataFrame(generate_docs_pdf(120)).write.parquet(str(raw))
+    assert cli.main(["build", "--input", str(raw), "--index", str(tmp_path / "idx")]) == 0
+    assert cli.main(["query", "--index", str(tmp_path / "idx"), "--query", "ident_000"]) == 0
