@@ -82,6 +82,88 @@ def decode_ids(buf: bytes) -> np.ndarray:
     return delta_decode(varbyte_decode(buf))
 
 
+def varbyte_encode_rows(
+    flat: np.ndarray, row_lens: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode MANY rows' values in one vectorized pass.
+
+    flat = concatenation of all rows' values; returns (one bytes buffer,
+    per-row byte offsets of length n_rows+1).  Callers slice the buffer per
+    row — O(1) per row instead of a per-row encode call (the posting-encode
+    hot spot: ~1M mostly-singleton rows per batch).
+    """
+    vals = np.ascontiguousarray(flat, dtype=np.uint64)
+    n_rows = len(row_lens)
+    if vals.size == 0:
+        return b"", np.zeros(n_rows + 1, dtype=np.int64)
+    nb = np.ones(vals.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += vals >= np.uint64(t)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(int(nb.max())):
+        mask = nb > k
+        idx = starts[mask] + k
+        chunk = ((vals[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        is_last = (nb[mask] - 1) == k
+        out[idx] = chunk | np.where(is_last, np.uint8(0x80), np.uint8(0))
+    # byte offset of each row boundary
+    val_ends = np.cumsum(row_lens)
+    row_byte_ends = np.zeros(n_rows + 1, dtype=np.int64)
+    nonzero = val_ends > 0
+    row_byte_ends[1:][nonzero] = ends[val_ends[nonzero] - 1]
+    # rows with zero values inherit the previous offset
+    row_byte_ends = np.maximum.accumulate(row_byte_ends)
+    return out.tobytes(), row_byte_ends
+
+
+def delta_encode_rows(flat_ids: np.ndarray, row_lens: np.ndarray) -> np.ndarray:
+    """Per-row delta encode over a flattened batch (first of each row absolute)."""
+    ids = np.ascontiguousarray(flat_ids, dtype=np.uint64)
+    if ids.size == 0:
+        return ids
+    gaps = ids.copy()
+    gaps[1:] -= ids[:-1]
+    starts = np.cumsum(row_lens) - row_lens
+    starts = starts[row_lens > 0]
+    gaps[starts] = ids[starts]
+    return gaps
+
+
+def block_stats_rows(
+    flat_ids: np.ndarray,
+    flat_tfs: np.ndarray,
+    row_lens: np.ndarray,
+    block_size: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-row block metadata over a flattened batch.
+
+    Returns (block_last_id, block_max_tf, blocks_per_row); the first two are
+    flat arrays split by the third.  Uses maximum.reduceat over the computed
+    block-start indices — no per-row python.
+    """
+    n_rows = len(row_lens)
+    nblocks = (row_lens + block_size - 1) // block_size
+    total_blocks = int(nblocks.sum())
+    if total_blocks == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            nblocks.astype(np.int64),
+        )
+    row_starts = np.cumsum(row_lens) - row_lens
+    # block start index within flat arrays: row_start + j*block_size
+    reps = nblocks.astype(np.int64)
+    row_of_block = np.repeat(np.arange(n_rows), reps)
+    first_block_of_row = np.cumsum(reps) - reps
+    block_in_row = np.arange(total_blocks) - first_block_of_row[row_of_block]
+    block_starts = row_starts[row_of_block] + block_in_row * block_size
+    last = np.maximum.reduceat(flat_ids.astype(np.int64), block_starts)
+    mx = np.maximum.reduceat(flat_tfs.astype(np.int64), block_starts)
+    return last, mx, reps
+
+
 def block_stats(
     ids: np.ndarray, tfs: np.ndarray, block_size: int
 ) -> tuple[np.ndarray, np.ndarray]:

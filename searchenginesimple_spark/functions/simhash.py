@@ -119,6 +119,61 @@ def simhash_batch(token_lists: list[list[str]]) -> np.ndarray:
     return fp_u64.view(np.int64)
 
 
+@pandas_udf(T.LongType())
+def fnv64_udf(terms: pd.Series) -> pd.Series:
+    """term → FNV-1a 64 hash as int64 (vectorized batch FNV).
+
+    Applied once per UNIQUE term (vocabulary-sized table) so downstream
+    fingerprinting never touches strings.
+    """
+    return pd.Series(
+        fnv1a64_batch(terms.fillna("").tolist()).view(np.int64), index=terms.index
+    )
+
+
+def simhash_hashed_batch(
+    hash_lists: list[np.ndarray], weight_lists: list[np.ndarray]
+) -> np.ndarray:
+    """Weighted simhash from precomputed 64-bit term hashes (pure numpy).
+
+    Determinism: (hash, weight) sort per doc fixes the float summation order.
+    Mirrored by ``simhash_weighted_py``.
+    """
+    n = len(hash_lists)
+    fp = np.zeros(n, dtype=np.int64)
+    lens = np.fromiter((len(h) for h in hash_lists), dtype=np.int64, count=n)
+    if int(lens.sum()) == 0:
+        return fp
+    flat_h = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in hash_lists if len(h)]
+    ).view(np.uint64)
+    flat_w = np.concatenate(
+        [np.asarray(w, dtype=np.float64) for w, h in zip(weight_lists, hash_lists) if len(h)]
+    )
+    doc_idx = np.repeat(np.arange(n), lens)
+    order = np.lexsort((flat_w, flat_h, doc_idx))
+    flat_h, flat_w, doc_idx = flat_h[order], flat_w[order], doc_idx[order]
+    # per-bit segment sums via reduceat over the doc-sorted token stream:
+    # peak memory = O(tokens), never the tokens×64 outer product
+    nz = lens > 0
+    starts = (np.cumsum(lens) - lens)[nz]
+    fp_nz = np.zeros(int(nz.sum()), dtype=np.uint64)
+    for j in range(64):
+        sign = (((flat_h >> np.uint64(j)) & np.uint64(1)).astype(np.float64) * 2.0) - 1.0
+        sums = np.add.reduceat(flat_w * sign, starts)
+        fp_nz |= (sums > 0).astype(np.uint64) << np.uint64(j)
+    fp[nz] = fp_nz.view(np.int64)
+    return fp
+
+
+@pandas_udf(T.LongType())
+def simhash_hashed_udf(hashes: pd.Series, weights: pd.Series) -> pd.Series:
+    """(array<long> term hashes, array<double> weights) → int64 fingerprint."""
+    h = [np.asarray(x if x is not None else [], dtype=np.int64) for x in hashes]
+    w = [np.asarray(x if x is not None else [], dtype=np.float64) for x in weights]
+    return pd.Series(simhash_hashed_batch(h, w), index=hashes.index)
+
+
 def simhash_weighted_batch(
     term_lists: list[np.ndarray], weight_lists: list[np.ndarray]
 ) -> np.ndarray:
@@ -173,13 +228,18 @@ def simhash_weighted_udf(terms: pd.Series, weights: pd.Series) -> pd.Series:
 
 
 def simhash_weighted_py(tf: dict[str, int], idf: dict[str, float]) -> int:
-    """Scalar oracle for the tf·idf-weighted fingerprint (sorted-term order)."""
+    """Scalar oracle for the tf·idf-weighted fingerprint.
+
+    Summation order: (hash, weight) ascending — the same order the engine's
+    ``simhash_hashed_batch`` fixes, so float votes are bit-identical.
+    """
     if not tf:
         return 0
     votes = [0.0] * 64
-    for t in sorted(tf):
-        w = tf[t] * idf.get(t, 0.0)
-        h = fnv1a64(t)
+    items = sorted(
+        ((fnv1a64(t), tf[t] * idf.get(t, 0.0)) for t in tf), key=lambda p: (p[0], p[1])
+    )
+    for h, w in items:
         for j in range(64):
             votes[j] += w if (h >> j) & 1 else -w
     u = 0

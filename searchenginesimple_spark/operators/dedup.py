@@ -20,11 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from searchenginesimple_spark.config import DEFAULT, EngineConfig
-from searchenginesimple_spark.functions.simhash import (
-    band_key,
-    simhash64_udf,
-    simhash_weighted_udf,
-)
+from searchenginesimple_spark.functions.simhash import band_key, simhash64_udf
 
 
 def with_simhash(docs: DataFrame, text_col: str = "content") -> DataFrame:
@@ -32,36 +28,51 @@ def with_simhash(docs: DataFrame, text_col: str = "content") -> DataFrame:
     return docs.withColumn("simhash", simhash64_udf(F.col(text_col)))
 
 
-def tfidf_fingerprints(docs: DataFrame, text_col: str = "content") -> DataFrame:
-    """docs(doc_id, <text_col>) → (doc_id, simhash) with tf·idf vote weights.
+def fingerprints_from_tf(tf: DataFrame) -> DataFrame:
+    """tf(doc_id, term, tf) → (doc_id, simhash) with tf·idf vote weights.
 
-    Weights: w(t,d) = tf(t,d) · ln((N+1)/(df(t)+1)) over the *input* corpus —
-    idf computed in the same job (one extra small agg + broadcast join), so
+    Weights: w(t,d) = tf(t,d) · ln((N+1)/(df(t)+1)) over the input corpus —
     ubiquitous terms stop dominating the bit votes (see
-    functions/simhash.py::simhash_weighted_batch).  Docs with no tokens get
-    no row (treated as fingerprint 0 → dropped, Page.hpp:129-133).
-    """
-    from searchenginesimple_spark.operators.bm25 import tokens_of
+    functions/simhash.py::simhash_hashed_batch).  Term hashes are computed
+    ONCE per unique term (vectorized FNV over the vocabulary-sized df table)
+    and broadcast-joined, so the per-doc fingerprint UDF is pure numpy over
+    int64 — no strings cross into python at tf scale.
 
-    tf = tokens_of(docs, text_col).groupBy("doc_id", "term").agg(
-        F.count("*").cast("double").alias("tf")
-    )
+    The df/hash broadcast is vocabulary-sized; at 10^12-file scale broadcast
+    only the top-K frequent terms' df (rare terms take idf ≈ ln(N+1), same
+    downweighting outcome) or fall back to a shuffle join — same weight SPEC.
+
+    Docs with no tokens get no row (→ fingerprint 0 → dropped,
+    Page.hpp:129-133).
+    """
+    from searchenginesimple_spark.functions.simhash import fnv64_udf, simhash_hashed_udf
+
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    term_aux = dfc.withColumn("h64", fnv64_udf("term")).select("term", "df", "h64")
     n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
     w = (
-        tf.join(F.broadcast(dfc), "term")
+        tf.join(F.broadcast(term_aux), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "w",
-            F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            F.col("tf").cast("double")
+            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
         )
     )
     grouped = w.groupBy("doc_id").agg(
-        F.collect_list("term").alias("terms"), F.collect_list("w").alias("ws")
+        F.collect_list("h64").alias("hs"), F.collect_list("w").alias("ws")
     )
-    return grouped.select(
-        "doc_id", simhash_weighted_udf("terms", "ws").alias("simhash")
+    return grouped.select("doc_id", simhash_hashed_udf("hs", "ws").alias("simhash"))
+
+
+def tfidf_fingerprints(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """docs(doc_id, <text_col>) → (doc_id, simhash); tokenize + fingerprints_from_tf."""
+    from searchenginesimple_spark.operators.bm25 import tokens_of
+
+    tf = tokens_of(docs, text_col).groupBy("doc_id", "term").agg(
+        F.count("*").cast("int").alias("tf")
     )
+    return fingerprints_from_tf(tf)
 
 
 def simhash_dup_pairs(fp: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:

@@ -54,19 +54,46 @@ _POSTING_STRUCT = T.StructType(
 
 
 def _make_encode_udf(block_size: int):
+    from searchenginesimple_spark.functions.codec import (
+        block_stats_rows,
+        delta_encode_rows,
+        varbyte_encode_rows,
+    )
+
     @pandas_udf(_POSTING_STRUCT)
     def encode_postings(ids: pd.Series, tfs: pd.Series) -> pd.DataFrame:
-        out = {"df": [], "ids": [], "tfs": [], "block_last_id": [], "block_max_tf": []}
-        for id_arr, tf_arr in zip(ids, tfs):
-            a = np.asarray(id_arr, dtype=np.uint64)
-            t = np.asarray(tf_arr, dtype=np.uint64)
-            last, mx = block_stats(a, t, block_size)
-            out["df"].append(len(a))
-            out["ids"].append(varbyte_encode(delta_encode(a)))
-            out["tfs"].append(varbyte_encode(t))
-            out["block_last_id"].append(last.tolist())
-            out["block_max_tf"].append(mx.astype(np.int32).tolist())
-        return pd.DataFrame(out)
+        """Whole-batch vectorized encode: the Arrow batch's rows are flattened
+        into single numpy arrays, encoded in one pass, and sliced back per
+        row — O(rows) python work is just memoryview slicing.  (A per-row
+        encode loop was the posting-build hot spot: ~1M singleton rows.)"""
+        n = len(ids)
+        row_lens = np.fromiter((len(x) for x in ids), dtype=np.int64, count=n)
+        if row_lens.sum() == 0:
+            return pd.DataFrame(
+                {"df": [0] * n, "ids": [b""] * n, "tfs": [b""] * n,
+                 "block_last_id": [[]] * n, "block_max_tf": [[]] * n}
+            )
+        flat_ids = np.concatenate([np.asarray(x, dtype=np.uint64) for x in ids])
+        flat_tfs = np.concatenate([np.asarray(x, dtype=np.uint64) for x in tfs])
+        id_buf, id_offs = varbyte_encode_rows(delta_encode_rows(flat_ids, row_lens), row_lens)
+        tf_buf, tf_offs = varbyte_encode_rows(flat_tfs, row_lens)
+        last, mx, reps = block_stats_rows(flat_ids, flat_tfs, row_lens, block_size)
+        blk_offs = np.concatenate([[0], np.cumsum(reps)])
+        idv, tfv = memoryview(id_buf), memoryview(tf_buf)
+        return pd.DataFrame(
+            {
+                "df": row_lens.astype(np.int32),
+                "ids": [bytes(idv[id_offs[i] : id_offs[i + 1]]) for i in range(n)],
+                "tfs": [bytes(tfv[tf_offs[i] : tf_offs[i + 1]]) for i in range(n)],
+                "block_last_id": [
+                    last[blk_offs[i] : blk_offs[i + 1]].tolist() for i in range(n)
+                ],
+                "block_max_tf": [
+                    mx[blk_offs[i] : blk_offs[i + 1]].astype(np.int32).tolist()
+                    for i in range(n)
+                ],
+            }
+        )
 
     return encode_postings
 

@@ -165,11 +165,18 @@ def bm25_topk_compressed(
     cfg: EngineConfig = DEFAULT,
     mode: str = "and",
     query_col: str = "query",
+    pushdown_terms: bool = True,
 ) -> DataFrame:
     """Compressed-path BM25 top-k → (query, rank, docID, score)."""
     # JVM tokenizer on the (tiny) query side: same spec as the build-side
     # pandas UDF (tested identical), avoids a python stage per query batch
     qt = query_terms(queries, query_col, use_pandas_udf=False)
+    if pushdown_terms:
+        # materialize the (tiny) distinct term set and push it into the
+        # postings scan as an IN filter → parquet row-group min/max skipping
+        # turns the full-index scan into a selective read (one extra tiny job)
+        terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        postings = postings.filter(F.col("term").isin(terms))
     qt_idx = F.broadcast(qt).join(index.term_stats.select("term", "idf"), "term", "inner")
     n_terms = qt_idx.groupBy("query_id").agg(F.count("*").cast("int").alias("n_terms"))
 

@@ -44,7 +44,10 @@ from pyspark.sql import functions as F
 
 from searchenginesimple_spark.config import DEFAULT, EngineConfig
 from searchenginesimple_spark.operators.bm25 import IndexStats, tokens_of
-from searchenginesimple_spark.operators.dedup import simhash_dup_pairs
+from searchenginesimple_spark.operators.dedup import (
+    fingerprints_from_tf,
+    simhash_dup_pairs,
+)
 from searchenginesimple_spark.operators.postings import (
     build_doc_stats_packed,
     build_postings,
@@ -85,35 +88,6 @@ def _log(io: TableIO, rows: list[tuple]) -> None:
     io.append(io.spark.createDataFrame(rows, METRICS_SCHEMA), "build_metrics")
 
 
-def _fingerprints_from_tf(tf: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — tf·idf-weighted simhash from the staged tf table.
-
-    Same spec as operators/dedup.py::tfidf_fingerprints, but reuses the
-    already-materialized tf instead of re-tokenizing.
-    """
-    from searchenginesimple_spark.functions.simhash import simhash_weighted_udf
-
-    # df table is vocabulary-sized (≪ tf) → broadcast it so the weight join
-    # is map-side and the 6-7M-row tf never shuffles here.  At 10^12-file
-    # scale the identifier vocabulary outgrows a broadcast; the scale variant
-    # broadcasts only the top-K frequent terms' df (rare terms take
-    # idf ≈ ln(N+1), the same downweighting outcome) or falls back to the
-    # shuffle join — the weight SPEC is unchanged either way.
-    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
-    w = (
-        tf.join(F.broadcast(dfc), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "w",
-            F.col("tf").cast("double")
-            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
-        )
-    )
-    grouped = w.groupBy("doc_id").agg(
-        F.collect_list("term").alias("terms"), F.collect_list("w").alias("ws")
-    )
-    return grouped.select("doc_id", simhash_weighted_udf("terms", "ws").alias("simhash"))
 
 
 def build_index(
@@ -174,7 +148,7 @@ def build_index(
     if -1 not in _done(io, "dedup"):
         ts = time.time()
         tf = io.read("tf")
-        fp = _fingerprints_from_tf(tf)
+        fp = fingerprints_from_tf(tf)
         dropped = simhash_dup_pairs(fp, cfg).select(F.col("b_id").alias("doc_id")).distinct()
         survivors = (
             fp.filter(F.col("simhash") != 0)
