@@ -6,17 +6,22 @@ Prints ONE JSON line:
    "build_docs_per_sec": ..., "scaling_efficiency": ...}
 
 Components:
-  build_full        — full resumable index build (tfidf-simhash dedup →
+  build_full        — full resumable index build (tf·idf-simhash dedup →
                       sharded delta+varbyte postings) over the deterministic
                       synthetic corpus (BENCH_DOCS docs, seed 42)
   bm25_batch        — compressed-path BM25 top-k, full query set, one batch
   bm25_p95_ms       — per-query p95 latency (ms) over repeated single-query runs
   driver_bm25_dense — dense-path flagship over $SPARK_GRAFT_SF_DIR documents
-  scaling_*         — same build job at local[8] vs local[32] on the same
-                      input (sandbox proxy for N vs 4N executors, BASELINE.md)
+  scaling_*         — the SAME build job at N and 4N cores on the same staged
+                      input.  Each run is a subprocess hard-capped with
+                      sched_setaffinity (local[N] alone does not bound JVM
+                      shuffle/GC/python threads — measured >1400 % CPU under
+                      local[8]), the honest sandbox proxy for N vs 4N
+                      executors (BASELINE.md).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS (32),
-     SPARK_GRAFT_BENCH_DOCS (50000), SPARK_GRAFT_SCALING_DOCS (10000),
+     SPARK_GRAFT_BENCH_DOCS (100000), SPARK_GRAFT_SCALING_DOCS (250000),
+     SPARK_GRAFT_SCALE_N (2 → pair is 2 vs 8 cores),
      SPARK_GRAFT_SKIP_SCALING (unset).
 """
 
@@ -25,11 +30,44 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+_WORKER_SCRIPT = """
+import os, sys, time, dataclasses
+cores = int(sys.argv[1]); raw = sys.argv[2]; out = sys.argv[3]
+os.sched_setaffinity(0, set(range(cores)))  # JVM + python workers inherit
+sys.path.insert(0, {repo!r})
+from searchenginesimple_spark.config import DEFAULT
+from searchenginesimple_spark.session import get_spark
+from searchenginesimple_spark.plans.build import build_index
+from searchenginesimple_spark.sources.io import TableIO
+spark = get_spark(f"scale{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(4, cores))
+docs = spark.read.parquet(raw)
+t0 = time.time()
+build_index(spark, docs, TableIO(spark, out),
+            dataclasses.replace(DEFAULT, shuffle_partitions=max(4, cores)))
+print(f"WALL {{time.time() - t0:.3f}}", flush=True)
+""".format(repo=REPO)
+
+
+def _scaling_run(cores: int, raw: str, out: str) -> float:
+    """Run one hard-capped build in a fresh subprocess; return wall seconds."""
+    res = subprocess.run(
+        [sys.executable, "-c", _WORKER_SCRIPT, str(cores), raw, out],
+        capture_output=True, text=True, timeout=3000,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    for line in res.stdout.splitlines():
+        if line.startswith("WALL "):
+            return float(line.split()[1])
+    raise RuntimeError(f"scaling run failed (cores={cores}): {res.stderr[-2000:]}")
 
 
 def _fresh_spark(cores: int):
@@ -73,8 +111,9 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
-    n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "10000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+    n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "250000"))
+    scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     t_start = time.time()
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -124,16 +163,16 @@ def main() -> None:
         bm25_topk(stats, entrymod._queries_df(spark)).collect()
         queries["driver_bm25_dense"] = round(time.time() - t0, 3)
 
-        # --- N → 4N scaling (same input, 8 vs 32 threads) -------------------
+        # --- N → 4N scaling (hard-capped subprocesses, same staged input) ---
         if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
             _stage_corpus(spark, n_scale, f"{work}/raw_scale")
-            spark = _fresh_spark(8)
-            w8, _ = _build(spark, f"{work}/raw_scale", f"{work}/s8", dataclasses.replace(cfg, shuffle_partitions=8))
-            spark = _fresh_spark(32)
-            w32, _ = _build(spark, f"{work}/raw_scale", f"{work}/s32", dataclasses.replace(cfg, shuffle_partitions=32))
-            queries["scaling_build_8c"] = round(w8, 3)
-            queries["scaling_build_32c"] = round(w32, 3)
-            extra["scaling_efficiency"] = round((n_scale / w32) / (n_scale / w8) / 4.0, 3)
+            spark.stop()
+            w_lo = _scaling_run(scale_n, f"{work}/raw_scale", f"{work}/s_lo")
+            w_hi = _scaling_run(scale_n * 4, f"{work}/raw_scale", f"{work}/s_hi")
+            queries[f"scaling_build_{scale_n}c"] = round(w_lo, 3)
+            queries[f"scaling_build_{scale_n * 4}c"] = round(w_hi, 3)
+            extra["scaling_docs"] = n_scale
+            extra["scaling_efficiency"] = round((w_lo / w_hi) / 4.0, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

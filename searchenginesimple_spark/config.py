@@ -32,7 +32,12 @@ class EngineConfig:
 
     # --- simhash dedup (SURVEY.md §2.6) -----------------------------------
     hamming_threshold: int = 3  # reference: Simhasher.hpp:109
-    n_bands: int = 4  # 4 × 16-bit bands; pigeonhole covers distance ≤ 3
+    # Multi-block candidate scheme (Manku et al. 2007): B blocks, join on all
+    # C(B, B−threshold) block subsets — exact recall at distance ≤ threshold
+    # with ~2^32-key buckets (the naive 4×16-bit banding explodes past 10^6
+    # docs).  B = threshold + 3 → 20 subset keys per fingerprint.
+    n_blocks: int = 6
+    n_bands: int = 4  # legacy 16-bit band helper (functions/simhash.band_key)
 
     # --- posting lists (north rule) ---------------------------------------
     block_size: int = 128

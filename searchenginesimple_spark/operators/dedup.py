@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from searchenginesimple_spark.config import DEFAULT, EngineConfig
-from searchenginesimple_spark.functions.simhash import band_key, simhash64_udf
+from searchenginesimple_spark.functions.simhash import simhash64_udf
 
 
 def with_simhash(docs: DataFrame, text_col: str = "content") -> DataFrame:
@@ -47,11 +47,14 @@ def fingerprints_from_tf(tf: DataFrame) -> DataFrame:
     """
     from searchenginesimple_spark.functions.simhash import fnv64_udf, simhash_hashed_udf
 
+    # no broadcast hint on term_aux: the identifier vocabulary scales with the
+    # corpus (2.7M terms at 250k code files) and a driver-built broadcast is
+    # serial time; AQE broadcasts it only while it is genuinely small
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     term_aux = dfc.withColumn("h64", fnv64_udf("term")).select("term", "df", "h64")
     n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
     w = (
-        tf.join(F.broadcast(term_aux), "term")
+        tf.join(term_aux, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "w",
@@ -75,23 +78,60 @@ def tfidf_fingerprints(docs: DataFrame, text_col: str = "content") -> DataFrame:
     return fingerprints_from_tf(tf)
 
 
+def _block_widths(n_bits: int = 64, n_blocks: int = 6) -> list[tuple[int, int]]:
+    """(offset, width) for n_blocks roughly-equal disjoint bit blocks."""
+    base, rem = divmod(n_bits, n_blocks)
+    out, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def _subset_keys(simhash, cfg: EngineConfig):
+    """Combined block-subset keys (Manku et al. 2007 multi-block scheme).
+
+    Split the 64-bit fingerprint into B=threshold+3 blocks; a pair at Hamming
+    distance ≤ t differs in ≤ t blocks, so it AGREES on some (B−t)-subset of
+    blocks.  Joining on every C(B, B−t) concatenated subset key keeps exact
+    recall while bucket population scales as N / 2^(~32 bits) — unlike the
+    4×16-bit banding whose buckets grow as N / 2^16 and whose self-join
+    explodes quadratically past ~10^6 docs.
+    """
+    from itertools import combinations
+
+    blocks = _block_widths(64, cfg.n_blocks)
+    vals = [
+        F.shiftrightunsigned(simhash, off).bitwiseAND(F.lit((1 << w) - 1))
+        for off, w in blocks
+    ]
+    keep = cfg.n_blocks - cfg.hamming_threshold
+    keys = []
+    for subset in combinations(range(cfg.n_blocks), keep):
+        key = F.lit(0).cast("long")
+        for i in subset:
+            key = F.shiftleft(key, blocks[i][1] + 1) + vals[i].cast("long")
+        keys.append(key)
+    return keys
+
+
 def simhash_dup_pairs(fp: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """fp(doc_id, simhash) → near-dup pairs (a_id < b_id, hamming ≤ threshold).
 
-    Physical shape: explode each fingerprint into 4 disjoint 16-bit band keys
-    (pigeonhole guarantee for distance ≤ 3) → self-equi-join on
-    (band_id, band_val) → cheap JVM popcount theta-filter → distinct pairs.
-    The join is an equi-join, so Spark shuffles by band key only; candidate
-    pairs are a tiny fraction of the cross product.  Band-key skew (e.g. the
-    all-zero band from near-empty docs) is handled by AQE skew-join splitting.
+    Physical shape: explode each fingerprint into its block-subset keys
+    (exact-recall guarantee for distance ≤ threshold, see _subset_keys) →
+    self-equi-join on (band_id, band_val) → cheap JVM popcount theta-filter →
+    distinct pairs.  Shuffle is by band key only; residual key skew is
+    handled by AQE skew-join splitting.
     """
     fp = fp.filter(F.col("simhash") != 0)  # reference drops simhash==0 (Page.hpp:129-133)
     bands = fp.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(*[band_key(F.col("simhash"), i, cfg.n_bands) for i in range(cfg.n_bands)])
-        ).alias("band_id", "band_val"),
+        F.posexplode(F.array(*_subset_keys(F.col("simhash"), cfg))).alias(
+            "band_id", "band_val"
+        ),
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -157,6 +157,90 @@ def _make_kernel(cfg: EngineConfig, mode: str):
     return kernel
 
 
+_OUT_SCHEMA = "query string, rank int, docID long, score double"
+
+
+def _driver_topk(
+    prows: list,
+    dsp_rows: list,
+    ts_rows: list,
+    corpus_row,
+    q_rows: list,
+    cfg: EngineConfig,
+    mode: str,
+) -> pd.DataFrame:
+    """Small-query fast path: score collected posting rows on the driver.
+
+    Reuses the EXACT distributed kernel (_make_kernel) per (query, shard)
+    group and the same rounded-score/doc_id comparator, so results are
+    bit-identical to the cluster path — only the orchestration differs.
+    """
+    from searchenginesimple_spark.functions.tokenize import tokenize_py
+
+    idf = {r["term"]: r["idf"] for r in ts_rows}
+    avgdl = float(corpus_row["avgdl"])
+    by_shard: dict[int, dict] = {}
+    for r in dsp_rows:
+        by_shard[r["shard"]] = r
+    p_by_term: dict[str, list] = {}
+    for r in prows:
+        p_by_term.setdefault(r["term"], []).append(r)
+
+    kernel = _make_kernel(cfg, mode)
+    out: list[pd.DataFrame] = []
+    for q in q_rows:
+        qtoks = tokenize_py(q["query"])
+        qtf: dict[str, int] = {}
+        for t in qtoks:
+            qtf[t] = qtf.get(t, 0) + 1
+        terms = sorted(t for t in qtf if t in idf)
+        if not terms:
+            continue
+        shards = sorted(
+            {r["shard"] for t in terms for r in p_by_term.get(t, [])}
+        )
+        for shard in shards:
+            rows = []
+            for t in terms:
+                for r in p_by_term.get(t, []):
+                    if r["shard"] != shard:
+                        continue
+                    ds = by_shard[shard]
+                    rows.append(
+                        {
+                            "query_id": q["query_id"], "shard": shard, "term": t,
+                            "qtf": qtf[t], "idf": idf[t], "df": r["df"],
+                            "ids": r["ids"], "tfs": r["tfs"],
+                            "block_last_id": r["block_last_id"],
+                            "block_max_tf": r["block_max_tf"],
+                            "ds_ids": ds["ids"], "ds_dlens": ds["dlens"],
+                            "avgdl": avgdl, "n_terms": len(terms),
+                        }
+                    )
+            if rows:
+                res = kernel(pd.DataFrame(rows))
+                if len(res):
+                    res["query"] = q["query"]
+                    out.append(res)
+    if not out:
+        return pd.DataFrame(columns=["query", "rank", "docID", "score"])
+    allr = pd.concat(out, ignore_index=True)
+    allr["score_r"] = allr["score"].round(cfg.score_decimals)
+    allr = allr.sort_values(
+        ["query_id", "score_r", "doc_id"], ascending=[True, False, True]
+    )
+    allr["rank"] = allr.groupby("query_id").cumcount() + 1
+    allr = allr[allr["rank"] <= cfg.top_k]
+    return pd.DataFrame(
+        {
+            "query": allr["query"],
+            "rank": allr["rank"].astype("int32"),
+            "docID": allr["doc_id"].astype("int64"),
+            "score": allr["score_r"].astype("float64"),
+        }
+    )
+
+
 def bm25_topk_compressed(
     postings: DataFrame,
     doc_stats_packed: DataFrame,
@@ -166,17 +250,46 @@ def bm25_topk_compressed(
     mode: str = "and",
     query_col: str = "query",
     pushdown_terms: bool = True,
+    fastpath_max_bytes: int | None = 32 * 1024 * 1024,
 ) -> DataFrame:
-    """Compressed-path BM25 top-k → (query, rank, docID, score)."""
+    """Compressed-path BM25 top-k → (query, rank, docID, score).
+
+    fastpath_max_bytes: when the term-filtered postings fit under this size,
+    score on the driver with the same kernel (bit-identical results) instead
+    of shuffling — sub-second point-query latency.  Set None to force the
+    distributed path (always the path when postings exceed the cap, e.g. a
+    hot term over 10^12 docs).
+    """
     # JVM tokenizer on the (tiny) query side: same spec as the build-side
     # pandas UDF (tested identical), avoids a python stage per query batch
     qt = query_terms(queries, query_col, use_pandas_udf=False)
-    if pushdown_terms:
+    if pushdown_terms or fastpath_max_bytes is not None:
         # materialize the (tiny) distinct term set and push it into the
         # postings scan as an IN filter → parquet row-group min/max skipping
         # turns the full-index scan into a selective read (one extra tiny job)
         terms = [r["term"] for r in qt.select("term").distinct().collect()]
         postings = postings.filter(F.col("term").isin(terms))
+
+    if fastpath_max_bytes is not None:
+        sz_row = postings.agg(
+            F.sum(F.length("ids") + F.length("tfs")).alias("sz")
+        ).collect()[0]
+        if int(sz_row["sz"] or 0) <= fastpath_max_bytes:
+            spark = queries.sparkSession
+            prows = postings.collect()
+            shards = sorted({r["shard"] for r in prows})
+            dsp_rows = (
+                doc_stats_packed.filter(F.col("shard").isin(shards)).collect()
+                if shards
+                else []
+            )
+            ts_rows = index.term_stats.filter(F.col("term").isin(terms)).collect()
+            corpus_row = index.corpus.collect()[0]
+            q_rows = queries.select("query_id", query_col).withColumnRenamed(
+                query_col, "query"
+            ).collect()
+            pdf = _driver_topk(prows, dsp_rows, ts_rows, corpus_row, q_rows, cfg, mode)
+            return spark.createDataFrame(pdf, _OUT_SCHEMA)
     qt_idx = F.broadcast(qt).join(index.term_stats.select("term", "idf"), "term", "inner")
     n_terms = qt_idx.groupBy("query_id").agg(F.count("*").cast("int").alias("n_terms"))
 

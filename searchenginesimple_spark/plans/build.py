@@ -113,11 +113,13 @@ def build_index(
         ided = with_doc_ids(docs_raw).filter(
             F.length(F.col("content")) >= cfg.min_content_len
         )
-        staged = ided.withColumn("shard", shard_of(F.col("doc_id"), cfg)).withColumn(
-            "sha256", F.sha2(F.col("content"), 256)
+        staged = (
+            ided.withColumn("shard", shard_of(F.col("doc_id"), cfg))
+            .withColumn("sha256", F.sha2(F.col("content"), 256))
+            .withColumn("n_bytes", F.length("content").cast("long"))
         )
         io.overwrite_partitions(
-            staged.select("doc_id", "shard", "repo", "path", "commit", "lang", "content", "sha256"),
+            staged.select("doc_id", "shard", "repo", "path", "commit", "lang", "content", "sha256", "n_bytes"),
             "docstore_raw",
             "shard",
         )
@@ -129,9 +131,10 @@ def build_index(
             .withColumn("shard", shard_of(F.col("doc_id"), cfg))
         )
         io.overwrite_partitions(tf, "tf", "shard")
+        # column-pruned: reads only (shard, n_bytes), never content
         per_shard = (
             staged.groupBy("shard")
-            .agg(F.count("*").alias("docs"), F.sum(F.length("content")).alias("bytes"))
+            .agg(F.count("*").alias("docs"), F.sum("n_bytes").alias("bytes"))
             .collect()
         )
         wall = int((time.time() - t0) * 1000)

@@ -133,22 +133,44 @@ def docs_df_distributed(
     )
 
 
-def with_doc_ids(docs: DataFrame) -> DataFrame:
-    """Assign deterministic doc_id = row_number() over (repo, path, commit).
+N_ID_BUCKETS = 256
 
-    Reproducible across cluster sizes — unlike monotonically_increasing_id
-    (SURVEY.md §4.6).  The global window runs over the KEY COLUMNS ONLY
-    (projected, then joined back on the unique key) so the single-partition
-    sort never carries content bytes; at 10^12-file scale this step becomes a
-    range-partitioned rank (sortWithinPartitions + per-partition offsets),
-    same contract — the key projection is what makes either plan cheap.
+
+def with_doc_ids(docs: DataFrame, n_buckets: int = N_ID_BUCKETS) -> DataFrame:
+    """Assign deterministic, dense doc_ids — parallel at any scale.
+
+    Two-phase bucketed rank (SURVEY.md §4.6): bucket = pmod(xxhash64(keys), B)
+    is a pure function of the key, so it is identical at any parallelism;
+    within each bucket a window ranks by (repo, path, commit); bucket offsets
+    (a B-row collect) make the ids dense:
+
+        doc_id = offset[bucket] + rank_within_bucket − 1
+
+    No single-partition global sort anywhere — the windows parallelize over B
+    buckets, which is what survives 10^12 files.  Unlike
+    ``monotonically_increasing_id`` (partition-layout-dependent) the result
+    is reproducible across cluster sizes; ids are dense but NOT globally
+    key-ordered (no consumer requires that — dedup needs only a total order).
     """
     keys = ["repo", "path", "commit"]
-    w = Window.orderBy(*keys)
-    ids = docs.select(*keys).withColumn(
-        "doc_id", F.row_number().over(w).cast("long") - 1
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+    ids = docs.select(*keys).withColumn("_b", bucket)
+    counts = {r["_b"]: r["count"] for r in ids.groupBy("_b").count().collect()}
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_df = ids.sparkSession.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "_b int, _off long"
     )
-    return docs.join(ids, keys)
+    w = Window.partitionBy("_b").orderBy(*keys)
+    ranked = (
+        ids.withColumn("_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off_df), "_b")
+        .withColumn("doc_id", F.col("_off") + F.col("_rank") - 1)
+        .select(*keys, "doc_id")
+    )
+    return docs.join(ranked, keys)
 
 
 QUERY_SET: list[str] = [

@@ -77,12 +77,15 @@ def test_doc_stats_packed_roundtrip(spark, built):
 
 
 @pytest.mark.parametrize("mode", ["and", "or"])
-def test_compressed_matches_dense(spark, built, mode):
+@pytest.mark.parametrize("fastpath", [None, 32 * 1024 * 1024])
+def test_compressed_matches_dense(spark, built, mode, fastpath):
     docs, idx, postings, dsp = built
     q = queries_df(spark)
     dense = _canon(bm25_topk(idx, q, cfg=CFG, mode=mode).toPandas())
     comp = _canon(
-        bm25_topk_compressed(postings, dsp, idx, q, cfg=CFG, mode=mode).toPandas()
+        bm25_topk_compressed(
+            postings, dsp, idx, q, cfg=CFG, mode=mode, fastpath_max_bytes=fastpath
+        ).toPandas()
     )
     assert list(comp["query"]) == list(dense["query"])
     assert list(comp["docID"]) == list(dense["docID"]), f"{mode}: rank-identity violated"

@@ -52,20 +52,29 @@ def test_empty_doc_fingerprints_zero():
     assert simhash_py("+-*/ 123") == 0  # no valid tokens
 
 
-def test_banding_pigeonhole_recall():
-    """Any pair at Hamming distance ≤ 3 shares ≥ 1 of the 4×16-bit bands."""
+def test_block_subset_recall():
+    """Any pair at Hamming distance ≤ 3 shares ≥ 1 of the C(6,3) block-subset
+    keys (exact-recall property of the Manku multi-block scheme)."""
+    from itertools import combinations
+
+    from searchenginesimple_spark.operators.dedup import _block_widths
+
+    blocks = _block_widths(64, 6)
     rng = np.random.default_rng(42)
     xs = rng.integers(0, 2**63, size=200, dtype=np.int64)
+
+    def block_vals(v: int) -> list[int]:
+        return [(v >> off) & ((1 << w) - 1) for off, w in blocks]
+
     for x in xs:
         for k in (0, 1, 2, 3):
             flips = rng.choice(64, size=k, replace=False)
             y = int(x)
             for f in flips:
                 y ^= 1 << int(f)
-            y = np.int64(np.uint64(y & 0xFFFFFFFFFFFFFFFF).view(np.int64) if y >= 2**63 else y)
+            bx, by = block_vals(int(x)), block_vals(y)
             shared = any(
-                (int(np.uint64(x)) >> (16 * b)) & 0xFFFF == (int(np.uint64(y)) >> (16 * b)) & 0xFFFF
-                for b in range(4)
+                all(bx[i] == by[i] for i in s) for s in combinations(range(6), 3)
             )
             assert shared, (x, y, k)
 
