@@ -302,9 +302,19 @@ def _q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-verbatim TF-IDF cosine scorer (fidelity mode, SURVEY §3.2/§7)."""
+    from searchenginesimple_spark.operators.bm25 import cosine_topk_reference
+
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs)
+    return cosine_topk_reference(idx, _queries_df(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf": _q_tf,
+        "cosine_topk": _q_cosine_topk,
         "df": _q_df,
         "term_idf": _q_term_idf,
         "doc_stats": _q_doc_stats,
@@ -522,8 +532,59 @@ SELECT query_word, rank::int AS rank, word, dist::int AS dist FROM ranked WHERE 
 """
 
 
+_COSINE_SQL = f"""
+WITH {_SQL_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w0 AS (
+  SELECT tf.doc_id, tf.term, log2(s.n_docs / (d.df + 1.0)) * tf.tf AS w0
+  FROM tf JOIN dfv d USING (term) CROSS JOIN stats s
+),
+wn AS (
+  SELECT doc_id, term,
+         w0 / sqrt(sum(w0*w0) OVER (PARTITION BY doc_id)) AS w
+  FROM w0
+),
+q(query_id, query) AS (VALUES {_SQL_QUERIES_VALUES}),
+qtok AS (
+  SELECT query_id, query,
+         unnest(regexp_extract_all(lower(query), '{TOKEN_RE}')) AS term
+  FROM q
+),
+qtf AS (SELECT query_id, query, term, count(*) AS qtf
+        FROM qtok GROUP BY query_id, query, term),
+qhat AS (
+  SELECT query_id, query, term,
+         qtf / sqrt(sum(qtf*qtf) OVER (PARTITION BY query_id)) AS qw
+  FROM qtf
+),
+qidx AS (SELECT qh.* FROM qhat qh JOIN dfv USING (term)),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qidx GROUP BY query_id),
+cand AS (
+  SELECT qi.query_id, qi.query, wn.doc_id,
+         sum(qi.qw * wn.w) AS xy, sum(wn.w * wn.w) AS y2, count(*) AS nmatch
+  FROM qidx qi JOIN wn USING (term)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT c.query_id, c.query, c.doc_id,
+         round(c.xy / sqrt(c.y2), 6) AS score
+  FROM cand c JOIN qn USING (query_id) WHERE c.nmatch = qn.n_terms
+),
+ranked AS (
+  SELECT query, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query, rank::int AS rank, doc_id::bigint AS "docID", score::double AS score
+FROM ranked WHERE rank <= {DEFAULT.top_k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "cosine_topk": _COSINE_SQL,
         "quality_score": _QUALITY_SQL,
         "lang_id": _LANG_ID_SQL,
         "fingerprint": _FINGERPRINT_SQL,

@@ -170,3 +170,68 @@ def bm25_topk(
             F.col("score").cast("double").alias("score"),
         )
     )
+
+
+def cosine_topk_reference(
+    index: IndexStats,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    query_col: str = "query",
+) -> DataFrame:
+    """The reference's ORIGINAL scorer, verbatim semantics (fidelity mode).
+
+    TF-IDF weights w₀ = log2(N/(df+1))·tf (Page.hpp:313-321), per-doc global
+    L2 normalization (Page.hpp:323-333), conjunctive candidates, and the
+    net ranking of SURVEY.md §3.2 (the two sign quirks cancelled):
+
+        score(q,d) = Σ_t q̂(t)·ŵ(d,t) / √(Σ_{t∈q} ŵ(d,t)²)
+
+    where q̂ is the L2-normalized query TF vector (WebPageQuery.hpp:140-185)
+    and the denominator's doc norm is restricted to the query's matched terms
+    (WebPageQuery.hpp:87-99).  k=10, doc_id tie-break.
+    """
+    n_docs_col = F.broadcast(index.corpus.select("n_docs"))
+    w0 = (
+        index.tf.join(index.term_stats.select("term", "df"), "term")
+        .crossJoin(n_docs_col)
+        .withColumn(
+            "w0",
+            F.log2(F.col("n_docs") / (F.col("df") + F.lit(1.0))) * F.col("tf"),
+        )
+    )
+    dnorm = Window.partitionBy("doc_id")
+    weights = w0.withColumn(
+        "w", F.col("w0") / F.sqrt(F.sum(F.col("w0") * F.col("w0")).over(dnorm))
+    ).select("doc_id", "term", "w")
+
+    qt = query_terms(queries, query_col)
+    qn = Window.partitionBy("query_id")
+    qhat = qt.withColumn(
+        "qw", F.col("qtf") / F.sqrt(F.sum(F.col("qtf") * F.col("qtf")).over(qn))
+    )
+    qt_idx = qhat.join(index.term_stats.select("term"), "term", "inner")
+    n_terms = qt_idx.groupBy("query_id").agg(F.count("*").cast("int").alias("n_terms"))
+
+    cand = (
+        weights.join(F.broadcast(qt_idx), "term", "inner")
+        .groupBy("query_id", query_col, "doc_id")
+        .agg(
+            F.sum(F.col("qw") * F.col("w")).alias("xy"),
+            F.sum(F.col("w") * F.col("w")).alias("y2"),
+            F.count("*").cast("int").alias("nmatch"),
+        )
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("nmatch") == F.col("n_terms"))
+        .withColumn("score", F.round(F.col("xy") / F.sqrt(F.col("y2")), cfg.score_decimals))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cfg.top_k)
+        .select(
+            F.col(query_col).alias("query"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("doc_id").cast("long").alias("docID"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )
