@@ -311,10 +311,36 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_reference(idx, _queries_df(spark))
 
 
+def _q_short_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-document drop rule (reference Page.hpp:137-146): keep len ≥ 10."""
+    docs = load_documents(spark, sf_dir)
+    return docs.filter(F.length("content") >= 10).select(
+        "doc_id", F.length("content").cast("long").alias("n_chars")
+    )
+
+
+def _q_result_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result materialization join (WebPageQuery.hpp:121-136): top-k docIDs
+    joined back to the docstore for content — broadcast the (tiny) top-k side."""
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs)
+    topk = bm25_topk(idx, _queries_df(spark))
+    return (
+        F.broadcast(topk)
+        .join(docs, topk.docID == docs.doc_id, "inner")
+        .select(
+            "query", "rank", "docID", "score",
+            F.substring("content", 1, 40).alias("snippet"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf": _q_tf,
         "cosine_topk": _q_cosine_topk,
+        "short_filter": _q_short_filter,
+        "result_fetch": _q_result_fetch,
         "df": _q_df,
         "term_idf": _q_term_idf,
         "doc_stats": _q_doc_stats,
@@ -585,6 +611,15 @@ FROM ranked WHERE rank <= {DEFAULT.top_k}
 def oracle_sql() -> dict[str, str]:
     return {
         "cosine_topk": _COSINE_SQL,
+        "short_filter": """
+            SELECT doc_id, length(text)::bigint AS n_chars
+            FROM documents WHERE length(text) >= 10""",
+        "result_fetch": _BM25_SQL.replace(
+            'SELECT query, rank::int AS rank, doc_id::bigint AS "docID", score::double AS score\nFROM ranked WHERE rank <= 10',
+            'SELECT r.query, r.rank::int AS rank, r.doc_id::bigint AS "docID", r.score::double AS score, '
+            "substring(d.text, 1, 40) AS snippet "
+            "FROM ranked r JOIN documents d ON r.doc_id = d.doc_id WHERE r.rank <= 10",
+        ),
         "quality_score": _QUALITY_SQL,
         "lang_id": _LANG_ID_SQL,
         "fingerprint": _FINGERPRINT_SQL,
