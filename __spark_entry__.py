@@ -236,6 +236,23 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qv, dim=64, k=10, n_planes=8)
 
 
+def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (training-data dedup family)."""
+    from searchenginesimple_spark.operators.ann import embedding_neardup_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_exact(emb, threshold=0.4)
+
+
+def _q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (scale path; rows-only:
+    candidate recall is probabilistic, measured in tests)."""
+    from searchenginesimple_spark.operators.ann import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, dim=64, threshold=0.4, n_planes=6)
+
+
 def _q_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suggestion dictionary build (reference Dictionary.hpp:171-218)."""
     from searchenginesimple_spark.operators.suggest import build_dict
@@ -357,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
+        "embed_neardup": _q_embed_neardup,
+        "embed_neardup_lsh": _q_embed_neardup_lsh,
         "dict": _q_dict,
         "char_index": _q_char_index,
         "suggest": _q_suggest,
@@ -510,6 +529,19 @@ ranked AS (
 SELECT query_id, rank::int AS rank, vec_id, cos::double AS cos FROM ranked WHERE rank <= 10
 """
 
+_EMBED_NEARDUP_SQL = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+        list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
+"""
+
 _DICT_SQL = f"""
 WITH tok AS (
   SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word FROM documents
@@ -625,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _FINGERPRINT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_cosine": _ANN_COSINE_SQL,
+        "embed_neardup": _EMBED_NEARDUP_SQL,
         "dict": _DICT_SQL,
         "char_index": _CHAR_INDEX_SQL,
         "suggest": _SUGGEST_SQL,

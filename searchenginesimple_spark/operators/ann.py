@@ -159,6 +159,42 @@ def lsh_topk(
     )
 
 
+def embedding_neardup_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (all-pairs baseline).
+
+    → (a_id, b_id, cos) with a_id < b_id and round(cos, decimals) ≥ threshold.
+    O(N²) — the correctness baseline; at scale use
+    :func:`embedding_neardup_pairs` (LSH-bucketed, same re-rank filter).
+    The threshold is applied to the ROUNDED cosine in both this plan and the
+    DuckDB oracle so float64 summation-order noise cannot straddle the cut.
+    """
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (_norm(F.col("a.vec")) * _norm(F.col("b.vec"))),
+                decimals,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            "cos",
+        )
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -39,7 +39,7 @@ import time
 import uuid
 from dataclasses import asdict, dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from searchenginesimple_spark.config import DEFAULT, EngineConfig
@@ -153,13 +153,15 @@ def build_index(
         tf = io.read("tf")
         fp = fingerprints_from_tf(tf)
         dropped = simhash_dup_pairs(fp, cfg).select(F.col("b_id").alias("doc_id")).distinct()
+        obs = Observation()
         survivors = (
             fp.filter(F.col("simhash") != 0)
             .join(dropped, "doc_id", "left_anti")
             .withColumn("shard", shard_of(F.col("doc_id"), cfg))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         io.overwrite_partitions(survivors, "survivors", "shard")
-        n_surv = io.read("survivors").count()
+        n_surv = obs.get["n"]  # metric piggybacks on the write job
         _log(io, [(run_id, "dedup", -1, int(n_surv), 0, 0, int((time.time() - ts) * 1000), "done", lineage, time.time())])
 
     survivors = io.read("survivors")
@@ -183,29 +185,32 @@ def build_index(
         surv = survivors.filter(F.col("shard").isin(batch)).select("doc_id")
         tf_b = tf_b.join(surv, "doc_id", "left_semi")
         doc_stats = tf_b.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
-        io.overwrite_partitions(build_postings(tf_b, cfg), "postings", "shard")
+        # post-encode repartition by shard: exactly one (compressed, small)
+        # file per shard — commit + read-back cost independent of core count
+        io.overwrite_partitions(
+            build_postings(tf_b, cfg).repartition("shard"), "postings", "shard"
+        )
         io.overwrite_partitions(build_doc_stats_packed(doc_stats, cfg), "doc_stats_packed", "shard")
         wall_batch = int((time.time() - ts) * 1000)
-        stats = {
-            int(r["shard"]): r
-            for r in io.read("postings")
+        # one metadata job for both read-backs (join of two tiny per-shard aggs)
+        p_stats = (
+            io.read("postings")
             .filter(F.col("shard").isin(batch))
             .groupBy("shard")
             .agg(
                 F.sum("df").alias("postings"),
                 F.sum(F.length("ids") + F.length("tfs")).alias("bytes"),
             )
-            .collect()
-        }
-        ndocs = {
-            int(r["shard"]): int(r["n"])
-            for r in io.read("doc_stats_packed").filter(F.col("shard").isin(batch)).select("shard", "n").collect()
-        }
+        )
+        d_stats = (
+            io.read("doc_stats_packed").filter(F.col("shard").isin(batch)).select("shard", "n")
+        )
+        stats = {int(r["shard"]): r for r in p_stats.join(d_stats, "shard", "full").collect()}
         _log(
             io,
             [
                 (
-                    run_id, "shards", int(s), ndocs.get(int(s), 0),
+                    run_id, "shards", int(s), int(stats[int(s)]["n"] or 0) if int(s) in stats else 0,
                     int(stats[int(s)]["postings"] or 0) if int(s) in stats else 0,
                     int(stats[int(s)]["bytes"] or 0) if int(s) in stats else 0,
                     wall_batch, "done", lineage, time.time(),

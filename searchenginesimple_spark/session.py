@@ -31,6 +31,16 @@ def get_spark(
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    # Local mode: the driver JVM *is* the executor; a fixed heap starves GC
+    # as task threads grow (worse at 4N than N → fake scaling loss).  Scale
+    # heap with parallelism unless explicitly pinned.
+    if master.startswith("local"):
+        n_threads = 32 if "*" in master else int(
+            master[master.find("[") + 1 : master.find("]")] or cpus
+        ) if "[" in master else 1
+        heap_gb = min(48, max(8, 2 * n_threads))
+    else:  # cluster master: executor memory is the cluster manager's knob
+        heap_gb = 8
 
     builder = (
         SparkSession.builder.master(master)
@@ -42,7 +52,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", f"{heap_gb}g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # v2 commit: task outputs move directly, no serial job-commit renames
