@@ -253,6 +253,20 @@ def _q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, dim=64, threshold=0.4, n_planes=6)
 
 
+def _q_html_p_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML <p>-text extraction (reference Page.hpp:166-187): synthesize an
+    HTML wrapper around each document, then extract/clean the <p> bodies."""
+    from searchenginesimple_spark.functions.text import extract_p_text
+
+    docs = load_documents(spark, sf_dir)
+    html = F.concat(
+        F.lit("<div>nav</div><p>Hello&nbsp;world<b>!</b></p><p>"),
+        F.col("content"),
+        F.lit("</p>"),
+    )
+    return docs.select("doc_id", extract_p_text(html).alias("p_text"))
+
+
 def _q_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suggestion dictionary build (reference Dictionary.hpp:171-218)."""
     from searchenginesimple_spark.operators.suggest import build_dict
@@ -376,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
+        "html_p_extract": _q_html_p_extract,
         "dict": _q_dict,
         "char_index": _q_char_index,
         "suggest": _q_suggest,
@@ -542,6 +557,18 @@ WHERE round(
            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
 """
 
+_HTML_P_SQL = """
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           regexp_extract_all(
+             '<div>nav</div><p>Hello&nbsp;world<b>!</b></p><p>' || text || '</p>',
+             '(?s)<p[^>]*>(.*?)</p>', 1),
+           b -> regexp_replace(regexp_replace(b, '<[^>]*>', '', 'g'), '&nbsp;?', ' ', 'g')
+         ), ' ') AS p_text
+FROM documents
+"""
+
 _DICT_SQL = f"""
 WITH tok AS (
   SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word FROM documents
@@ -658,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ann_cosine": _ANN_COSINE_SQL,
         "embed_neardup": _EMBED_NEARDUP_SQL,
+        "html_p_extract": _HTML_P_SQL,
         "dict": _DICT_SQL,
         "char_index": _CHAR_INDEX_SQL,
         "suggest": _SUGGEST_SQL,

@@ -22,7 +22,10 @@ Components:
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS (32),
      SPARK_GRAFT_BENCH_DOCS (100000), SPARK_GRAFT_SCALING_DOCS (250000),
      SPARK_GRAFT_SCALE_N (2 → pair is 2 vs 8 cores),
-     SPARK_GRAFT_SKIP_SCALING (unset).
+     SPARK_GRAFT_SKIP_SCALING (unset),
+     SPARK_GRAFT_WORK_DIR (default /dev/shm if present, else $TMPDIR —
+     staging on tmpfs keeps the measurement CPU-bound; a virtual disk's
+     flat IO ceiling otherwise caps both runs and fakes a scaling loss).
 """
 
 from __future__ import annotations
@@ -38,6 +41,14 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+
+def _work_root() -> str:
+    """tmpfs-backed scratch root (measurements must be CPU-, not disk-bound)."""
+    w = os.environ.get("SPARK_GRAFT_WORK_DIR")
+    if w:
+        return w
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
 _WORKER_SCRIPT = """
 import os, sys, time, dataclasses
 cores = int(sys.argv[1]); raw = sys.argv[2]; out = sys.argv[3]
@@ -48,7 +59,8 @@ from searchenginesimple_spark.session import get_spark
 from searchenginesimple_spark.plans.build import build_index
 from searchenginesimple_spark.sources.io import TableIO
 spark = get_spark(f"scale{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(4, cores))
+                  shuffle_partitions=max(4, cores),
+                  extra_conf={{"spark.local.dir": os.path.dirname(out)}})
 docs = spark.read.parquet(raw)
 t0 = time.time()
 build_index(spark, docs, TableIO(spark, out),
@@ -70,7 +82,7 @@ def _scaling_run(cores: int, raw: str, out: str) -> float:
     raise RuntimeError(f"scaling run failed (cores={cores}): {res.stderr[-2000:]}")
 
 
-def _fresh_spark(cores: int):
+def _fresh_spark(cores: int, local_dir: str | None = None):
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
@@ -81,7 +93,12 @@ def _fresh_spark(cores: int):
 
     from searchenginesimple_spark.session import get_spark
 
-    return get_spark(f"bench-{cores}", master=f"local[{cores}]", shuffle_partitions=max(8, cores))
+    return get_spark(
+        f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(8, cores),
+        extra_conf={"spark.local.dir": local_dir} if local_dir else None,
+    )
 
 
 def _stage_corpus(spark, n_docs: int, path: str) -> None:
@@ -119,9 +136,9 @@ def main() -> None:
     extra: dict[str, float] = {}
 
     cfg = dataclasses.replace(DEFAULT, shuffle_partitions=max(8, cpus))
-    work = tempfile.mkdtemp(prefix="bench_idx_")
+    work = tempfile.mkdtemp(prefix="bench_idx_", dir=_work_root())
     try:
-        spark = _fresh_spark(cpus)
+        spark = _fresh_spark(cpus, local_dir=work)
         _stage_corpus(spark, n_docs, f"{work}/raw_full")
         wall, io = _build(spark, f"{work}/raw_full", f"{work}/full", cfg)
         queries["build_full"] = round(wall, 3)
@@ -164,14 +181,22 @@ def main() -> None:
         queries["driver_bm25_dense"] = round(time.time() - t0, 3)
 
         # --- N → 4N scaling (hard-capped subprocesses, same staged input) ---
+        # Interleaved reps, min per config: the sandbox VM shows bursty
+        # noisy-neighbor slowdowns (measured 1.5-2x wall swings on identical
+        # runs); min-of-reps recovers the uncontended wall for BOTH configs.
         if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+            reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
             _stage_corpus(spark, n_scale, f"{work}/raw_scale")
             spark.stop()
-            w_lo = _scaling_run(scale_n, f"{work}/raw_scale", f"{work}/s_lo")
-            w_hi = _scaling_run(scale_n * 4, f"{work}/raw_scale", f"{work}/s_hi")
+            lo_walls, hi_walls = [], []
+            for rep in range(reps):
+                lo_walls.append(_scaling_run(scale_n, f"{work}/raw_scale", f"{work}/s_lo{rep}"))
+                hi_walls.append(_scaling_run(scale_n * 4, f"{work}/raw_scale", f"{work}/s_hi{rep}"))
+            w_lo, w_hi = min(lo_walls), min(hi_walls)
             queries[f"scaling_build_{scale_n}c"] = round(w_lo, 3)
             queries[f"scaling_build_{scale_n * 4}c"] = round(w_hi, 3)
             extra["scaling_docs"] = n_scale
+            extra["scaling_reps"] = reps
             extra["scaling_efficiency"] = round((w_lo / w_hi) / 4.0, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)

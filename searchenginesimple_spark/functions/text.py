@@ -101,6 +101,20 @@ def fingerprint_expr(text_col: Column) -> Column:
     )
 
 
+def extract_p_text(html_col: Column) -> Column:
+    """HTML ``<p>`` body extraction (reference ``Page.hpp:166-187``):
+    pull every ``<p …>…</p>`` body, strip residual tags and ``&nbsp;``,
+    join with single spaces.  Pure JVM regexp expressions (codegen'd);
+    RE2-compatible pattern so the DuckDB oracle runs it verbatim.
+    """
+    bodies = F.regexp_extract_all(html_col, F.lit(r"(?s)<p[^>]*>(.*?)</p>"), 1)
+    cleaned = F.transform(
+        bodies,
+        lambda b: F.regexp_replace(F.regexp_replace(b, "<[^>]*>", ""), "&nbsp;?", " "),
+    )
+    return F.concat_ws(" ", cleaned)
+
+
 def shingles(text_col: Column, n: int = 5) -> Column:
     """Distinct token n-gram shingles as array<string> (for Jaccard/MinHash).
 

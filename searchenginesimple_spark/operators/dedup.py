@@ -28,7 +28,7 @@ def with_simhash(docs: DataFrame, text_col: str = "content") -> DataFrame:
     return docs.withColumn("simhash", simhash64_udf(F.col(text_col)))
 
 
-def fingerprints_from_tf(tf: DataFrame) -> DataFrame:
+def fingerprints_from_tf(tf: DataFrame, n_docs: int | None = None) -> DataFrame:
     """tf(doc_id, term, tf) → (doc_id, simhash) with tf·idf vote weights.
 
     Weights: w(t,d) = tf(t,d) · ln((N+1)/(df(t)+1)) over the input corpus —
@@ -52,10 +52,16 @@ def fingerprints_from_tf(tf: DataFrame) -> DataFrame:
     # serial time; AQE broadcasts it only while it is genuinely small
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     term_aux = dfc.withColumn("h64", fnv64_udf("term")).select("term", "df", "h64")
-    n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    if n_docs is None:
+        # standalone use: derive N from tf (a full distinct); the build
+        # passes the staged doc count instead (identical N — every staged
+        # doc has ≥1 token after the short-doc filter) and skips this pass
+        nd = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    else:
+        nd = tf.sparkSession.createDataFrame([(int(n_docs),)], "n_docs long")
     w = (
         tf.join(term_aux, "term")
-        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(nd))
         .withColumn(
             "w",
             F.col("tf").cast("double")

@@ -151,7 +151,18 @@ def build_index(
     if -1 not in _done(io, "dedup"):
         ts = time.time()
         tf = io.read("tf")
-        fp = fingerprints_from_tf(tf)
+        # N for the idf vote weights = staged doc count, already in the tf
+        # stage's metrics — saves a corpus-wide distinct.  Equals the
+        # docs-with-tokens count whenever every staged (≥ min_content_len)
+        # doc yields ≥ 1 token; token-less docs would only perturb the
+        # heuristic ln((N+1)/(df+1)) vote weights, never the dedup rule.
+        n_staged = (
+            io.read("build_metrics")
+            .filter((F.col("stage") == "tf_shard") & (F.col("status") == "done"))
+            .agg(F.sum("docs"))
+            .collect()[0][0]
+        )
+        fp = fingerprints_from_tf(tf, n_docs=int(n_staged))
         dropped = simhash_dup_pairs(fp, cfg).select(F.col("b_id").alias("doc_id")).distinct()
         obs = Observation()
         survivors = (

@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # CPU-heavy scans (tokenize/simhash ≫ IO): 128m splits under-
+        # parallelize small-to-mid corpora (a 375 MB stage = 3 tasks on 32
+        # cores); 16m keeps every core fed and is harmless at TB scale.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", f"{heap_gb}g"))
         .config("spark.ui.enabled", "false")
