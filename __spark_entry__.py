@@ -267,6 +267,35 @@ def _q_html_p_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", extract_p_text(html).alias("p_text"))
 
 
+def _q_b64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64 encode + decode round-trip (reference vendored cppcodec,
+    used for /link payloads at WebServer.cc:208) — JVM built-ins."""
+    docs = load_documents(spark, sf_dir)
+    # strip MIME 76-char line chunking so the output is RFC 4648 basic,
+    # byte-equal to DuckDB's base64()
+    b64 = F.regexp_replace(
+        F.base64(F.col("content").cast("binary")), "[\\r\\n]", ""
+    )
+    rt = F.decode(F.unbase64(b64), "UTF-8")
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        (rt == F.col("content")).alias("rt_ok"),
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing (rows-only: payloads are synthetic
+    binary, decode stubbed behind a deterministic fake — sources/multimodal.py).
+    Exercises the real mapInPandas feature-extraction shape end-to-end."""
+    from searchenginesimple_spark.sources.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    return extract_features(synthetic_media(spark, n=64)).drop("feat")
+
+
 def _q_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suggestion dictionary build (reference Dictionary.hpp:171-218)."""
     from searchenginesimple_spark.operators.suggest import build_dict
@@ -391,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "html_p_extract": _q_html_p_extract,
+        "b64_codec": _q_b64_codec,
+        "media_features": _q_media_features,
         "dict": _q_dict,
         "char_index": _q_char_index,
         "suggest": _q_suggest,
@@ -569,6 +600,13 @@ SELECT doc_id,
 FROM documents
 """
 
+_B64_SQL = """
+SELECT doc_id,
+       base64(text::BLOB) AS b64,
+       decode(from_base64(base64(text::BLOB))) = text AS rt_ok
+FROM documents
+"""
+
 _DICT_SQL = f"""
 WITH tok AS (
   SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word FROM documents
@@ -686,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine": _ANN_COSINE_SQL,
         "embed_neardup": _EMBED_NEARDUP_SQL,
         "html_p_extract": _HTML_P_SQL,
+        "b64_codec": _B64_SQL,
         "dict": _DICT_SQL,
         "char_index": _CHAR_INDEX_SQL,
         "suggest": _SUGGEST_SQL,
