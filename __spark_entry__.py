@@ -150,6 +150,15 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_count_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting (training-data op)."""
+    from searchenginesimple_spark.functions.text import token_counts
+
+    docs = load_documents(spark, sf_dir)
+    cnts = token_counts(F.col("content"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cnts.items()])
+
+
 def _q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-k (SURVEY §2.5): top-5 orders by revenue per o_orderpriority."""
     orders = load_table(spark, sf_dir, "orders")
@@ -408,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conjunctive": _q_conjunctive,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
+        "token_count_ws": _q_token_count_ws,
         "topk_window": _q_topk_window,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -761,6 +771,12 @@ def oracle_sql() -> dict[str, str]:
         "token_count": f"""WITH {_SQL_TOK}
             SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct
             FROM tok GROUP BY doc_id""",
+        "token_count_ws": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   t -> len(t) > 0))::BIGINT AS n_ws,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))::BIGINT AS n_bpe
+            FROM documents""",
         "topk_window": """
             WITH ranked AS (
               SELECT o_orderpriority, o_orderkey,

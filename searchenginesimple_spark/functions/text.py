@@ -101,6 +101,27 @@ def fingerprint_expr(text_col: Column) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer classes (GPT-2-style, simplified to be expressible
+# identically in Spark's Java regex and DuckDB's RE2): letter runs, digit
+# runs, and non-space-non-alnum punctuation runs.
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_counts(text_col: Column) -> dict[str, Column]:
+    """Whitespace + BPE-ish token counting (training-data op).
+
+    n_ws: whitespace-delimited word count; n_bpe: count of BPE-ish
+    pre-tokenizer pieces (letter / digit / punct runs) — the unit a subword
+    tokenizer would split further; both pure JVM regexp expressions.
+    """
+    ws = F.filter(F.split(text_col, r"\s+"), lambda t: F.length(t) > 0)
+    bpe = F.regexp_extract_all(text_col, F.lit(BPE_RE), 0)
+    return {
+        "n_ws": F.size(ws).cast("long"),
+        "n_bpe": F.size(bpe).cast("long"),
+    }
+
+
 def extract_p_text(html_col: Column) -> Column:
     """HTML ``<p>`` body extraction (reference ``Page.hpp:166-187``):
     pull every ``<p …>…</p>`` body, strip residual tags and ``&nbsp;``,
