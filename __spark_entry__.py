@@ -276,6 +276,22 @@ def _q_html_p_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", extract_p_text(html).alias("p_text"))
 
 
+def _q_url_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-encoding decode (reference urlcode.hpp:40-60, applied twice at
+    WebServer.cc:187-200): deterministically percent-encode each document
+    (%, +, space, newline), then decode with Spark's url_decode built-in.
+    The oracle inverts the same replace chain — rt_ok proves the round-trip."""
+    docs = load_documents(spark, sf_dir)
+    enc = F.col("content")
+    for raw, pct in [("%", "%25"), ("+", "%2B"), (" ", "%20"), ("\n", "%0A")]:
+        enc = F.replace(enc, F.lit(raw), F.lit(pct))
+    return docs.select(
+        "doc_id",
+        enc.alias("enc"),
+        (F.url_decode(enc) == F.col("content")).alias("rt_ok"),
+    )
+
+
 def _q_b64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """base64 encode + decode round-trip (reference vendored cppcodec,
     used for /link payloads at WebServer.cc:208) — JVM built-ins."""
@@ -290,6 +306,44 @@ def _q_b64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         b64.alias("b64"),
         (rt == F.col("content")).alias("rt_ok"),
+    )
+
+
+def _q_streaming_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END Structured Streaming: file source → watermarked tumbling
+    window → availableNow parquet sink with checkpoint (streaming/clicklog.py,
+    mirroring the reference's Kafka click-log, WebServer.cc:205-233).
+
+    Append mode only emits windows the watermark has passed, so a sentinel
+    event one year past max(ts) is staged with the input: it pushes the final
+    watermark beyond every real window (its own window stays withheld, and is
+    filtered defensively).  Result is therefore exactly the batch windowed
+    aggregation — the SQL oracle.
+    """
+    import tempfile
+
+    from searchenginesimple_spark.streaming.clicklog import (
+        clicks_per_window,
+        write_clicklog,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("url"), F.col("ts").cast("timestamp").alias("ts")
+    )
+    max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinel = spark.createDataFrame([("__sentinel__", max_ts)], "url string, ts timestamp")
+    sentinel = sentinel.withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
+    work = tempfile.mkdtemp(prefix="clickstream_")
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(f"{work}/in")
+
+    stream = spark.readStream.schema("url string, ts timestamp").parquet(f"{work}/in")
+    counts = clicks_per_window(stream, window="1 hour", watermark="1 minute")
+    q = write_clicklog(counts, f"{work}/out", f"{work}/ckpt", trigger_once=True)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/out")
+        .filter(F.col("url") != "__sentinel__")
+        .select("window_start", "url", F.col("clicks").cast("long").alias("clicks"))
     )
 
 
@@ -431,7 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "html_p_extract": _q_html_p_extract,
         "b64_codec": _q_b64_codec,
+        "url_codec": _q_url_codec,
         "media_features": _q_media_features,
+        "streaming_clicks": _q_streaming_clicks,
         "dict": _q_dict,
         "char_index": _q_char_index,
         "suggest": _q_suggest,
@@ -617,6 +673,19 @@ SELECT doc_id,
 FROM documents
 """
 
+_URL_SQL = r"""
+WITH enc AS (
+  SELECT doc_id, text,
+         replace(replace(replace(replace(text,
+           '%', '%25'), '+', '%2B'), ' ', '%20'), chr(10), '%0A') AS enc
+  FROM documents
+)
+SELECT doc_id, enc,
+       replace(replace(replace(replace(enc,
+         '%0A', chr(10)), '%20', ' '), '%2B', '+'), '%25', '%') = text AS rt_ok
+FROM enc
+"""
+
 _DICT_SQL = f"""
 WITH tok AS (
   SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word FROM documents
@@ -735,12 +804,17 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": _EMBED_NEARDUP_SQL,
         "html_p_extract": _HTML_P_SQL,
         "b64_codec": _B64_SQL,
+        "url_codec": _URL_SQL,
         "dict": _DICT_SQL,
         "char_index": _CHAR_INDEX_SQL,
         "suggest": _SUGGEST_SQL,
         "events_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "streaming_clicks": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type AS url, count(*) AS clicks
             FROM events GROUP BY 1, 2""",
         "join_agg": """
             SELECT c_mktsegment, count(*) AS n_orders,
