@@ -276,6 +276,34 @@ def _q_html_p_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", extract_p_text(html).alias("p_text"))
 
 
+def _q_rss_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS <item> parse (reference PageTools::clean, Page.hpp:189-237 —
+    tinyxml2 walk of rss/channel/item pulling title/link/description/content).
+    Synthesizes one escaped <item> per document and parses it with Spark 4's
+    native from_xml; the oracle regexp-extracts the same fields."""
+    docs = load_documents(spark, sf_dir)
+    # escape AFTER truncating the description so no entity is cut mid-way
+    esc, desc = F.col("content"), F.substring(F.col("content"), 1, 50)
+    for raw, ent in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+        desc = F.replace(desc, F.lit(raw), F.lit(ent))
+    xml = F.concat(
+        F.lit("<item><title>doc "), F.col("doc_id"), F.lit("</title><link>http://x/"),
+        F.col("doc_id"), F.lit("</link><description>"), desc,
+        F.lit("</description><content>"), esc, F.lit("</content></item>"),
+    )
+    parsed = F.from_xml(
+        xml, "title string, link string, description string, content string"
+    )
+    return docs.select(
+        "doc_id",
+        parsed["title"].alias("title"),
+        parsed["link"].alias("link"),
+        parsed["description"].alias("description"),
+        parsed["content"].alias("content"),
+    )
+
+
 def _q_url_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-encoding decode (reference urlcode.hpp:40-60, applied twice at
     WebServer.cc:187-200): deterministically percent-encode each document
@@ -486,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_p_extract": _q_html_p_extract,
         "b64_codec": _q_b64_codec,
         "url_codec": _q_url_codec,
+        "rss_parse": _q_rss_parse,
         "media_features": _q_media_features,
         "streaming_clicks": _q_streaming_clicks,
         "dict": _q_dict,
@@ -673,6 +702,16 @@ SELECT doc_id,
 FROM documents
 """
 
+_RSS_SQL = """
+SELECT doc_id,
+       'doc ' || doc_id AS title,
+       'http://x/' || doc_id AS link,
+       -- XML parsers trim element text whitespace (from_xml does)
+       trim(substr(text, 1, 50)) AS description,
+       trim(text) AS content
+FROM documents
+"""
+
 _URL_SQL = r"""
 WITH enc AS (
   SELECT doc_id, text,
@@ -805,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "html_p_extract": _HTML_P_SQL,
         "b64_codec": _B64_SQL,
         "url_codec": _URL_SQL,
+        "rss_parse": _RSS_SQL,
         "dict": _DICT_SQL,
         "char_index": _CHAR_INDEX_SQL,
         "suggest": _SUGGEST_SQL,
