@@ -304,6 +304,21 @@ def _q_rss_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_linebreak_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK linebreak-join rewrite (reference Page.hpp:283-287, the exact
+    regex `([一-龥])\\n+([一-龥]) → $1$2` applied before tokenizing):
+    newlines BETWEEN CJK chars are removed, all other newlines kept.
+    CJK-with-linebreaks is injected around each document to exercise it."""
+    docs = load_documents(spark, sf_dir)
+    wrapped = F.concat(
+        F.lit("搜索\n引擎\n\n简单 "), F.col("content"), F.lit(" 中文\nabc\n文本")
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(wrapped, "([一-龥])\\n+([一-龥])", "$1$2").alias("joined"),
+    )
+
+
 def _q_url_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-encoding decode (reference urlcode.hpp:40-60, applied twice at
     WebServer.cc:187-200): deterministically percent-encode each document
@@ -514,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_p_extract": _q_html_p_extract,
         "b64_codec": _q_b64_codec,
         "url_codec": _q_url_codec,
+        "linebreak_join": _q_linebreak_join,
         "rss_parse": _q_rss_parse,
         "media_features": _q_media_features,
         "streaming_clicks": _q_streaming_clicks,
@@ -712,6 +728,15 @@ SELECT doc_id,
 FROM documents
 """
 
+_LINEBREAK_SQL = """
+SELECT doc_id,
+       regexp_replace(
+         '搜索' || chr(10) || '引擎' || chr(10) || chr(10) || '简单 ' || text
+           || ' 中文' || chr(10) || 'abc' || chr(10) || '文本',
+         '([一-龥])\\n+([一-龥])', '\\1\\2', 'g') AS joined
+FROM documents
+"""
+
 _URL_SQL = r"""
 WITH enc AS (
   SELECT doc_id, text,
@@ -844,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "html_p_extract": _HTML_P_SQL,
         "b64_codec": _B64_SQL,
         "url_codec": _URL_SQL,
+        "linebreak_join": _LINEBREAK_SQL,
         "rss_parse": _RSS_SQL,
         "dict": _DICT_SQL,
         "char_index": _CHAR_INDEX_SQL,
