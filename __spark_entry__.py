@@ -363,6 +363,7 @@ def _q_streaming_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered defensively).  Result is therefore exactly the batch windowed
     aggregation — the SQL oracle.
     """
+    import shutil
     import tempfile
 
     from searchenginesimple_spark.streaming.clicklog import (
@@ -374,20 +375,29 @@ def _q_streaming_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("url"), F.col("ts").cast("timestamp").alias("ts")
     )
     max_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    if max_ts is None:
+        raise ValueError("events table is empty: no watermark sentinel can be placed")
     sentinel = spark.createDataFrame([("__sentinel__", max_ts)], "url string, ts timestamp")
     sentinel = sentinel.withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
     work = tempfile.mkdtemp(prefix="clickstream_")
-    ev.unionByName(sentinel).write.mode("overwrite").parquet(f"{work}/in")
+    try:
+        ev.unionByName(sentinel).write.mode("overwrite").parquet(f"{work}/in")
 
-    stream = spark.readStream.schema("url string, ts timestamp").parquet(f"{work}/in")
-    counts = clicks_per_window(stream, window="1 hour", watermark="1 minute")
-    q = write_clicklog(counts, f"{work}/out", f"{work}/ckpt", trigger_once=True)
-    q.awaitTermination()
-    return (
-        spark.read.parquet(f"{work}/out")
-        .filter(F.col("url") != "__sentinel__")
-        .select("window_start", "url", F.col("clicks").cast("long").alias("clicks"))
-    )
+        stream = spark.readStream.schema("url string, ts timestamp").parquet(f"{work}/in")
+        counts = clicks_per_window(stream, window="1 hour", watermark="1 minute")
+        q = write_clicklog(counts, f"{work}/out", f"{work}/ckpt", trigger_once=True)
+        q.awaitTermination()
+        # materialize the (small) window counts so the scratch dir can be
+        # removed before returning — the returned frame must not read from it
+        out = (
+            spark.read.parquet(f"{work}/out")
+            .filter(F.col("url") != "__sentinel__")
+            .select("window_start", "url", F.col("clicks").cast("long").alias("clicks"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

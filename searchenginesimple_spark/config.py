@@ -37,21 +37,23 @@ class EngineConfig:
     # with ~2^32-key buckets (the naive 4×16-bit banding explodes past 10^6
     # docs).  B = threshold + 3 → 20 subset keys per fingerprint.
     n_blocks: int = 6
-    n_bands: int = 4  # legacy 16-bit band helper (functions/simhash.band_key)
 
     # --- posting lists (north rule) ---------------------------------------
     block_size: int = 128
     # Doc-range shard span: shard = doc_id // shard_span.  The range salt of
     # the posting-build shuffle — bounds every (term, shard) group at
     # shard_span postings regardless of term hotness, and keeps shards in
-    # global doc order so concatenation needs no merge shuffle.
+    # global doc order so concatenation needs no merge shuffle.  (This range
+    # shard IS the skew bound: no separate hot-term salting layer exists or
+    # is needed.)
     shard_span: int = 16384  # docs per block-max block
-    # Salting for the hot-term two-stage aggregation: number of partial
-    # shards a single term's postings are built in before the final merge.
-    n_salts: int = 8
-    # A term is "hot" (gets salted) when its doc frequency exceeds this
-    # fraction of the corpus; cold terms take the single-stage path.
-    hot_df_fraction: float = 0.01
+
+    # --- stopword filter (reference Page.hpp:294,305; Dictionary.hpp:101,112)
+    # Applied on the BUILD path only — the reference does not stop-filter the
+    # query path (WebPageQuery.hpp:140-160), an asymmetry we preserve: a
+    # stopword in a query simply finds no postings.  Empty by default so the
+    # canonical driver entries are unaffected; pipelines opt in.
+    stopwords: tuple[str, ...] = ()
 
     # --- checkpoint/resume (plans/build.py) --------------------------------
     # Shards committed per checkpoint batch: one Spark job + one metrics

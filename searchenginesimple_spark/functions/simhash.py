@@ -25,8 +25,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -275,15 +273,3 @@ def simhash_py(text: str) -> int:
         if votes[j] > 0:
             u |= 1 << j
     return u - (1 << 64) if u >= (1 << 63) else u  # reinterpret as int64
-
-
-def band_key(simhash: Column, band_id: int, n_bands: int = 4) -> Column:
-    """16-bit band extraction from the int64 fingerprint (JVM-side).
-
-    Pigeonhole: any pair at Hamming distance ≤ 3 agrees exactly on ≥ 1 of the
-    4 disjoint 16-bit bands (SURVEY.md §2.6).
-    """
-    width = 64 // n_bands
-    return F.shiftrightunsigned(simhash, band_id * width).bitwiseAND(
-        F.lit((1 << width) - 1)
-    )

@@ -127,6 +127,14 @@ def extract_p_text(html_col: Column) -> Column:
     pull every ``<p …>…</p>`` body, strip residual tags and ``&nbsp;``,
     join with single spaces.  Pure JVM regexp expressions (codegen'd);
     RE2-compatible pattern so the DuckDB oracle runs it verbatim.
+
+    INTENTIONAL deviations from the reference's byte behavior (which matches
+    only bare ``<p>``, deletes ``&nbsp`` without a space, and concatenates
+    bodies with no separator): attributes on ``<p>`` are accepted, ``&nbsp;``
+    becomes a space, and bodies join with a space — real-world-HTML fixes in
+    the spirit of SURVEY.md §2.1's "semantics, not byte-transcription" rule.
+    The DuckDB oracle mirrors THIS spec, as it does for every other
+    documented divergence.
     """
     bodies = F.regexp_extract_all(html_col, F.lit(r"(?s)<p[^>]*>(.*?)</p>"), 1)
     cleaned = F.transform(

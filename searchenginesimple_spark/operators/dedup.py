@@ -53,9 +53,11 @@ def fingerprints_from_tf(tf: DataFrame, n_docs: int | None = None) -> DataFrame:
     dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
     term_aux = dfc.withColumn("h64", fnv64_udf("term")).select("term", "df", "h64")
     if n_docs is None:
-        # standalone use: derive N from tf (a full distinct); the build
-        # passes the staged doc count instead (identical N — every staged
-        # doc has ≥1 token after the short-doc filter) and skips this pass
+        # last-resort fallback: derive N from tf (a full distinct shuffle).
+        # Callers should pass n_docs — the build passes the staged doc count
+        # from metrics (plans/build.py) and tfidf_fingerprints passes a cheap
+        # docs.count(); N only tunes the heuristic ln((N+1)/(df+1)) vote
+        # weights, never the dedup rule.
         nd = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
     else:
         nd = tf.sparkSession.createDataFrame([(int(n_docs),)], "n_docs long")
@@ -74,14 +76,24 @@ def fingerprints_from_tf(tf: DataFrame, n_docs: int | None = None) -> DataFrame:
     return grouped.select("doc_id", simhash_hashed_udf("hs", "ws").alias("simhash"))
 
 
-def tfidf_fingerprints(docs: DataFrame, text_col: str = "content") -> DataFrame:
-    """docs(doc_id, <text_col>) → (doc_id, simhash); tokenize + fingerprints_from_tf."""
+def tfidf_fingerprints(
+    docs: DataFrame, text_col: str = "content", n_docs: int | None = None
+) -> DataFrame:
+    """docs(doc_id, <text_col>) → (doc_id, simhash); tokenize + fingerprints_from_tf.
+
+    N for the idf vote weights = total input docs (a cheap count on the docs
+    table — partial-aggregated, no shuffle of tf), NOT a corpus-wide distinct
+    over tf.  Token-less docs inflate N marginally; the weights are a
+    heuristic and the dedup rule is N-independent (oracle.py mirrors this N).
+    """
     from searchenginesimple_spark.operators.bm25 import tokens_of
 
+    if n_docs is None:
+        n_docs = docs.count()
     tf = tokens_of(docs, text_col).groupBy("doc_id", "term").agg(
         F.count("*").cast("int").alias("tf")
     )
-    return fingerprints_from_tf(tf)
+    return fingerprints_from_tf(tf, n_docs=n_docs)
 
 
 def _block_widths(n_bits: int = 64, n_blocks: int = 6) -> list[tuple[int, int]]:

@@ -40,8 +40,8 @@ def dedup_survivors_oracle(
             int(d): Counter(tokenize_py(t))
             for d, t in zip(docs["doc_id"], docs[text_col])
         }
+        n = len(tfs)  # N = total input docs (tfidf_fingerprints uses docs.count())
         tfs = {d: c for d, c in tfs.items() if c}
-        n = len(tfs)
         dfc: Counter = Counter()
         for c in tfs.values():
             for t in c:

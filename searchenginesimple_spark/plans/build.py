@@ -156,12 +156,19 @@ def build_index(
         # docs-with-tokens count whenever every staged (≥ min_content_len)
         # doc yields ≥ 1 token; token-less docs would only perturb the
         # heuristic ln((N+1)/(df+1)) vote weights, never the dedup rule.
+        # latest row per shard (a tf-stage re-run appends a second set of
+        # tf_shard rows; commit v2 is non-atomic across tasks, so a partial
+        # append + re-run must not double-count N)
         n_staged = (
             io.read("build_metrics")
             .filter((F.col("stage") == "tf_shard") & (F.col("status") == "done"))
+            .groupBy("shard")
+            .agg(F.max_by("docs", "ts").alias("docs"))
             .agg(F.sum("docs"))
             .collect()[0][0]
         )
+        if n_staged is None:  # no tf_shard rows at all → derive from tf
+            n_staged = tf.select("doc_id").distinct().count()
         fp = fingerprints_from_tf(tf, n_docs=int(n_staged))
         dropped = simhash_dup_pairs(fp, cfg).select(F.col("b_id").alias("doc_id")).distinct()
         obs = Observation()

@@ -28,16 +28,22 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+
+    def _bracket_threads(default: int) -> int:
+        """Thread count from a local master: first bracket field only —
+        ``local[4,2]`` / ``local-cluster[2,1,1024]`` carry extra fields."""
+        if "[" not in master:
+            return default
+        head = master[master.find("[") + 1 : master.find("]")].split(",")[0].strip()
+        return 32 if head == "*" else int(head) if head else default
+
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        shuffle_partitions = max(8, _bracket_threads(int(cpus)))
     # Local mode: the driver JVM *is* the executor; a fixed heap starves GC
     # as task threads grow (worse at 4N than N → fake scaling loss).  Scale
     # heap with parallelism unless explicitly pinned.
     if master.startswith("local"):
-        n_threads = 32 if "*" in master else int(
-            master[master.find("[") + 1 : master.find("]")] or cpus
-        ) if "[" in master else 1
+        n_threads = _bracket_threads(1)
         heap_gb = min(48, max(8, 2 * n_threads))
     else:  # cluster master: executor memory is the cluster manager's knob
         heap_gb = 8

@@ -10,8 +10,11 @@ real click log needs.
 
 Kafka needs an external broker + the spark-sql-kafka package, neither present
 in this sandbox — the transformations are defined against any streaming
-DataFrame and tested with the file/rate sources (tests/test_streaming.py);
-``read_clicklog_kafka`` is the production wiring.
+DataFrame and tested with the file source end-to-end (the ``streaming_clicks``
+driver entry in ``__spark_entry__.py`` and tests/test_entry_contract.py).
+``read_clicklog_kafka`` is two lines of production source wiring around
+``parse_click_payload``, which is itself covered by tests/test_clicklog.py on
+a batch DataFrame with the exact Kafka wire schema (value:binary).
 """
 
 from __future__ import annotations
@@ -29,13 +32,29 @@ CLICK_SCHEMA = T.StructType(
 )
 
 
+def parse_click_payload(raw: DataFrame) -> DataFrame:
+    """Kafka wire frame (value:binary JSON) → typed click events.
+
+    Works identically on a streaming or batch DataFrame carrying the Kafka
+    source schema's ``value`` column — tested on a batch frame
+    (tests/test_clicklog.py) since no broker exists in this sandbox.
+    Malformed payloads parse to all-null structs (from_json PERMISSIVE mode),
+    mirroring the reference's silent skip of undecodable messages.
+    """
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), CLICK_SCHEMA).alias("e")
+    ).select("e.*")
+
+
 def read_clicklog_kafka(
     spark: SparkSession, brokers: str, topic: str = "SearchResultsJump"
 ) -> DataFrame:
-    """Production source: Kafka topic → parsed click events.
+    """Production source wiring: Kafka topic → parsed click events.
 
     Offsets/commits are Spark's checkpoint, replacing the reference's manual
-    ``kafka.<topic>.<part>.<offset>`` files (WebServer.cc:127-146).
+    ``kafka.<topic>.<part>.<offset>`` files (WebServer.cc:127-146).  Requires
+    the spark-sql-kafka package + a broker; everything below the two source
+    lines is ``parse_click_payload`` (test-covered).
     """
     raw = (
         spark.readStream.format("kafka")
@@ -43,9 +62,7 @@ def read_clicklog_kafka(
         .option("subscribe", topic)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), CLICK_SCHEMA).alias("e")
-    ).select("e.*")
+    return parse_click_payload(raw)
 
 
 def clicks_per_window(

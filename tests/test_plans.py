@@ -40,6 +40,40 @@ def _plan(df) -> str:
     )
 
 
+def _broadcast_subtree_ids(plan: str) -> set[int]:
+    """Node ids that sit underneath any BroadcastExchange in the formatted
+    plan's tree header (children are the strictly-deeper following lines)."""
+    import re
+
+    header = plan.split("\n\n", 1)[0].splitlines()
+    nodes: list[tuple[int, int, str]] = []
+    for line in header:
+        m = re.search(r"([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", line)
+        if m:
+            depth = len(line) - len(line.lstrip(" :+-*"))
+            nodes.append((depth, int(m.group(2)), m.group(1)))
+    out: set[int] = set()
+    for i, (d, _nid, name) in enumerate(nodes):
+        if "BroadcastExchange" in name:
+            for d2, nid2, _ in nodes[i + 1 :]:
+                if d2 <= d:
+                    break
+                out.add(nid2)
+    return out
+
+
+def _parquet_scan_ids(plan: str, path_fragment: str) -> set[int]:
+    """Ids of parquet scan nodes whose Location contains path_fragment."""
+    import re
+
+    ids: set[int] = set()
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\)\s+Scan parquet", block.strip())
+        if m and path_fragment in block:
+            ids.add(int(m.group(1)))
+    return ids
+
+
 def test_term_in_pushdown_reaches_scan(spark, built_io):
     postings = built_io.read("postings").filter(
         F.col("term").isin(["ident_000", "ident_001"])
@@ -65,9 +99,11 @@ def test_compressed_bm25_query_side_broadcasts(spark, built_io):
     )
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
-    # the big side (postings) must NOT be broadcast: a shuffle/scan of
-    # postings feeds the join as the streamed side
-    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan, plan
+    # the big side (postings) must NOT be broadcast: its parquet scan must not
+    # appear anywhere under a BroadcastExchange subtree
+    p_ids = _parquet_scan_ids(plan, "/postings")
+    assert p_ids, plan  # the postings scan exists in the plan
+    assert p_ids.isdisjoint(_broadcast_subtree_ids(plan)), plan
 
 
 def test_tf_projection_column_pruned(spark, built_io):

@@ -8,7 +8,6 @@ from pyspark.sql import functions as F
 
 from searchenginesimple_spark.config import DEFAULT
 from searchenginesimple_spark.functions.simhash import (
-    band_key,
     simhash64_udf,
     simhash_batch,
     simhash_py,
