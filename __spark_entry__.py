@@ -48,6 +48,19 @@ tok AS (
   FROM documents
 )"""
 
+# Stop list shared by the stopword_filter entry, quality_score, and the
+# engine-side cfg (reference stop_words_*.txt analogue, Page.hpp:294).
+_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "for", "on")
+_STOPS_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_SQL_TOK_STOPPED = f"""
+tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+    FROM documents
+  ) WHERE term NOT IN ({_STOPS_SQL})
+)"""
+
 _SQL_QUERIES_VALUES = ", ".join(
     f"({i}, '{q}')" for i, q in enumerate(DRIVER_QUERY_SET)
 )
@@ -495,6 +508,20 @@ def _q_short_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword filter on the BUILD path only (reference Page.hpp:294,305 vs
+    the UNfiltered query path WebPageQuery.hpp:140-160 — the asymmetry is the
+    operator): BM25 top-k over a stop-filtered index, same query set.  The
+    'the a' query — all stopwords — returns zero rows because its terms have
+    no postings, NOT because the query was rewritten."""
+    import dataclasses
+
+    docs = load_documents(spark, sf_dir)
+    cfg = dataclasses.replace(DEFAULT, stopwords=_STOPWORDS)
+    idx = build_index_stats(docs, cfg=cfg)
+    return bm25_topk(idx, _queries_df(spark), cfg)
+
+
 def _q_result_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result materialization join (WebPageQuery.hpp:121-136): top-k docIDs
     joined back to the docstore for content — broadcast the (tiny) top-k side."""
@@ -516,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf": _q_tf,
         "cosine_topk": _q_cosine_topk,
         "short_filter": _q_short_filter,
+        "stopword_filter": _q_stopword_filter,
         "result_fetch": _q_result_fetch,
         "df": _q_df,
         "term_idf": _q_term_idf,
@@ -551,8 +579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_BM25_SQL = f"""
-WITH {_SQL_TOK},
+def _bm25_sql(tok_cte: str) -> str:
+    """Full BM25 top-k oracle over a pluggable tokenizer CTE (the
+    stopword_filter entry swaps in the stop-filtered CTE)."""
+    return f"""
+WITH {tok_cte},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id),
 stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
@@ -595,7 +626,9 @@ FROM ranked WHERE rank <= {DEFAULT.top_k}
 """
 
 
-_STOPS_SQL = "'the','a','of','and','is','to','in','for','on'"
+_BM25_SQL = _bm25_sql(_SQL_TOK)
+_BM25_STOPPED_SQL = _bm25_sql(_SQL_TOK_STOPPED)
+
 _LANG_SQL = {
     "de": "'der','die','das','und','ist','nicht'",
     "en": "'the','a','of','and','is','to','in'",
@@ -861,6 +894,7 @@ FROM ranked WHERE rank <= {DEFAULT.top_k}
 def oracle_sql() -> dict[str, str]:
     return {
         "cosine_topk": _COSINE_SQL,
+        "stopword_filter": _BM25_STOPPED_SQL,
         "short_filter": """
             SELECT doc_id, length(text)::bigint AS n_chars
             FROM documents WHERE length(text) >= 10""",

@@ -58,6 +58,22 @@ def tokens_of(docs: DataFrame, text_col: str = "content", use_pandas_udf: bool =
     return docs.select("doc_id", F.explode(tok).alias("term"))
 
 
+def filter_stopwords(
+    tokens: DataFrame, stopwords: tuple[str, ...], term_col: str = "term"
+) -> DataFrame:
+    """Drop stopword tokens (reference ``Page.hpp:294,305``) — BUILD path only;
+    the query path never calls this (``WebPageQuery.hpp:140-160`` asymmetry:
+    a stopword in a query simply finds no postings).
+
+    Stop lists are a few hundred words: an IN-set predicate compiles to a
+    JVM-side hash-set probe inside whole-stage codegen — no join, no shuffle,
+    no broadcast needed.  No-op for the (default) empty list.
+    """
+    if not stopwords:
+        return tokens
+    return tokens.filter(~F.col(term_col).isin(list(stopwords)))
+
+
 def build_index_stats(
     docs: DataFrame,
     text_col: str = "content",
@@ -70,8 +86,12 @@ def build_index_stats(
     automatic), then term-level DF agg.  At 100 TB these are exactly the
     shuffles the salted posting build in operators/postings.py re-keys; here
     we let AQE size them.
+
+    ``cfg.stopwords`` (if set) is applied to the token stream HERE, on the
+    build side only — queries containing stopwords then find no postings,
+    exactly the reference's build/query asymmetry.
     """
-    tokens = tokens_of(docs, text_col, use_pandas_udf)
+    tokens = filter_stopwords(tokens_of(docs, text_col, use_pandas_udf), cfg.stopwords)
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").cast("int").alias("tf"))
     doc_stats = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
     corpus = doc_stats.agg(

@@ -16,17 +16,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from searchenginesimple_spark.operators.bm25 import tokens_of
+from searchenginesimple_spark.operators.rank import ordered_dense_ids
 
 
-def build_dict(docs: DataFrame, text_col: str = "content") -> DataFrame:
-    """(word, count, dict_id) — dict_id = row_number over word order."""
+def build_dict(
+    docs: DataFrame, text_col: str = "content", stopwords: tuple[str, ...] = ()
+) -> DataFrame:
+    """(word, count, dict_id) — dict_id = row_number over word order.
+
+    The global word rank is computed with the two-phase prefix-bucketed rank
+    (operators/rank.py), NOT an unpartitioned ``Window.orderBy`` — at corpus
+    scale the identifier vocabulary is billions of rows and a single-task
+    global window is the exact scale bug ``with_doc_ids`` already avoids.
+
+    ``stopwords`` mirrors the reference's dictionary-build stop filter
+    (Dictionary.hpp:101,112) — applied to the vocabulary (post-aggregation,
+    vocab-sized) rather than per token, same result cheaper.
+    """
     counts = (
         tokens_of(docs, text_col)
         .groupBy(F.col("term").alias("word"))
         .agg(F.count("*").cast("long").alias("count"))
     )
-    w = Window.orderBy("word")
-    return counts.withColumn("dict_id", F.row_number().over(w).cast("long"))
+    if stopwords:
+        counts = counts.filter(~F.col("word").isin(list(stopwords)))
+    return ordered_dense_ids(counts, "word", "dict_id")
 
 
 def build_char_index(dictionary: DataFrame) -> DataFrame:

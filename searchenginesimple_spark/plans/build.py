@@ -43,7 +43,11 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from searchenginesimple_spark.config import DEFAULT, EngineConfig
-from searchenginesimple_spark.operators.bm25 import IndexStats, tokens_of
+from searchenginesimple_spark.operators.bm25 import (
+    IndexStats,
+    filter_stopwords,
+    tokens_of,
+)
 from searchenginesimple_spark.operators.dedup import (
     fingerprints_from_tf,
     simhash_dup_pairs,
@@ -124,8 +128,13 @@ def build_index(
             "shard",
         )
         staged = io.read("docstore_raw")
+        # stopword filter on the BUILD path only (Page.hpp:294; the query
+        # path is never filtered — the reference's asymmetry)
         tf = (
-            tokens_of(staged.select("doc_id", "content"), "content", use_pandas_udf)
+            filter_stopwords(
+                tokens_of(staged.select("doc_id", "content"), "content", use_pandas_udf),
+                cfg.stopwords,
+            )
             .groupBy("doc_id", "term")
             .agg(F.count("*").cast("int").alias("tf"))
             .withColumn("shard", shard_of(F.col("doc_id"), cfg))

@@ -76,3 +76,32 @@ def test_doc_id_deterministic_across_parallelism(spark):
     pa = a.select("doc_id", "repo", "path").toPandas().sort_values("doc_id").reset_index(drop=True)
     pb = b.select("doc_id", "repo", "path").toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(pa, pb)
+
+
+def test_stopword_build_query_asymmetry(spark, indexed):
+    """Reference asymmetry (Page.hpp:294 vs WebPageQuery.hpp:140-160): the
+    stop filter runs at BUILD time only.  A stopword query term is simply
+    absent from the index — fully-stopword queries resolve to zero rows via
+    postings absence, and mixed queries degrade to their non-stop terms."""
+    import dataclasses
+
+    from searchenginesimple_spark.config import DEFAULT
+    from searchenginesimple_spark.sources.corpus import HOT_TERM
+
+    docs, _ = indexed
+    cfg = dataclasses.replace(DEFAULT, stopwords=(HOT_TERM, "ident_000"))
+    idx = build_index_stats(docs, cfg=cfg)
+
+    # stopwords never appear in the index
+    terms = {r["term"] for r in idx.term_stats.select("term").collect()}
+    assert HOT_TERM not in terms and "ident_000" not in terms
+
+    # fully-stopword query → zero rows (postings absence, not a rewrite)
+    assert len(bm25_topk(idx, queries_df(spark, [HOT_TERM]), cfg).collect()) == 0
+
+    # mixed query degrades to the non-stop terms: identical result to
+    # querying only the surviving term against the same index
+    mixed = bm25_topk(idx, queries_df(spark, [f"{HOT_TERM} ident_001"]), cfg).toPandas()
+    alone = bm25_topk(idx, queries_df(spark, ["ident_001"]), cfg).toPandas()
+    assert list(mixed["docID"]) == list(alone["docID"])
+    assert list(mixed["score"]) == list(alone["score"])
