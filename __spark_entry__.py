@@ -332,6 +332,27 @@ def _q_linebreak_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK-capable tokenizer mode (reference jieba cut, Page.hpp:288;
+    TOKEN_RE_CJK = identifier runs ∪ single CJK codepoints).  The document is
+    wrapped with CJK-with-linebreaks, the linebreak-join rewrite
+    (Page.hpp:283-287) is applied first — so the rewrite actually FEEDS the
+    tokenizer — then per-doc term frequencies are aggregated."""
+    from searchenginesimple_spark.config import TOKEN_RE_CJK
+    from searchenginesimple_spark.functions.tokenize import tokenize_expr
+
+    docs = load_documents(spark, sf_dir)
+    wrapped = F.concat(
+        F.lit("搜索\n引擎\n\n简单 "), F.col("content"), F.lit(" 中文\nabc\n文本")
+    )
+    joined = F.regexp_replace(wrapped, "([一-龥])\\n+([一-龥])", "$1$2")
+    return (
+        docs.select("doc_id", F.explode(tokenize_expr(joined, TOKEN_RE_CJK)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
 def _q_url_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-encoding decode (reference urlcode.hpp:40-60, applied twice at
     WebServer.cc:187-200): deterministically percent-encode each document
@@ -568,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b64_codec": _q_b64_codec,
         "url_codec": _q_url_codec,
         "linebreak_join": _q_linebreak_join,
+        "tokenize_cjk": _q_tokenize_cjk,
         "rss_parse": _q_rss_parse,
         "media_features": _q_media_features,
         "streaming_clicks": _q_streaming_clicks,
@@ -780,6 +802,23 @@ SELECT doc_id,
 FROM documents
 """
 
+_TOKENIZE_CJK_SQL = """
+WITH wrapped AS (
+  SELECT doc_id,
+         regexp_replace(
+           '搜索' || chr(10) || '引擎' || chr(10) || chr(10) || '简单 ' || text
+             || ' 中文' || chr(10) || 'abc' || chr(10) || '文本',
+           '([一-龥])\\n+([一-龥])', '\\1\\2', 'g') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(w), '[a-z_][a-z0-9_]*|[一-龥]')) AS term
+  FROM wrapped
+)
+SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+"""
+
 _URL_SQL = r"""
 WITH enc AS (
   SELECT doc_id, text,
@@ -914,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "b64_codec": _B64_SQL,
         "url_codec": _URL_SQL,
         "linebreak_join": _LINEBREAK_SQL,
+        "tokenize_cjk": _TOKENIZE_CJK_SQL,
         "rss_parse": _RSS_SQL,
         "dict": _DICT_SQL,
         "char_index": _CHAR_INDEX_SQL,

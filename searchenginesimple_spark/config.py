@@ -18,6 +18,14 @@ from dataclasses import dataclass
 # transcription bug; we implement its intent — case-insensitive matching.)
 TOKEN_RE = r"[a-z_][a-z0-9_]*"
 
+# CJK-capable mode (the reference is a *Chinese* search engine — jieba cut at
+# Page.hpp:288, Dictionary.hpp:95, WebPageQuery.hpp:40): identifier runs ∪
+# single CJK codepoints (unigram segmentation — the SQL-mirrorable analogue
+# of a character-level Chinese index; conjunctive queries recover phrases).
+# Selectable via EngineConfig.token_re; same pattern runs verbatim in Java
+# regex, RE2/DuckDB, and Python re.
+TOKEN_RE_CJK = r"[a-z_][a-z0-9_]*|[一-龥]"
+
 
 @dataclass(frozen=True)
 class EngineConfig:
@@ -59,6 +67,12 @@ class EngineConfig:
     # Shards committed per checkpoint batch: one Spark job + one metrics
     # append per batch; a crash re-does at most one batch.
     checkpoint_batch_shards: int = 64
+
+    # --- tokenizer ----------------------------------------------------------
+    # Token spec used by EVERY path (build, query, dict, simhash) — build and
+    # query must agree or postings never match.  TOKEN_RE for pure source
+    # code, TOKEN_RE_CJK for corpora with Chinese content.
+    token_re: str = TOKEN_RE
 
     # --- layout ------------------------------------------------------------
     shuffle_partitions: int = 32

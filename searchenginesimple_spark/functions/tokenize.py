@@ -33,25 +33,33 @@ from pyspark.sql.functions import pandas_udf
 from searchenginesimple_spark.config import TOKEN_RE
 
 
-def tokenize_expr(content: Column | str) -> Column:
-    """JVM-side tokenizer: ``regexp_extract_all(lower(content), TOKEN_RE)``."""
+def tokenize_expr(content: Column | str, token_re: str = TOKEN_RE) -> Column:
+    """JVM-side tokenizer: ``regexp_extract_all(lower(content), token_re)``."""
     col = F.col(content) if isinstance(content, str) else content
-    # idx=0 → whole match (the pattern has no capture groups)
-    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), F.lit(0))
+    # idx=0 → whole match (the patterns have no capture groups)
+    return F.regexp_extract_all(F.lower(col), F.lit(token_re), F.lit(0))
 
 
-@pandas_udf(T.ArrayType(T.StringType()))
-def tokenize_udf(content: pd.Series) -> pd.Series:
-    """Arrow-batched tokenizer; same spec as ``tokenize_expr``.
+def make_tokenize_udf(token_re: str = TOKEN_RE):
+    """Arrow-batched tokenizer UDF for an arbitrary token spec.
 
     ``Series.str`` operations run columnar over the Arrow batch — this is the
     "vectorized pandas UDF, no per-row Python" path the north rule requires.
     """
-    return content.fillna("").str.lower().str.findall(TOKEN_RE)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def _tokenize(content: pd.Series) -> pd.Series:
+        return content.fillna("").str.lower().str.findall(token_re)
+
+    return _tokenize
 
 
-def tokenize_py(text: str) -> list[str]:
+# default-spec instance (the common path — avoids re-registering per call)
+tokenize_udf = make_tokenize_udf()
+
+
+def tokenize_py(text: str, token_re: str = TOKEN_RE) -> list[str]:
     """Single-string tokenizer for the pure-Python oracle — same spec."""
     import re
 
-    return re.findall(TOKEN_RE, (text or "").lower())
+    return re.findall(token_re, (text or "").lower())

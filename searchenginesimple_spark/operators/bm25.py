@@ -31,8 +31,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from searchenginesimple_spark.config import DEFAULT, EngineConfig
-from searchenginesimple_spark.functions.tokenize import tokenize_expr, tokenize_udf
+from searchenginesimple_spark.config import DEFAULT, TOKEN_RE, EngineConfig
+from searchenginesimple_spark.functions.tokenize import (
+    make_tokenize_udf,
+    tokenize_expr,
+    tokenize_udf,
+)
 
 
 @dataclass
@@ -52,9 +56,18 @@ class IndexStats:
     corpus: DataFrame
 
 
-def tokens_of(docs: DataFrame, text_col: str = "content", use_pandas_udf: bool = True) -> DataFrame:
+def tokens_of(
+    docs: DataFrame,
+    text_col: str = "content",
+    use_pandas_udf: bool = True,
+    token_re: str = TOKEN_RE,
+) -> DataFrame:
     """docs(doc_id, <text_col>) → (doc_id, term) exploded token stream."""
-    tok = tokenize_udf(F.col(text_col)) if use_pandas_udf else tokenize_expr(text_col)
+    if use_pandas_udf:
+        udf = tokenize_udf if token_re == TOKEN_RE else make_tokenize_udf(token_re)
+        tok = udf(F.col(text_col))
+    else:
+        tok = tokenize_expr(text_col, token_re)
     return docs.select("doc_id", F.explode(tok).alias("term"))
 
 
@@ -91,7 +104,9 @@ def build_index_stats(
     build side only — queries containing stopwords then find no postings,
     exactly the reference's build/query asymmetry.
     """
-    tokens = filter_stopwords(tokens_of(docs, text_col, use_pandas_udf), cfg.stopwords)
+    tokens = filter_stopwords(
+        tokens_of(docs, text_col, use_pandas_udf, cfg.token_re), cfg.stopwords
+    )
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").cast("int").alias("tf"))
     doc_stats = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
     corpus = doc_stats.agg(
@@ -115,14 +130,20 @@ def query_terms(
     queries: DataFrame,
     query_col: str = "query",
     use_pandas_udf: bool = True,
+    token_re: str = TOKEN_RE,
 ) -> DataFrame:
     """queries(query_id, query) → (query_id, query, term, qtf).
 
     Query-side TF mirrors WebPageQuery.hpp:140-185 minus its two cancelling
     sign quirks (constant IDF=−1 × min-heap-on-negatives, SURVEY.md §3.2).
-    NB: no stopword filter on the query path — reference asymmetry preserved.
+    NB: no stopword filter on the query path — reference asymmetry preserved;
+    ``token_re`` MUST be the index's spec or postings never match.
     """
-    tok = tokenize_udf(F.col(query_col)) if use_pandas_udf else tokenize_expr(query_col)
+    if use_pandas_udf:
+        udf = tokenize_udf if token_re == TOKEN_RE else make_tokenize_udf(token_re)
+        tok = udf(F.col(query_col))
+    else:
+        tok = tokenize_expr(query_col, token_re)
     return (
         queries.select("query_id", query_col, F.explode(tok).alias("term"))
         .groupBy("query_id", query_col, "term")
@@ -151,7 +172,7 @@ def bm25_topk(
     indexed query terms (WebPageQuery.hpp:62-84); fully-OOV queries yield
     zero rows (reference short-circuit WebPageQuery.hpp:64-68).
     """
-    qt = query_terms(queries, query_col, use_pandas_udf)
+    qt = query_terms(queries, query_col, use_pandas_udf, cfg.token_re)
     # OOV prune: inner join against term_stats (WebPageQuery.hpp:52-58).
     qt_idx = qt.join(index.term_stats, "term", "inner")
     n_terms = qt_idx.groupBy("query_id").agg(F.count("*").cast("int").alias("n_terms"))
@@ -224,7 +245,7 @@ def cosine_topk_reference(
         "w", F.col("w0") / F.sqrt(F.sum(F.col("w0") * F.col("w0")).over(dnorm))
     ).select("doc_id", "term", "w")
 
-    qt = query_terms(queries, query_col)
+    qt = query_terms(queries, query_col, token_re=cfg.token_re)
     qn = Window.partitionBy("query_id")
     qhat = qt.withColumn(
         "qw", F.col("qtf") / F.sqrt(F.sum(F.col("qtf") * F.col("qtf")).over(qn))

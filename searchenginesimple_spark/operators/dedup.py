@@ -77,7 +77,10 @@ def fingerprints_from_tf(tf: DataFrame, n_docs: int | None = None) -> DataFrame:
 
 
 def tfidf_fingerprints(
-    docs: DataFrame, text_col: str = "content", n_docs: int | None = None
+    docs: DataFrame,
+    text_col: str = "content",
+    n_docs: int | None = None,
+    token_re: str | None = None,
 ) -> DataFrame:
     """docs(doc_id, <text_col>) → (doc_id, simhash); tokenize + fingerprints_from_tf.
 
@@ -86,13 +89,14 @@ def tfidf_fingerprints(
     over tf.  Token-less docs inflate N marginally; the weights are a
     heuristic and the dedup rule is N-independent (oracle.py mirrors this N).
     """
+    from searchenginesimple_spark.config import TOKEN_RE
     from searchenginesimple_spark.operators.bm25 import tokens_of
 
     if n_docs is None:
         n_docs = docs.count()
-    tf = tokens_of(docs, text_col).groupBy("doc_id", "term").agg(
-        F.count("*").cast("int").alias("tf")
-    )
+    tf = tokens_of(docs, text_col, token_re=token_re or TOKEN_RE).groupBy(
+        "doc_id", "term"
+    ).agg(F.count("*").cast("int").alias("tf"))
     return fingerprints_from_tf(tf, n_docs=n_docs)
 
 
@@ -188,7 +192,7 @@ def simhash_dedup(
     weighting="tf": single-pass raw content fingerprints.
     """
     if weighting == "tfidf":
-        fp_only = tfidf_fingerprints(docs, text_col)
+        fp_only = tfidf_fingerprints(docs, text_col, token_re=cfg.token_re)
         fp = docs.join(fp_only, "doc_id", "inner")  # no-token docs drop here
     else:
         fp = with_simhash(docs, text_col)

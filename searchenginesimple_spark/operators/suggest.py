@@ -20,7 +20,10 @@ from searchenginesimple_spark.operators.rank import ordered_dense_ids
 
 
 def build_dict(
-    docs: DataFrame, text_col: str = "content", stopwords: tuple[str, ...] = ()
+    docs: DataFrame,
+    text_col: str = "content",
+    stopwords: tuple[str, ...] = (),
+    token_re: str | None = None,
 ) -> DataFrame:
     """(word, count, dict_id) — dict_id = row_number over word order.
 
@@ -33,8 +36,10 @@ def build_dict(
     (Dictionary.hpp:101,112) — applied to the vocabulary (post-aggregation,
     vocab-sized) rather than per token, same result cheaper.
     """
+    from searchenginesimple_spark.config import TOKEN_RE
+
     counts = (
-        tokens_of(docs, text_col)
+        tokens_of(docs, text_col, token_re=token_re or TOKEN_RE)
         .groupBy(F.col("term").alias("word"))
         .agg(F.count("*").cast("long").alias("count"))
     )

@@ -189,7 +189,7 @@ def _driver_topk(
     kernel = _make_kernel(cfg, mode)
     out: list[pd.DataFrame] = []
     for q in q_rows:
-        qtoks = tokenize_py(q["query"])
+        qtoks = tokenize_py(q["query"], cfg.token_re)
         qtf: dict[str, int] = {}
         for t in qtoks:
             qtf[t] = qtf.get(t, 0) + 1
@@ -262,7 +262,7 @@ def bm25_topk_compressed(
     """
     # JVM tokenizer on the (tiny) query side: same spec as the build-side
     # pandas UDF (tested identical), avoids a python stage per query batch
-    qt = query_terms(queries, query_col, use_pandas_udf=False)
+    qt = query_terms(queries, query_col, use_pandas_udf=False, token_re=cfg.token_re)
     if pushdown_terms or fastpath_max_bytes is not None:
         # materialize the (tiny) distinct term set and push it into the
         # postings scan as an IN filter → parquet row-group min/max skipping

@@ -132,7 +132,10 @@ def build_index(
         # path is never filtered — the reference's asymmetry)
         tf = (
             filter_stopwords(
-                tokens_of(staged.select("doc_id", "content"), "content", use_pandas_udf),
+                tokens_of(
+                    staged.select("doc_id", "content"), "content",
+                    use_pandas_udf, cfg.token_re,
+                ),
                 cfg.stopwords,
             )
             .groupBy("doc_id", "term")
