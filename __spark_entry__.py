@@ -224,20 +224,26 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (rows-only check: xxhash64 is Spark-side)."""
+    """MinHash-LSH near-dup candidates, fully DuckDB-hash-verified: the
+    affine polynomial family (h_i = (a_i·polyhash31(shingle) + b_i) mod p,
+    seeded constants inlined in the oracle SQL) through the SAME banding →
+    bucket-join → estimated-Jaccard filter as the production xxhash64 path."""
     from searchenginesimple_spark.operators.dedup import minhash_dup_pairs
 
     docs = load_documents(spark, sf_dir)
-    return minhash_dup_pairs(docs, threshold=0.5)
+    return minhash_dup_pairs(docs, threshold=0.5, hash_family="poly")
 
 
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simhash near-dup survivors (rows-only: FNV fingerprints are engine-side;
-    exactness vs the pure-Python oracle is covered in tests/test_simhash.py)."""
-    from searchenginesimple_spark.operators.dedup import simhash_dedup
+    """Simhash near-dup survivors, fully DuckDB-hash-verified: 62-bit
+    polynomial-hash integer-vote fingerprints (operators/dedup.py::
+    verifiable_fingerprints) through the SAME banded self-join + smallest-id
+    survivor rule as the build path.  The build default (FNV-1a tf·idf float
+    votes) is pinned against its pure-Python oracle in tests/test_simhash.py."""
+    from searchenginesimple_spark.operators.dedup import simhash_dedup_verifiable
 
     docs = load_documents(spark, sf_dir)
-    return simhash_dedup(docs).select("doc_id", "simhash").orderBy("doc_id")
+    return simhash_dedup_verifiable(docs).select("doc_id", "simhash")
 
 
 def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,7 +256,10 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-k (rows-only: approximate)."""
+    """LSH-bucketed approximate cosine top-k, fully DuckDB-hash-verified:
+    integer hyperplanes + floor-quantized projections make the candidate set
+    deterministic, so the oracle reproduces buckets, candidates and the exact
+    re-rank bit-for-bit (approximate vs brute force, exact vs the spec)."""
     from searchenginesimple_spark.operators.ann import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -267,8 +276,9 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup pairs (scale path; rows-only:
-    candidate recall is probabilistic, measured in tests)."""
+    """LSH-bucketed embedding near-dup pairs (scale path), fully
+    DuckDB-hash-verified via the same quantized-integer bucket construction
+    as ann_lsh; recall vs the exact baseline is measured in tests/test_ann."""
     from searchenginesimple_spark.operators.ann import embedding_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -435,15 +445,18 @@ def _q_streaming_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column plumbing (rows-only: payloads are synthetic
-    binary, decode stubbed behind a deterministic fake — sources/multimodal.py).
-    Exercises the real mapInPandas feature-extraction shape end-to-end."""
+    """Multimodal decode, fully DuckDB-hash-verified and REAL: documents are
+    rendered as binary PPM (P6) images, the mapInPandas kernel genuinely
+    parses header + pixel bytes (sources/multimodal.py::parse_ppm_batch —
+    malformed input raises), and the oracle reconstructs the same payload
+    string and statistics in SQL (content is ASCII, chars == bytes)."""
     from searchenginesimple_spark.sources.multimodal import (
-        extract_features,
-        synthetic_media,
+        media_from_documents,
+        ppm_features,
     )
 
-    return extract_features(synthetic_media(spark, n=64)).drop("feat")
+    docs = load_documents(spark, sf_dir)
+    return ppm_features(media_from_documents(docs))
 
 
 def _q_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,6 +815,220 @@ SELECT doc_id,
 FROM documents
 """
 
+def _lsh_bucket_exprs(dim: int, n_planes: int, n_tables: int) -> list[str]:
+    """SQL bucket expressions per LSH table — the engine's seeded integer
+    hyperplanes (operators/ann.py::_hyperplanes) inlined as literals, over
+    floor-quantized embeddings (column ``qv``).  Integer arithmetic end to
+    end, so Spark and DuckDB compute identical buckets."""
+    from searchenginesimple_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes * n_tables)
+    out = []
+    for t in range(n_tables):
+        bits = []
+        for i in range(n_planes):
+            arr = "[" + ",".join(str(int(x)) for x in planes[t * n_planes + i]) + "]::DOUBLE[]"
+            bits.append(f"(CASE WHEN list_dot_product(qv, {arr}) > 0 THEN {1 << i} ELSE 0 END)")
+        out.append("(" + " + ".join(bits) + ")::BIGINT")
+    return out
+
+
+_COS_EXPR = (
+    "round(list_dot_product(e1::DOUBLE[], e2::DOUBLE[]) / "
+    "(sqrt(list_dot_product(e1::DOUBLE[], e1::DOUBLE[])) * "
+    "sqrt(list_dot_product(e2::DOUBLE[], e2::DOUBLE[]))), 6)"
+)
+
+
+def _ann_lsh_sql(n_planes: int = 8, n_tables: int = 8, k: int = 10) -> str:
+    """Mirrors operators/ann.py::lsh_topk over the embeddings table."""
+    buckets = ", ".join(_lsh_bucket_exprs(64, n_planes, n_tables))
+    cos = _COS_EXPR.replace("e1", "be.embedding").replace("e2", "bq.embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[], x -> floor(x*1000))::DOUBLE[] AS qv
+  FROM embeddings
+),
+eb AS (SELECT vec_id, unnest([{buckets}]) AS bucket,
+              unnest(range({n_tables})) AS table_id FROM base),
+qb AS (SELECT vec_id AS query_id, unnest([{buckets}]) AS bucket,
+              unnest(range({n_tables})) AS table_id FROM base WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT e.vec_id, q.query_id
+  FROM eb e JOIN qb q ON e.table_id = q.table_id AND e.bucket = q.bucket
+  WHERE e.vec_id != q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id, {cos} AS cos
+  FROM cand c
+  JOIN base be ON be.vec_id = c.vec_id
+  JOIN base bq ON bq.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::int AS rank, vec_id, cos::double AS cos FROM ranked WHERE rank <= {k}
+"""
+
+
+def _embed_neardup_lsh_sql(n_planes: int = 6, threshold: float = 0.4) -> str:
+    """Mirrors operators/ann.py::embedding_neardup_pairs (single LSH table)."""
+    bucket = _lsh_bucket_exprs(64, n_planes, 1)[0]
+    cos = _COS_EXPR.replace("e1", "ba.embedding").replace("e2", "bb.embedding")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[], x -> floor(x*1000))::DOUBLE[] AS qv
+  FROM embeddings
+),
+bk AS (SELECT vec_id, {bucket} AS bucket FROM base),
+pairs AS (
+  SELECT p.vec_id AS a_id, q.vec_id AS b_id
+  FROM bk p JOIN bk q ON p.bucket = q.bucket AND p.vec_id < q.vec_id
+),
+scored AS (
+  SELECT a_id, b_id, {cos} AS cos
+  FROM pairs
+  JOIN base ba ON ba.vec_id = a_id
+  JOIN base bb ON bb.vec_id = b_id
+)
+SELECT a_id, b_id, cos::double AS cos FROM scored WHERE cos >= {threshold}
+"""
+
+
+_ANN_LSH_SQL = _ann_lsh_sql()
+_EMBED_NEARDUP_LSH_SQL = _embed_neardup_lsh_sql()
+
+
+def _minhash_sql() -> str:
+    """MinHash-LSH oracle: affine polynomial family with the engine's seeded
+    constants inlined as a VALUES table — mirrors
+    operators/dedup.py::minhash_dup_pairs(hash_family='poly')."""
+    from searchenginesimple_spark.operators.dedup import (
+        BAND_FOLD_MULT,
+        MINHASH_P,
+        minhash_affine_constants,
+    )
+
+    a, b = minhash_affine_constants(64)
+    consts = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(64))
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+                               for i in range(1, len(toks)-3)])) AS sh
+  FROM tokd WHERE len(toks) >= 5
+),
+shb AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(7::BIGINT,
+             list_transform(regexp_extract_all(sh, '(?s).'), c -> ascii(c)::BIGINT)),
+           (acc, c) -> (acc*31 + c) % {MINHASH_P}) AS hb
+  FROM sh
+),
+consts(i, a, b) AS (VALUES {consts}),
+sig AS (
+  SELECT doc_id, c.i, min((c.a * hb + c.b) % {MINHASH_P}) AS s
+  FROM shb CROSS JOIN consts c GROUP BY doc_id, c.i
+),
+bands AS (
+  SELECT doc_id, (i // 4)::INT AS band_id,
+         list_reduce(list_prepend(0::BIGINT, list(s ORDER BY i)),
+           (acc, x) -> (acc*{BAND_FOLD_MULT} + x) % {MINHASH_P}) AS band_key
+  FROM sig GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.a_id, c.b_id,
+         round(sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END)::DOUBLE / 64, 6) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a_id
+  JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+  GROUP BY c.a_id, c.b_id
+)
+SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+_MINHASH_SQL = _minhash_sql()
+
+
+# 62-bit polynomial simhash + banded dedup rule — mirrors
+# operators/dedup.py::verifiable_fingerprints / simhash_dedup_verifiable.
+_SIMHASH_DEDUP_SQL = f"""
+WITH {_SQL_TOK},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+th AS (
+  SELECT term,
+    list_reduce(list_prepend(7::BIGINT,
+        list_transform(regexp_extract_all(term, '(?s).'), c -> ascii(c)::BIGINT)),
+      (a, b) -> (a*31 + b) % 2147483647) * 2147483648
+    + list_reduce(list_prepend(11::BIGINT,
+        list_transform(regexp_extract_all(term, '(?s).'), c -> ascii(c)::BIGINT)),
+      (a, b) -> (a*37 + b) % 2147483647) AS h
+  FROM dfv
+),
+w AS (
+  SELECT tf.doc_id,
+         tf.tf * CAST(round(ln((nd.n_docs + 1.0) / (dfv.df + 1.0)) * 1000000, 0) AS BIGINT) AS w,
+         th.h
+  FROM tf JOIN dfv USING (term) JOIN th USING (term) CROSS JOIN nd
+),
+votes AS (
+  SELECT doc_id, j, sum(w * (2*((h >> j) & 1) - 1)) AS v
+  FROM w CROSS JOIN (SELECT unnest(range(62)) AS j) bits
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+),
+nz AS (SELECT * FROM fp WHERE simhash != 0)
+SELECT a.doc_id, a.simhash FROM nz a
+WHERE NOT EXISTS (
+  SELECT 1 FROM nz b
+  WHERE b.doc_id < a.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+)
+"""
+
+# Reconstructs media_from_documents' PPM payloads + parse_ppm_batch's stats
+# in SQL.  '(?s).' so newline bytes in content are counted like any other.
+_MEDIA_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (4 + doc_id % 13)::INT AS width,
+         (4 + doc_id % 7)::INT AS height,
+         ((4 + doc_id % 13) * (4 + doc_id % 7) * 3)::BIGINT AS n_pix,
+         substr(text || repeat('.', ((4 + doc_id % 13) * (4 + doc_id % 7) * 3)::INT),
+                1, ((4 + doc_id % 13) * (4 + doc_id % 7) * 3)::INT) AS px
+  FROM documents
+),
+b AS (
+  SELECT media_id, width, height, n_pix, px,
+         list_transform(regexp_extract_all(px, '(?s).'), c -> ascii(c)::BIGINT) AS codes,
+         'P6' || chr(10) || width || ' ' || height || chr(10) || '255' || chr(10) || px AS payload
+  FROM m
+)
+SELECT media_id, width, height, 255::INT AS maxval, n_pix,
+       list_reduce(list_prepend(0::BIGINT, codes), (a, c) -> a + c) AS px_sum,
+       list_reduce(codes, (a, c) -> least(a, c))::INT AS px_min,
+       list_reduce(codes, (a, c) -> greatest(a, c))::INT AS px_max,
+       sha256(payload) AS sha256
+FROM b
+"""
+
 _TOKENIZE_CJK_SQL = """
 WITH wrapped AS (
   SELECT doc_id,
@@ -954,6 +1181,11 @@ def oracle_sql() -> dict[str, str]:
         "url_codec": _URL_SQL,
         "linebreak_join": _LINEBREAK_SQL,
         "tokenize_cjk": _TOKENIZE_CJK_SQL,
+        "simhash_dedup": _SIMHASH_DEDUP_SQL,
+        "minhash_pairs": _MINHASH_SQL,
+        "ann_lsh": _ANN_LSH_SQL,
+        "embed_neardup_lsh": _EMBED_NEARDUP_LSH_SQL,
+        "media_features": _MEDIA_FEATURES_SQL,
         "rss_parse": _RSS_SQL,
         "dict": _DICT_SQL,
         "char_index": _CHAR_INDEX_SQL,

@@ -101,6 +101,35 @@ def fingerprint_expr(text_col: Column) -> Column:
     )
 
 
+POLY_MOD = 2147483647  # 2^31 − 1
+
+
+def polyhash31_expr(s: Column, mult: int = 31, init: int = 0) -> Column:
+    """31-bit polynomial character hash, pure JVM fold — chosen because the
+    identical fold runs in ANSI SQL (DuckDB ``list_reduce`` over codepoints),
+    making every operator built on it oracle-verifiable.
+
+        h = fold(chars(s), init, (acc, c) → (acc·mult + codepoint(c)) mod (2³¹−1))
+    """
+    chars = F.filter(F.split(s, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(init).cast("long"),
+        lambda acc, c: (acc * F.lit(mult) + F.ascii(c)) % F.lit(POLY_MOD),
+    )
+
+
+def polyhash62_expr(s: Column) -> Column:
+    """62-bit string hash: two independent 31-bit polynomial halves
+    (mult 31/init 7 ‖ mult 37/init 11) packed as h₁·2³¹ + h₂ < 2⁶².
+
+    The SQL-expressible stand-in for the engine-internal 64-bit FNV-1a
+    (functions/simhash.py) wherever a fingerprint must be reproduced by the
+    DuckDB oracle bit-for-bit.
+    """
+    return polyhash31_expr(s, 31, 7) * F.lit(1 << 31) + polyhash31_expr(s, 37, 11)
+
+
 # BPE-ish pre-tokenizer classes (GPT-2-style, simplified to be expressible
 # identically in Spark's Java regex and DuckDB's RE2): letter runs, digit
 # runs, and non-space-non-alnum punctuation runs.

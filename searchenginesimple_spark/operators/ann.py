@@ -75,9 +75,38 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+QUANT_SCALE = 1000  # embedding → integer quantization for exact sign tests
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
+    """Seeded random hyperplanes with small-INTEGER components (±4 uniform).
+
+    Integer planes ⊗ floor-quantized embeddings make every bucket bit an
+    exact integer sign test — deterministic across engines (an oracle can
+    inline the planes as SQL literals and reproduce the buckets exactly),
+    unlike float projections whose summation-order noise can flip a
+    near-zero sign.  Statistically they remain random hyperplanes: direction
+    is what matters for sign-sketch LSH, and ±4 integer directions cover the
+    sphere densely enough at these dims (recall measured in tests/test_ann).
+    """
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+    return rng.integers(-4, 5, size=(n_planes, dim)).tolist()
+
+
+def _quantized(vec_col: str):
+    """array<float> → array<long>: floor(x·1000) per component (exact and
+    identical in Spark and DuckDB for the same double input)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(QUANT_SCALE))).cast("long"),
+    )
+
+
+def _idot(a, b):
+    """Integer dot product (no casts — inputs already integral)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
 
 
 def with_lsh_bucket(
@@ -88,20 +117,22 @@ def with_lsh_bucket(
     seed: int = 42,
     n_tables: int = 1,
 ) -> DataFrame:
-    """Random-hyperplane sign-sketch buckets (JVM-side dot products).
+    """Random-hyperplane sign-sketch buckets (JVM-side INTEGER dot products —
+    see _hyperplanes for why quantized).
 
     n_tables > 1 → the standard multi-table LSH construction: one row per
     (item, table_id) with that table's bucket; candidates co-bucket in ANY
     table.  Recall rises as 1−(1−p^planes)^tables at linear cost in rows.
     """
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    qv = _quantized(vec_col)
     buckets = []
     for t in range(n_tables):
         bucket = F.lit(0).cast("long")
         for i in range(n_planes):
             p = planes[t * n_planes + i]
-            plane = F.array(*[F.lit(float(x)) for x in p])
-            bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
+            plane = F.array(*[F.lit(int(x)).cast("long") for x in p])
+            bit = (_idot(qv, plane) > 0).cast("long")
             bucket = bucket + F.shiftleft(bit, i)
         buckets.append(bucket)
     if n_tables == 1:
@@ -220,13 +251,18 @@ def embedding_neardup_pairs(
         )
         .withColumn(
             "cos",
-            _dot(F.col("a.vec"), F.col("b.vec"))
-            / (_norm(F.col("a.vec")) * _norm(F.col("b.vec"))),
+            # round BEFORE the threshold (same rule as the exact baseline and
+            # the DuckDB oracle) so float noise cannot straddle the cut
+            F.round(
+                _dot(F.col("a.vec"), F.col("b.vec"))
+                / (_norm(F.col("a.vec")) * _norm(F.col("b.vec"))),
+                6,
+            ),
         )
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("a.vec_id").alias("a_id"),
             F.col("b.vec_id").alias("b_id"),
-            F.round("cos", 6).alias("cos"),
+            "cos",
         )
     )

@@ -16,6 +16,7 @@ self-join — no iteration, no driver state.  The oracle mirrors it exactly.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -202,6 +203,85 @@ def simhash_dedup(
     return fp.filter(F.col("simhash") != 0).join(dropped, "doc_id", "left_anti")
 
 
+IDF_VOTE_SCALE = 1_000_000  # idf quantization for integer simhash votes
+
+
+def verifiable_fingerprints(
+    docs: DataFrame,
+    text_col: str = "content",
+    n_docs: int | None = None,
+    token_re: str | None = None,
+) -> DataFrame:
+    """SQL-mirrorable simhash fingerprints: (doc_id, simhash) with simhash a
+    62-bit polynomial-hash, integer-vote construction.
+
+    Same SPEC as the engine fingerprint (tf·idf-weighted bit votes,
+    Simhasher.hpp:61-68 sign rule) with every ingredient chosen so a DuckDB
+    oracle reproduces it bit-for-bit:
+
+    * term hash   = polyhash62 (functions/text.py) instead of FNV-1a;
+    * vote weight = tf · round(ln((N+1)/(df+1))·10⁶) — INTEGER, so vote sums
+      are exact and engine/oracle can never disagree on the >0 sign rule
+      (float votes depend on summation order);
+    * 62 bit-votes as aggregate expressions (one shuffle, JVM codegen — no
+      bit explosion, no Python).
+
+    The FNV/float path (fingerprints_from_tf) stays the build default; this
+    variant exists so the dedup RULE (band join → Hamming filter → smallest-
+    id survivor) is driver-hash-verified end-to-end.
+    """
+    from searchenginesimple_spark.config import TOKEN_RE
+    from searchenginesimple_spark.functions.text import polyhash62_expr
+    from searchenginesimple_spark.operators.bm25 import tokens_of
+
+    if n_docs is None:
+        n_docs = docs.count()
+    tf = tokens_of(docs, text_col, use_pandas_udf=False, token_re=token_re or TOKEN_RE)
+    tf = tf.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(dfc, "term")
+        .withColumn(
+            "w",
+            F.col("tf")
+            * F.round(
+                F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.lit(IDF_VOTE_SCALE),
+                0,
+            ).cast("long"),
+        )
+        .withColumn("h", polyhash62_expr(F.col("term")))
+    )
+    votes = w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("w")
+                * (F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(62)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(62):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_dedup_verifiable(
+    docs: DataFrame, cfg: EngineConfig = DEFAULT, text_col: str = "content"
+) -> DataFrame:
+    """simhash_dedup with the SQL-mirrorable fingerprint — same survivor rule
+    (simhash ≠ 0, no smaller-id neighbor at Hamming ≤ threshold), same banded
+    self-join; → (doc_id, simhash), fully DuckDB-hash-verifiable."""
+    fp = verifiable_fingerprints(docs, text_col, token_re=cfg.token_re)
+    dropped = (
+        simhash_dup_pairs(fp, cfg).select(F.col("b_id").alias("doc_id")).distinct()
+    )
+    return fp.filter(F.col("simhash") != 0).join(dropped, "doc_id", "left_anti")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 5,
@@ -238,30 +318,60 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_P = 2147483647  # 2^31 − 1, the affine-family modulus
+
+
+def minhash_affine_constants(n_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) for the classic affine MinHash family
+    h_i(x) = (a_i·x + b_i) mod p — shared by the engine and the DuckDB
+    oracle builder (__spark_entry__ inlines them as SQL literals)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_P, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, MINHASH_P, size=n_hashes, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 64,
     shingle_n: int = 5,
     text_col: str = "content",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """(doc_id, sig:array<long>) MinHash signatures over n-gram shingles.
 
-    h_i(shingle) = xxhash64(shingle, i); sig[i] = min over shingles — all
-    JVM-side (explode + groupBy(min) pivoted as an aggregate of structs).
+    hash_family="xxhash" (production default): h_i(shingle) =
+    xxhash64(shingle, i) — cheapest JVM hash, engine-internal.
+    hash_family="poly" (oracle-verifiable): h_i = (a_i·base + b_i) mod p with
+    base = polyhash31(shingle) and seeded affine constants — every value
+    reproducible in ANSI SQL, same banding/estimation downstream.
+    Both: sig[i] = min over shingles, all JVM-side.
     """
-    from searchenginesimple_spark.functions.text import shingles
+    from searchenginesimple_spark.functions.text import polyhash31_expr, shingles
 
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     )
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
-    ]
+    if hash_family == "poly":
+        a, b = minhash_affine_constants(n_hashes)
+        base = polyhash31_expr(F.col("sh"), 31, 7)
+        sh = sh.select("doc_id", base.alias("hb"))
+        mins = [
+            F.min((F.lit(a[i]) * F.col("hb") + F.lit(b[i])) % F.lit(MINHASH_P)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
+        ]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
     )
+
+
+BAND_FOLD_MULT = 1000003  # band-key fold multiplier (poly family)
 
 
 def minhash_dup_pairs(
@@ -272,24 +382,37 @@ def minhash_dup_pairs(
     threshold: float = 0.7,
     text_col: str = "content",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket join → estimated Jaccard filter.
 
     rows-per-band r = n_hashes/bands; candidate pairs share ≥ 1 full band
     (the classic banding construction); the signature-estimated Jaccard
     (matching components / n_hashes) filters to ≥ threshold.
+    hash_family="poly" makes every value SQL-reproducible (see
+    minhash_signatures) — band keys then fold with the same modular
+    polynomial instead of xxhash64.
     """
     r = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
+    sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col, hash_family)
+    if hash_family == "poly":
+        band_keys = [
+            F.aggregate(
+                F.slice("sig", b * r + 1, r),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * F.lit(BAND_FOLD_MULT) + x) % F.lit(MINHASH_P),
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_keys = [
+            F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+            for b in range(bands)
+        ]
     banded = sig.select(
         "doc_id",
         "sig",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
-                for b in range(bands)
-            ])
-        ).alias("band_id", "band_key"),
+        F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"),
     )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (

@@ -119,25 +119,65 @@ def test_suggest_known_case(spark):
     assert rows[0]["word"] == "spark" and rows[0]["dist"] == 1
 
 
-def test_multimodal_features(spark):
+def test_multimodal_ppm_decode(spark):
+    """The image decode is REAL: ppm_features parses the P6 header + raw
+    pixel buffer; stats must equal an independent numpy recompute over the
+    same payload bytes, and a malformed payload must raise."""
+    import hashlib
+
+    import numpy as np
+    import pytest
+
     from searchenginesimple_spark.sources.multimodal import (
-        extract_features,
         frame_sample,
+        ppm_features,
         synthetic_media,
     )
 
     media = synthetic_media(spark, 30)
-    feats = extract_features(media).collect()
-    assert len(feats) == 30
-    by_id = {r["media_id"]: r for r in feats}
-    assert all(len(r["feat"]) == 8 for r in feats)
-    assert all(r["n_bytes"] > 0 for r in feats)
-    # deterministic: same payload → same sha + feat on re-run
-    feats2 = {r["media_id"]: r for r in extract_features(media).collect()}
-    assert all(feats2[i]["sha256"] == by_id[i]["sha256"] for i in by_id)
+    images = media.filter(F.col("kind") == "image")
+    feats = {r["media_id"]: r for r in ppm_features(images).collect()}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in images.collect()}
+    assert len(feats) == len(raw) > 0
+    for mid, b in raw.items():
+        header, px = b.split(b"\n255\n", 1)
+        w, h = map(int, header.split(b"\n")[1].split(b" "))
+        a = np.frombuffer(px, dtype=np.uint8)
+        r = feats[mid]
+        assert (r["width"], r["height"], r["maxval"]) == (w, h, 255)
+        assert r["n_pix"] == a.size == w * h * 3
+        assert r["px_sum"] == int(a.sum())
+        assert (r["px_min"], r["px_max"]) == (int(a.min()), int(a.max()))
+        assert r["sha256"] == hashlib.sha256(b).hexdigest()
+
+    bad = spark.createDataFrame(
+        [(0, bytearray(b"JFIF-not-a-ppm"))], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="PPM|Ppm|ppm"):
+        ppm_features(bad).collect()
+
     frames = frame_sample(media, every_n=10).collect()
     vids = media.filter(F.col("kind") == "video").count()
     assert len(frames) == vids * 3  # n_frames=30, every 10th → idx 0,10,20
+
+
+def test_media_from_documents_roundtrip(spark):
+    """media_from_documents payloads are valid PPMs whose parsed dims match
+    the construction formulas."""
+    from searchenginesimple_spark.sources.multimodal import (
+        media_from_documents,
+        ppm_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "some source content " * (i + 1)) for i in range(20)],
+        "doc_id long, content string",
+    )
+    feats = {r["media_id"]: r for r in ppm_features(media_from_documents(docs)).collect()}
+    for i in range(20):
+        w, h = 4 + i % 13, 4 + i % 7
+        assert (feats[i]["width"], feats[i]["height"]) == (w, h)
+        assert feats[i]["n_pix"] == w * h * 3
 
 
 def test_streaming_clicklog_windowed(spark, tmp_path):
