@@ -61,18 +61,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "query":
         import dataclasses
 
-        from searchenginesimple_spark.operators.wand import bm25_topk_compressed
+        from searchenginesimple_spark.operators.wand import Bm25QueryEngine
         from searchenginesimple_spark.plans.build import load_index
         from searchenginesimple_spark.sources.io import TableIO
 
         cfg = dataclasses.replace(DEFAULT, top_k=args.k)
         postings, dsp, idx = load_index(TableIO(spark, args.index))
-        queries = spark.createDataFrame(
-            [(i, w) for i, w in enumerate(args.query)], "query_id long, query string"
-        )
-        out = bm25_topk_compressed(postings, dsp, idx, queries, cfg, mode=args.mode)
-        for r in out.collect():
-            print(json.dumps({"query": r["query"], "rank": r["rank"], "docID": r["docID"], "score": r["score"]}))
+        # serving path: postings/stats slices cached on the driver across
+        # queries; hot terms automatically fall back to the distributed plan
+        engine = Bm25QueryEngine(postings, dsp, idx, cfg, mode=args.mode)
+        out = engine.query(args.query)
+        for _, r in out.iterrows():
+            print(json.dumps({"query": r["query"], "rank": int(r["rank"]), "docID": int(r["docID"]), "score": float(r["score"])}))
         return 0
 
     if args.cmd == "suggest":

@@ -241,6 +241,114 @@ def _driver_topk(
     )
 
 
+class Bm25QueryEngine:
+    """Low-latency point-query serving over a built index.
+
+    ``bm25_topk_compressed`` launches 5–7 Spark jobs per call (term pushdown
+    collect, fastpath sizing agg, postings/dsp/term_stats/corpus collects) —
+    ~100–300 ms of job-launch latency each, which IS the single-query p95 at
+    small scale.  A serving process (the reference keeps its whole index in
+    RAM, ``WebServer.cc``) should instead cache the query-relevant slices on
+    the driver across queries:
+
+    * corpus scalars       — collected once at construction (1 row);
+    * per-term idf/df      — fetched on first sight of a term, memoized;
+    * per-term postings    — same, size-guarded by df (≤ ~20 B/posting
+      varbyte upper bound) so a hot term over 10^12 docs falls back to the
+      DISTRIBUTED path instead of a driver collect;
+    * per-shard doc stats  — fetched for shards the cached postings touch.
+
+    Scoring reuses the EXACT distributed kernel per (query, shard) group
+    (_driver_topk → _make_kernel), so results are bit-identical to
+    ``bm25_topk_compressed`` — verified in tests/test_postings.py.
+    A repeated query costs ZERO Spark jobs; a novel query costs ≤ 3 tiny
+    term-filtered collects.
+    """
+
+    # conservative varbyte upper bound: ids (≤ 9 B/value delta-varbyte is
+    # pathological; ≤ 10 covers ids+tfs together at realistic deltas)
+    BYTES_PER_POSTING = 20
+
+    def __init__(
+        self,
+        postings: DataFrame,
+        doc_stats_packed: DataFrame,
+        index: IndexStats,
+        cfg: EngineConfig = DEFAULT,
+        mode: str = "and",
+        fastpath_max_bytes: int = 32 * 1024 * 1024,
+    ):
+        self.postings = postings
+        self.dsp = doc_stats_packed
+        self.index = index
+        self.cfg = cfg
+        self.mode = mode
+        self.cap = fastpath_max_bytes
+        self.corpus_row = index.corpus.collect()[0]
+        self._meta: dict[str, object] = {}  # term -> term_stats Row | None (OOV)
+        self._post: dict[str, list] = {}  # term -> postings rows
+        self._ds: dict[int, object] = {}  # shard -> doc_stats_packed row
+
+    def _ensure_terms(self, terms: list[str]) -> None:
+        new = [t for t in terms if t not in self._meta]
+        if not new:
+            return
+        found = {
+            r["term"]: r
+            for r in self.index.term_stats.filter(F.col("term").isin(new)).collect()
+        }
+        for t in new:
+            self._meta[t] = found.get(t)
+
+    def _ensure_postings(self, terms: list[str]) -> None:
+        missing = [t for t in terms if t not in self._post]
+        if not missing:
+            return
+        rows = self.postings.filter(F.col("term").isin(missing)).collect()
+        for t in missing:
+            self._post[t] = []
+        for r in rows:
+            self._post[r["term"]].append(r)
+        shards = sorted(
+            {r["shard"] for r in rows if r["shard"] not in self._ds}
+        )
+        if shards:
+            for r in self.dsp.filter(F.col("shard").isin(shards)).collect():
+                self._ds[r["shard"]] = r
+
+    def query(self, queries: list[str]) -> pd.DataFrame:
+        """→ pandas (query, rank, docID, score); bit-identical to the
+        distributed path.  Falls back to it when cached-size guards trip."""
+        from searchenginesimple_spark.functions.tokenize import tokenize_py
+
+        all_terms = sorted(
+            {t for q in queries for t in tokenize_py(q, self.cfg.token_re)}
+        )
+        self._ensure_terms(all_terms)
+        live = [t for t in all_terms if self._meta[t] is not None]
+        est = sum(self._meta[t]["df"] for t in live) * self.BYTES_PER_POSTING
+        if est > self.cap:
+            spark = self.index.term_stats.sparkSession
+            qdf = spark.createDataFrame(
+                list(enumerate(queries)), "query_id long, query string"
+            )
+            return bm25_topk_compressed(
+                self.postings, self.dsp, self.index, qdf, self.cfg, self.mode,
+                fastpath_max_bytes=None,
+            ).toPandas()
+        self._ensure_postings(live)
+        prows = [r for t in live for r in self._post[t]]
+        ts_rows = [self._meta[t] for t in live]
+        q_rows = [{"query_id": i, "query": q} for i, q in enumerate(queries)]
+        return _driver_topk(
+            prows, list(self._ds.values()), ts_rows, self.corpus_row, q_rows,
+            self.cfg, self.mode,
+        )
+
+    def query_df(self, spark, queries: list[str]) -> DataFrame:
+        return spark.createDataFrame(self.query(queries), _OUT_SCHEMA)
+
+
 def bm25_topk_compressed(
     postings: DataFrame,
     doc_stats_packed: DataFrame,

@@ -76,20 +76,37 @@ class BuildResult:
     wall_ms: int
 
 
-def _done(io: TableIO, stage: str) -> set[int]:
-    if not io.exists("build_metrics"):
-        return set()
-    rows = (
-        io.read("build_metrics")
-        .filter((F.col("stage") == stage) & (F.col("status") == "done"))
-        .select("shard")
-        .collect()
-    )
-    return {r["shard"] for r in rows}
+class _Metrics:
+    """Driver-side view of the build_metrics table, read ONCE per build.
 
+    The metrics table is tiny (one row per shard per stage); reading it with
+    a Spark job for every _done() check and appending with a Spark job per
+    checkpoint added ~6 jobs of pure launch latency per build.  This caches
+    the rows at entry, tracks in-process appends, and writes through
+    ``TableIO.append_rows`` (driver-side parquet, no job)."""
 
-def _log(io: TableIO, rows: list[tuple]) -> None:
-    io.append(io.spark.createDataFrame(rows, METRICS_SCHEMA), "build_metrics")
+    def __init__(self, io: TableIO):
+        self.io = io
+        self.rows: list = (
+            [tuple(r) for r in io.read("build_metrics").collect()]
+            if io.exists("build_metrics")
+            else []
+        )
+
+    def log(self, rows: list[tuple]) -> None:
+        self.io.append_rows(rows, METRICS_SCHEMA, "build_metrics")  # commit point
+        self.rows.extend(rows)
+
+    def done(self, stage: str) -> set[int]:
+        return {r[2] for r in self.rows if r[1] == stage and r[7] == "done"}
+
+    def latest_per_shard(self, stage: str) -> dict[int, tuple]:
+        out: dict[int, tuple] = {}
+        for r in self.rows:
+            if r[1] == stage and r[7] == "done":
+                if r[2] not in out or r[9] >= out[r[2]][9]:
+                    out[r[2]] = r
+        return out
 
 
 
@@ -108,12 +125,13 @@ def build_index(
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:12]
     lineage = json.dumps({"config": asdict(cfg)})
+    m = _Metrics(io)  # ONE metrics read for the whole build
 
     # ---- stage: tf (stage corpus once, tokenize once) ----------------------
     # docstore_raw carries the full content exactly ONCE (doc_id, sha256,
     # shard added); dedup later emits only a small survivors table — no
     # second full-content write.
-    if -1 not in _done(io, "tf"):
+    if -1 not in m.done("tf"):
         ided = with_doc_ids(docs_raw).filter(
             F.length(F.col("content")) >= cfg.min_content_len
         )
@@ -150,8 +168,7 @@ def build_index(
             .collect()
         )
         wall = int((time.time() - t0) * 1000)
-        _log(
-            io,
+        m.log(
             [
                 (run_id, "tf_shard", int(r["shard"]), int(r["docs"]), 0, int(r["bytes"]), wall, "done", lineage, time.time())
                 for r in per_shard
@@ -160,7 +177,7 @@ def build_index(
         )
 
     # ---- stage: dedup (global; emits the small survivors table) -----------
-    if -1 not in _done(io, "dedup"):
+    if -1 not in m.done("dedup"):
         ts = time.time()
         tf = io.read("tf")
         # N for the idf vote weights = staged doc count, already in the tf
@@ -168,18 +185,12 @@ def build_index(
         # docs-with-tokens count whenever every staged (≥ min_content_len)
         # doc yields ≥ 1 token; token-less docs would only perturb the
         # heuristic ln((N+1)/(df+1)) vote weights, never the dedup rule.
-        # latest row per shard (a tf-stage re-run appends a second set of
-        # tf_shard rows; commit v2 is non-atomic across tasks, so a partial
-        # append + re-run must not double-count N)
-        n_staged = (
-            io.read("build_metrics")
-            .filter((F.col("stage") == "tf_shard") & (F.col("status") == "done"))
-            .groupBy("shard")
-            .agg(F.max_by("docs", "ts").alias("docs"))
-            .agg(F.sum("docs"))
-            .collect()[0][0]
-        )
-        if n_staged is None:  # no tf_shard rows at all → derive from tf
+        # Latest row per shard (a tf-stage re-run appends a second set of
+        # tf_shard rows and must not double-count N).
+        tf_shard_rows = m.latest_per_shard("tf_shard")
+        if tf_shard_rows:
+            n_staged = sum(r[3] for r in tf_shard_rows.values())
+        else:  # no tf_shard rows at all → derive from tf
             n_staged = tf.select("doc_id").distinct().count()
         fp = fingerprints_from_tf(tf, n_docs=int(n_staged))
         dropped = simhash_dup_pairs(fp, cfg).select(F.col("b_id").alias("doc_id")).distinct()
@@ -192,15 +203,17 @@ def build_index(
         )
         io.overwrite_partitions(survivors, "survivors", "shard")
         n_surv = obs.get["n"]  # metric piggybacks on the write job
-        _log(io, [(run_id, "dedup", -1, int(n_surv), 0, 0, int((time.time() - ts) * 1000), "done", lineage, time.time())])
+        m.log([(run_id, "dedup", -1, int(n_surv), 0, 0, int((time.time() - ts) * 1000), "done", lineage, time.time())])
 
     survivors = io.read("survivors")
-    all_shards = {r["shard"] for r in survivors.select("shard").distinct().collect()}
+    # shard universe from the tf-stage metrics (driver-side, no distinct job);
+    # a shard whose docs all dedup away still gets its (empty, 0-doc) pass
+    all_shards = set(m.latest_per_shard("tf_shard").keys())
 
     # ---- stage: shards (per-partition checkpoint, batched) ----------------
     # One Spark job per BATCH of shards (a per-shard loop would serialize a
     # 10^12-file build); crash re-does at most one batch, idempotently.
-    done = _done(io, "shards")
+    done = m.done("shards")
     todo = sorted(all_shards - done)
     built = 0
     bsz = max(1, cfg.checkpoint_batch_shards)
@@ -236,8 +249,7 @@ def build_index(
             io.read("doc_stats_packed").filter(F.col("shard").isin(batch)).select("shard", "n")
         )
         stats = {int(r["shard"]): r for r in p_stats.join(d_stats, "shard", "full").collect()}
-        _log(
-            io,
+        m.log(
             [
                 (
                     run_id, "shards", int(s), int(stats[int(s)]["n"] or 0) if int(s) in stats else 0,
@@ -257,11 +269,9 @@ def build_index(
         (F.sum("sum_dlen") / F.sum("n")).alias("avgdl"),
     ).collect()[0]
     n_docs = stats_row["n_docs"]
-    io.overwrite(
-        spark.createDataFrame(
-            [(int(n_docs), float(stats_row["avgdl"]))], "n_docs long, avgdl double"
-        ),
-        "corpus",
+    # 1-row scalar table: driver-side write, no Spark job
+    io.overwrite_rows(
+        [(int(n_docs), float(stats_row["avgdl"]))], "n_docs long, avgdl double", "corpus"
     )
     term_stats = (
         io.read("postings")
@@ -274,7 +284,7 @@ def build_index(
     )
     io.overwrite(term_stats, "term_stats")
     wall = int((time.time() - t0) * 1000)
-    _log(io, [(run_id, "finalize", -1, int(n_docs), 0, 0, wall, "done", lineage, time.time())])
+    m.log([(run_id, "finalize", -1, int(n_docs), 0, 0, wall, "done", lineage, time.time())])
 
     return BuildResult(
         run_id=run_id,

@@ -11,7 +11,23 @@ changes.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
+
+# DDL atom → pyarrow type for the driver-side writers below
+_PA_TYPES = {"string": "string", "int": "int32", "long": "int64", "double": "float64"}
+
+
+def _pa_schema(ddl: str):
+    import pyarrow as pa
+
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        fields.append(pa.field(name, getattr(pa, _PA_TYPES[typ])()))
+    return pa.schema(fields)
 
 
 class TableIO:
@@ -69,3 +85,37 @@ class TableIO:
                 df.writeTo(full).append()
         else:
             df.write.mode("append").parquet(self.path(name))
+
+    def append_rows(self, rows: list[tuple], schema_ddl: str, name: str) -> None:
+        """Append DRIVER-LOCAL rows (metrics/lineage — always tiny) as one
+        parquet file, no Spark job: a metrics append costs ~300 ms of job
+        launch + commit through the executor path, ×4+ per build — pure
+        orchestration overhead for 10-row tables.  The file is fully written
+        before return, so it is the same commit point the Spark append was.
+        Catalog mode keeps the engine (Iceberg appends are metadata ops)."""
+        if self.catalog:
+            self.append(self.spark.createDataFrame(rows, schema_ddl), name)
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = _pa_schema(schema_ddl)
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
+        table = pa.table(
+            {f.name: pa.array(list(c), type=f.type) for f, c in zip(schema, cols)}
+        )
+        d = self.path(name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, f"{d}/part-{uuid.uuid4().hex}.parquet")
+
+    def overwrite_rows(self, rows: list[tuple], schema_ddl: str, name: str) -> None:
+        """Overwrite a table with DRIVER-LOCAL rows (e.g. the 1-row corpus
+        scalars) — same no-Spark-job rationale as append_rows."""
+        if self.catalog:
+            self.overwrite(self.spark.createDataFrame(rows, schema_ddl), name)
+            return
+        import shutil
+
+        d = self.path(name)
+        shutil.rmtree(d, ignore_errors=True)
+        self.append_rows(rows, schema_ddl, name)

@@ -100,3 +100,34 @@ def test_hot_term_sharding_bounds_group_size(spark, built):
     hot = sizes.filter(F.col("term") == "return").collect()[0]
     assert hot["total_df"] > 200  # planted hot term really is hot
     assert hot["max_shard_df"] <= CFG.shard_span  # skew bound holds per shard
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_query_engine_bit_identical(spark, built, mode):
+    """The serving path (Bm25QueryEngine, cached driver slices) must return
+    byte-identical results to the distributed compressed plan AND the dense
+    baseline — across repeated queries (cache hits) and fresh ones."""
+    from searchenginesimple_spark.operators.wand import Bm25QueryEngine
+
+    docs, idx, postings, dsp = built
+    engine = Bm25QueryEngine(postings, dsp, idx, CFG, mode=mode)
+    dense = _canon(bm25_topk(idx, queries_df(spark), cfg=CFG, mode=mode).toPandas())
+    got1 = _canon(engine.query(QUERY_SET))
+    got2 = _canon(engine.query(QUERY_SET))  # all-cached second pass
+    for got in (got1, got2):
+        assert list(got["query"]) == list(dense["query"])
+        assert list(got["docID"]) == list(dense["docID"])
+        assert got["score"].tolist() == pytest.approx(dense["score"].tolist(), abs=1e-9)
+
+
+def test_query_engine_hot_fallback_matches(spark, built):
+    """With a tiny size cap every query trips the df-estimate guard and takes
+    the distributed path — results must be unchanged."""
+    from searchenginesimple_spark.operators.wand import Bm25QueryEngine
+
+    docs, idx, postings, dsp = built
+    engine = Bm25QueryEngine(postings, dsp, idx, CFG, fastpath_max_bytes=1)
+    dense = _canon(bm25_topk(idx, queries_df(spark), cfg=CFG).toPandas())
+    got = _canon(engine.query(QUERY_SET))
+    assert list(got["docID"]) == list(dense["docID"])
+    assert got["score"].tolist() == pytest.approx(dense["score"].tolist(), abs=1e-9)
