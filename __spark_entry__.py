@@ -542,6 +542,27 @@ def _q_short_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_content_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content→description fallback projection (reference Page.hpp:107-111,
+    137-146): the summary is the leading slice of the content, falling back
+    to an alternate field when the content is below the short-doc threshold.
+    The driver documents table has no description column; its ``source``
+    field plays that role — the OPERATOR (conditional projection + fallback
+    + drop-when-both-empty) is what this entry pins."""
+    docs = load_documents(spark, sf_dir)
+    summary = F.when(
+        F.length("content") >= DEFAULT.min_content_len, F.substring("content", 1, 100)
+    ).otherwise(F.col("source"))
+    return (
+        docs.select(
+            "doc_id",
+            summary.alias("summary"),
+            (F.length("content") < DEFAULT.min_content_len).alias("used_fallback"),
+        )
+        .filter(F.length("summary") > 0)
+    )
+
+
 def _q_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword filter on the BUILD path only (reference Page.hpp:294,305 vs
     the UNfiltered query path WebPageQuery.hpp:140-160 — the asymmetry is the
@@ -578,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "short_filter": _q_short_filter,
         "stopword_filter": _q_stopword_filter,
+        "content_fallback": _q_content_fallback,
         "result_fetch": _q_result_fetch,
         "df": _q_df,
         "term_idf": _q_term_idf,
@@ -1161,6 +1183,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cosine_topk": _COSINE_SQL,
         "stopword_filter": _BM25_STOPPED_SQL,
+        "content_fallback": f"""
+            SELECT doc_id,
+                   CASE WHEN length(text) >= {DEFAULT.min_content_len}
+                        THEN substr(text, 1, 100) ELSE source END AS summary,
+                   length(text) < {DEFAULT.min_content_len} AS used_fallback
+            FROM documents
+            WHERE length(CASE WHEN length(text) >= {DEFAULT.min_content_len}
+                              THEN substr(text, 1, 100) ELSE source END) > 0""",
         "short_filter": """
             SELECT doc_id, length(text)::bigint AS n_chars
             FROM documents WHERE length(text) >= 10""",
