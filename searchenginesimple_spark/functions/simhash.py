@@ -129,115 +129,20 @@ def fnv64_udf(terms: pd.Series) -> pd.Series:
     )
 
 
-def simhash_hashed_batch(
-    hash_lists: list[np.ndarray], weight_lists: list[np.ndarray]
-) -> np.ndarray:
-    """Weighted simhash from precomputed 64-bit term hashes (pure numpy).
+def simhash_weighted_py(tf: dict[str, int], idf_w: dict[str, int]) -> int:
+    """Scalar oracle for the tf·idf-weighted fingerprint (integer votes).
 
-    Determinism: (hash, weight) sort per doc fixes the float summation order.
-    Mirrored by ``simhash_weighted_py``.
-    """
-    n = len(hash_lists)
-    fp = np.zeros(n, dtype=np.int64)
-    lens = np.fromiter((len(h) for h in hash_lists), dtype=np.int64, count=n)
-    if int(lens.sum()) == 0:
-        return fp
-    flat_h = np.concatenate(
-        [np.asarray(h, dtype=np.int64) for h in hash_lists if len(h)]
-    ).view(np.uint64)
-    flat_w = np.concatenate(
-        [np.asarray(w, dtype=np.float64) for w, h in zip(weight_lists, hash_lists) if len(h)]
-    )
-    doc_idx = np.repeat(np.arange(n), lens)
-    order = np.lexsort((flat_w, flat_h, doc_idx))
-    flat_h, flat_w, doc_idx = flat_h[order], flat_w[order], doc_idx[order]
-    # per-bit segment sums via reduceat over the doc-sorted token stream:
-    # peak memory = O(tokens), never the tokens×64 outer product
-    nz = lens > 0
-    starts = (np.cumsum(lens) - lens)[nz]
-    fp_nz = np.zeros(int(nz.sum()), dtype=np.uint64)
-    for j in range(64):
-        sign = (((flat_h >> np.uint64(j)) & np.uint64(1)).astype(np.float64) * 2.0) - 1.0
-        sums = np.add.reduceat(flat_w * sign, starts)
-        fp_nz |= (sums > 0).astype(np.uint64) << np.uint64(j)
-    fp[nz] = fp_nz.view(np.int64)
-    return fp
-
-
-@pandas_udf(T.LongType())
-def simhash_hashed_udf(hashes: pd.Series, weights: pd.Series) -> pd.Series:
-    """(array<long> term hashes, array<double> weights) → int64 fingerprint."""
-    h = [np.asarray(x if x is not None else [], dtype=np.int64) for x in hashes]
-    w = [np.asarray(x if x is not None else [], dtype=np.float64) for x in weights]
-    return pd.Series(simhash_hashed_batch(h, w), index=hashes.index)
-
-
-def simhash_weighted_batch(
-    term_lists: list[np.ndarray], weight_lists: list[np.ndarray]
-) -> np.ndarray:
-    """Weighted simhash of a batch: per doc, terms with float weights → int64.
-
-    This is the build-pipeline fingerprint (weights = tf·idf): the reference's
-    simhash likewise feeds TF-IDF-extracted keywords, not raw tokens
-    (``Simhasher.hpp:21-25`` jieba keyword extractor) — idf weighting is what
-    stops the shared zipf-head vocabulary from dominating every vote and
-    collapsing all fingerprints together.
-
-    Determinism: terms are processed in sorted order per doc so the float
-    vote summation order is fixed (collect_list order is not).
-    """
-    n = len(term_lists)
-    fp = np.zeros(n, dtype=np.int64)
-    lens = np.fromiter((len(t) for t in term_lists), dtype=np.int64, count=n)
-    if int(lens.sum()) == 0:
-        return fp
-    flat_terms = np.concatenate(
-        [np.asarray(t, dtype="U") for t in term_lists if len(t)]
-    )
-    flat_w = np.concatenate(
-        [np.asarray(w, dtype=np.float64) for w, t in zip(weight_lists, term_lists) if len(t)]
-    )
-    doc_idx = np.repeat(np.arange(n), lens)
-    order = np.lexsort((flat_terms, doc_idx))
-    flat_terms, flat_w, doc_idx = flat_terms[order], flat_w[order], doc_idx[order]
-
-    uniq, inv = np.unique(flat_terms, return_inverse=True)
-    hashes = _term_hashes(uniq)
-    bit_sign = (
-        ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.float64
-        )
-        * 2.0
-        - 1.0
-    )
-    votes = np.zeros((n, 64), dtype=np.float64)
-    np.add.at(votes, doc_idx, flat_w[:, None] * bit_sign[inv])
-    bits = (votes > 0).astype(np.uint64)
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    return (bits * weights[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
-
-
-@pandas_udf(T.LongType())
-def simhash_weighted_udf(terms: pd.Series, weights: pd.Series) -> pd.Series:
-    """(array<string> terms, array<double> weights) → int64 fingerprint."""
-    t = [np.asarray(x if x is not None else [], dtype=object) for x in terms]
-    w = [np.asarray(x if x is not None else [], dtype=np.float64) for x in weights]
-    return pd.Series(simhash_weighted_batch(t, w), index=terms.index)
-
-
-def simhash_weighted_py(tf: dict[str, int], idf: dict[str, float]) -> int:
-    """Scalar oracle for the tf·idf-weighted fingerprint.
-
-    Summation order: (hash, weight) ascending — the same order the engine's
-    ``simhash_hashed_batch`` fixes, so float votes are bit-identical.
+    ``idf_w`` carries the PRE-QUANTIZED integer idf weights
+    (floor(ln((N+1)/(df+1))·10⁶ + 0.5), operators/dedup.py::
+    fingerprints_from_tf) — votes are exact integer sums, so no summation
+    order needs fixing and the oracle is order-free like the engine.
     """
     if not tf:
         return 0
-    votes = [0.0] * 64
-    items = sorted(
-        ((fnv1a64(t), tf[t] * idf.get(t, 0.0)) for t in tf), key=lambda p: (p[0], p[1])
-    )
-    for h, w in items:
+    votes = [0] * 64
+    for t, c in tf.items():
+        h = fnv1a64(t)
+        w = c * idf_w.get(t, 0)
         for j in range(64):
             votes[j] += w if (h >> j) & 1 else -w
     u = 0

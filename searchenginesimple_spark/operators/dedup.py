@@ -24,6 +24,9 @@ from searchenginesimple_spark.config import DEFAULT, EngineConfig
 from searchenginesimple_spark.functions.simhash import simhash64_udf
 
 
+IDF_VOTE_SCALE = 1_000_000  # idf quantization for integer simhash votes
+
+
 def with_simhash(docs: DataFrame, text_col: str = "content") -> DataFrame:
     """Raw tf-weighted content fingerprint (single-pass, corpus-free)."""
     return docs.withColumn("simhash", simhash64_udf(F.col(text_col)))
@@ -32,21 +35,26 @@ def with_simhash(docs: DataFrame, text_col: str = "content") -> DataFrame:
 def fingerprints_from_tf(tf: DataFrame, n_docs: int | None = None) -> DataFrame:
     """tf(doc_id, term, tf) → (doc_id, simhash) with tf·idf vote weights.
 
-    Weights: w(t,d) = tf(t,d) · ln((N+1)/(df(t)+1)) over the input corpus —
-    ubiquitous terms stop dominating the bit votes (see
-    functions/simhash.py::simhash_hashed_batch).  Term hashes are computed
-    ONCE per unique term (vectorized FNV over the vocabulary-sized df table)
-    and broadcast-joined, so the per-doc fingerprint UDF is pure numpy over
-    int64 — no strings cross into python at tf scale.
+    Weights: w(t,d) = tf(t,d) · round(ln((N+1)/(df(t)+1))·10⁶) — the tf·idf
+    weighting quantized to an INTEGER so the 64 bit-votes are exact sums:
+    deterministic under ANY aggregation order (float votes needed a per-doc
+    summation-order sort), which unlocks the all-JVM physical shape below.
+    Term hashes (FNV-1a 64) are computed ONCE per unique term (vectorized
+    numpy UDF over the vocabulary-sized df table); the per-doc vote stage is
+    64 integer aggregate expressions — ONE hash aggregation with map-side
+    partial combine, no collect_list arrays, no Arrow transfer of the token
+    stream, no Python in the tf-scale path.  (Shuffle volume: 64 longs per
+    doc instead of the full (hash, weight) token stream — the dedup stage's
+    former scaling bottleneck.)
 
-    The df/hash broadcast is vocabulary-sized; at 10^12-file scale broadcast
-    only the top-K frequent terms' df (rare terms take idf ≈ ln(N+1), same
+    The df/hash join is vocabulary-sized; at 10^12-file scale broadcast only
+    the top-K frequent terms' df (rare terms take idf ≈ ln(N+1), same
     downweighting outcome) or fall back to a shuffle join — same weight SPEC.
 
     Docs with no tokens get no row (→ fingerprint 0 → dropped,
     Page.hpp:129-133).
     """
-    from searchenginesimple_spark.functions.simhash import fnv64_udf, simhash_hashed_udf
+    from searchenginesimple_spark.functions.simhash import fnv64_udf
 
     # no broadcast hint on term_aux: the identifier vocabulary scales with the
     # corpus (2.7M terms at 250k code files) and a driver-built broadcast is
@@ -67,14 +75,33 @@ def fingerprints_from_tf(tf: DataFrame, n_docs: int | None = None) -> DataFrame:
         .crossJoin(F.broadcast(nd))
         .withColumn(
             "w",
-            F.col("tf").cast("double")
-            * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+            F.col("tf").cast("long")
+            * F.floor(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.lit(IDF_VOTE_SCALE)
+                + F.lit(0.5)
+            ).cast("long"),
         )
     )
-    grouped = w.groupBy("doc_id").agg(
-        F.collect_list("h64").alias("hs"), F.collect_list("w").alias("ws")
+    votes = w.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("w")
+                * (F.shiftrightunsigned(F.col("h64"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
     )
-    return grouped.select("doc_id", simhash_hashed_udf("hs", "ws").alias("simhash"))
+    fp = F.lit(0).cast("long")
+    for j in range(63):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    # bit 63 is the int64 sign bit: add it as the two's-complement value
+    fp = fp + F.when(F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return votes.select("doc_id", fp.alias("simhash"))
 
 
 def tfidf_fingerprints(
@@ -201,9 +228,6 @@ def simhash_dedup(
         F.col("b_id").alias("doc_id")
     ).distinct()
     return fp.filter(F.col("simhash") != 0).join(dropped, "doc_id", "left_anti")
-
-
-IDF_VOTE_SCALE = 1_000_000  # idf quantization for integer simhash votes
 
 
 def verifiable_fingerprints(

@@ -46,8 +46,13 @@ def dedup_survivors_oracle(
         for c in tfs.values():
             for t in c:
                 dfc[t] += 1
-        idf = {t: math.log((n + 1.0) / (dfc[t] + 1.0)) for t in dfc}
-        fps = {d: simhash_weighted_py(c, idf) for d, c in tfs.items()}
+        # integer-quantized idf weights — the engine's exact vote spec
+        # (fingerprints_from_tf: floor(ln((N+1)/(df+1))·1e6 + 0.5))
+        idf_w = {
+            t: int(math.floor(math.log((n + 1.0) / (dfc[t] + 1.0)) * 1e6 + 0.5))
+            for t in dfc
+        }
+        fps = {d: simhash_weighted_py(c, idf_w) for d, c in tfs.items()}
     else:
         fps = {
             int(d): simhash_py(t)
