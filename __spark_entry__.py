@@ -497,6 +497,35 @@ def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_topk(d, ci, qdf)
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based event sessionization (operators/sessions.py): per-user
+    window + running sum of gap breaks + per-session aggregation — the batch
+    twin of the applyInPandasWithState streaming operator
+    (streaming/sessions.py; agreement pinned in tests/test_sessions.py)."""
+    from searchenginesimple_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30)
+
+
+def _q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON build + parse (reference's JSON surface: vendored nlohmann/
+    rapidjson for result payloads, WebServer.cc; SURVEY §2.7 row): parse the
+    events.props JSON column with from_json, BUILD a payload with to_json
+    (compact key:value — byte-equal to DuckDB's to_json), and prove the
+    round-trip parses back identically."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k long")
+    built = F.to_json(F.struct(F.col("event_id"), F.col("event_type")))
+    rt = F.from_json(built, "event_id long, event_type string")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        built.alias("payload"),
+        ((rt["event_id"] == F.col("event_id")) & (rt["event_type"] == F.col("event_type"))).alias("rt_ok"),
+    )
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window agg (batch mirror of the streaming op)."""
     ev = load_table(spark, sf_dir, "events")
@@ -632,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_index": _q_char_index,
         "suggest": _q_suggest,
         "events_window": _q_events_window,
+        "sessionize": _q_sessionize,
+        "json_parse": _q_json_parse,
         "join_agg": _q_join_agg,
     }
 
@@ -1224,6 +1255,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, session_id""",
+        "json_parse": """
+            SELECT event_id,
+                   json_extract(props, '$.k')::BIGINT AS k,
+                   to_json(struct_pack(event_id := event_id,
+                                       event_type := event_type))::VARCHAR AS payload,
+                   true AS rt_ok
+            FROM events""",
         "streaming_clicks": """
             SELECT date_trunc('hour', ts) AS window_start,
                    event_type AS url, count(*) AS clicks
