@@ -267,6 +267,18 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, qv, dim=64, k=10, n_planes=8)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-k (training-free integer centroids, cell
+    assignment → n_probe candidate join → exact re-rank), fully
+    DuckDB-hash-verified via the same quantized-integer determinism as
+    ann_lsh; recall vs brute force measured in tests/test_ann."""
+    from searchenginesimple_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, qv, dim=64, k=10, n_centroids=16, n_probe=4)
+
+
 def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (training-data dedup family)."""
     from searchenginesimple_spark.operators.ann import embedding_neardup_exact
@@ -647,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "embed_neardup": _q_embed_neardup,
         "embed_neardup_lsh": _q_embed_neardup_lsh,
         "html_p_extract": _q_html_p_extract,
@@ -893,6 +906,47 @@ _COS_EXPR = (
 )
 
 
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """Mirrors operators/ann.py::ivf_topk — centroid literals inlined, cell
+    ranking via the same (−dot, id) struct sort."""
+    from searchenginesimple_spark.operators.ann import _centroids
+
+    cents = _centroids(64, n_centroids)
+    entries = ", ".join(
+        "struct_pack(nd := -list_dot_product(qv, ["
+        + ",".join(str(int(x)) for x in c)
+        + "]::DOUBLE[]), j := " + str(j) + ")"
+        for j, c in enumerate(cents)
+    )
+    cos = _COS_EXPR.replace("e1", "e.embedding").replace("e2", "q.qemb")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[], x -> floor(x*1000))::DOUBLE[] AS qv
+  FROM embeddings
+),
+cells AS (
+  SELECT vec_id, embedding,
+         list_transform(list_sort([{entries}]), x -> x.j) AS ranked
+  FROM base
+),
+e AS (SELECT vec_id, embedding, ranked[1] AS cell FROM cells),
+q AS (SELECT vec_id AS query_id, embedding AS qemb, unnest(ranked[1:{n_probe}]) AS cell
+      FROM cells WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS cos
+  FROM e JOIN q USING (cell)
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::int AS rank, vec_id, cos::double AS cos FROM ranked WHERE rank <= {k}
+"""
+
+
 def _ann_lsh_sql(n_planes: int = 8, n_tables: int = 8, k: int = 10) -> str:
     """Mirrors operators/ann.py::lsh_topk over the embeddings table."""
     buckets = ", ".join(_lsh_bucket_exprs(64, n_planes, n_tables))
@@ -953,6 +1007,7 @@ SELECT a_id, b_id, cos::double AS cos FROM scored WHERE cos >= {threshold}
 
 
 _ANN_LSH_SQL = _ann_lsh_sql()
+_ANN_IVF_SQL = _ann_ivf_sql()
 _EMBED_NEARDUP_LSH_SQL = _embed_neardup_lsh_sql()
 
 
@@ -1245,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _SIMHASH_DEDUP_SQL,
         "minhash_pairs": _MINHASH_SQL,
         "ann_lsh": _ANN_LSH_SQL,
+        "ann_ivf": _ANN_IVF_SQL,
         "embed_neardup_lsh": _EMBED_NEARDUP_LSH_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "rss_parse": _RSS_SQL,

@@ -190,6 +190,83 @@ def lsh_topk(
     )
 
 
+def _centroids(dim: int, n_centroids: int, seed: int = 43) -> list[list[int]]:
+    """Seeded integer 'centroids' for the IVF cells — same quantized-integer
+    determinism rationale as _hyperplanes.  A production IVF would train
+    these with k-means over a sample; the OPERATOR (cell assignment →
+    probe-limited candidate join → exact re-rank) is identical either way,
+    and fixed random directions are the standard training-free baseline."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(-4, 5, size=(n_centroids, dim)).tolist()
+
+
+def _ivf_cells(vec_col: str, dim: int, n_centroids: int, n_probe: int, seed: int = 43):
+    """array<int> of the n_probe nearest cell ids (by integer dot product,
+    descending; ties → smaller id — array_sort over (−dot, id) structs)."""
+    qv = _quantized(vec_col)
+    cents = _centroids(dim, n_centroids, seed)
+    entries = [
+        F.struct(
+            (-_idot(qv, F.array(*[F.lit(int(x)).cast("long") for x in c]))).alias("nd"),
+            F.lit(j).alias("j"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, n_probe)
+    return F.transform(ranked, lambda s: s["j"])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vecs: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    seed: int = 43,
+) -> DataFrame:
+    """IVF approximate top-k: data vectors live in ONE cell (their nearest
+    centroid); each query probes its n_probe nearest cells; candidates are
+    the probed cells' members, re-ranked by exact cosine.
+
+    At scale: the cell column partitions the vector table (a real deployment
+    would bucket/partition parquet by it → probe = partition-pruned scan);
+    the probe join shuffles by cell id only.  Recall rises with n_probe
+    (n_probe = n_centroids ≡ brute force); measured in tests/test_ann.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _ivf_cells(vec_col, dim, n_centroids, 1, seed)[0].alias("cell"),
+    )
+    q = query_vecs.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_ivf_cells(vec_col, dim, n_centroids, n_probe, seed)).alias("cell"),
+    )
+    scored = (
+        e.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec"))
+                / (_norm(F.col("vec")) * _norm(F.col("qvec"))),
+                decimals,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cos")
+    )
+
+
 def embedding_neardup_exact(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -62,3 +62,23 @@ def test_lsh_topk_recall_at_10(emb):
     ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     assert len(ex & ap) / len(ex) >= 0.8
+
+
+def test_ivf_topk_recall_and_probe_sweep(emb):
+    from searchenginesimple_spark.operators.ann import ivf_topk
+
+    q = emb.filter("vec_id < 5")
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=10).collect()}
+
+    ap4 = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, dim=DIM, k=10, n_centroids=16, n_probe=4).collect()
+    }
+    assert len(exact & ap4) / len(exact) >= 0.5  # 4/16 cells probed
+
+    # probing every cell ≡ brute force (the IVF completeness property)
+    ap_all = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, dim=DIM, k=10, n_centroids=16, n_probe=16).collect()
+    }
+    assert ap_all == exact
