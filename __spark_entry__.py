@@ -125,6 +125,38 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(idx, _queries_df(spark))
 
 
+def _q_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (OR-mode) BM25 top-k: any doc matching ≥ 1 indexed query
+    term scores — the dense baseline the block-max pruned WAND path must
+    equal (operators/wand.py)."""
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs)
+    return bm25_topk(idx, _queries_df(spark), mode="or")
+
+
+def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED query path end-to-end under the driver hash gate:
+    tf → doc-range-sharded delta+varbyte postings with block-max metadata →
+    applyInPandas WAND kernel (rarest-first intersect) → global top-k.
+    Rank-identical to the dense path, so the oracle is the same BM25 SQL.
+    Small shard_span/block_size so sf0.01 exercises multi-shard merge and
+    block pruning, not a degenerate single group."""
+    import dataclasses
+
+    from searchenginesimple_spark.operators.postings import (
+        build_doc_stats_packed,
+        build_postings,
+    )
+    from searchenginesimple_spark.operators.wand import bm25_topk_compressed
+
+    cfg = dataclasses.replace(DEFAULT, shard_span=128, block_size=16)
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs, cfg=cfg)
+    postings = build_postings(idx.tf, cfg)
+    dsp = build_doc_stats_packed(idx.doc_stats, cfg)
+    return bm25_topk_compressed(postings, dsp, idx, _queries_df(spark), cfg)
+
+
 def _q_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive doc intersection as a join+count (WebPageQuery.hpp:62-84)."""
     docs = load_documents(spark, sf_dir)
@@ -646,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_idf": _q_term_idf,
         "doc_stats": _q_doc_stats,
         "bm25_topk": _q_bm25_topk,
+        "bm25_or": _q_bm25_or,
+        "bm25_wand": _q_bm25_wand,
         "conjunctive": _q_conjunctive,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -680,9 +714,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _bm25_sql(tok_cte: str) -> str:
+def _bm25_sql(tok_cte: str, conjunctive: bool = True) -> str:
     """Full BM25 top-k oracle over a pluggable tokenizer CTE (the
-    stopword_filter entry swaps in the stop-filtered CTE)."""
+    stopword_filter entry swaps in the stop-filtered CTE; conjunctive=False
+    drops the all-terms-match filter — the OR/disjunctive mode)."""
+    conj_pred = "s.nmatch = qn.n_terms" if conjunctive else "TRUE"
     return f"""
 WITH {tok_cte},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -715,7 +751,7 @@ scored AS (
   FROM contrib GROUP BY query_id, query, doc_id
 ),
 conj AS (
-  SELECT s.* FROM scored s JOIN qn USING (query_id) WHERE s.nmatch = qn.n_terms
+  SELECT s.* FROM scored s JOIN qn USING (query_id) WHERE {conj_pred}
 ),
 ranked AS (
   SELECT query, doc_id, score,
@@ -728,6 +764,7 @@ FROM ranked WHERE rank <= {DEFAULT.top_k}
 
 
 _BM25_SQL = _bm25_sql(_SQL_TOK)
+_BM25_OR_SQL = _bm25_sql(_SQL_TOK, conjunctive=False)
 _BM25_STOPPED_SQL = _bm25_sql(_SQL_TOK_STOPPED)
 
 _LANG_SQL = {
@@ -1360,6 +1397,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": f"""WITH {_SQL_TOK}
             SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id""",
         "bm25_topk": _BM25_SQL,
+        "bm25_or": _BM25_OR_SQL,
+        "bm25_wand": _BM25_SQL,
         "conjunctive": f"""WITH {_SQL_TOK},
             tf AS (SELECT doc_id, term FROM tok WHERE term IN ('spark','window')
                    GROUP BY doc_id, term)

@@ -112,3 +112,19 @@ def test_tf_projection_column_pruned(spark, built_io):
     # ReadSchema carries only the projected column — doc_id/tf pruned out
     read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
     assert "term" in read_schema and "doc_id" not in read_schema, plan
+
+
+def test_fingerprint_vote_stage_is_jvm(spark, built_io):
+    """The tf·idf simhash vote stage must be pure JVM aggregation with
+    map-side partial combine: no collect_list arrays, and the only Python
+    node is the vocabulary-sized FNV hash UDF."""
+    from searchenginesimple_spark.operators.dedup import fingerprints_from_tf
+
+    import re
+
+    tf = built_io.read("tf")
+    plan = _plan(fingerprints_from_tf(tf, n_docs=300))
+    assert "collect_list" not in plan, plan
+    py_nodes = re.findall(r"\(\d+\) (?:Arrow|Batch)EvalPython", plan)
+    assert len(py_nodes) <= 1, plan
+    assert "partial_sum" in plan, plan  # map-side combine before the doc_id shuffle
