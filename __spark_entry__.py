@@ -278,6 +278,41 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_verifiable(docs).select("doc_id", "simhash")
 
 
+def _q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed posting-run merge (north rule "posting-list construction,
+    MERGE, compression"; operators/merge.py): split the documents table at
+    the median doc_id, build delta+varbyte postings per half, merge per
+    (term, shard) — the small shard_span makes halves share a boundary
+    shard, so the overlap path (decode → interleave → re-encode) and both
+    pass-through paths all execute — then decode back to flat rows.  The
+    oracle is plain tf over the WHOLE table: build → merge → decode must be
+    the identity.  Full-pipeline increments: plans/merge.py
+    (build_index_incremental), equivalence-tested in tests/test_merge.py."""
+    import dataclasses
+
+    from searchenginesimple_spark.config import DEFAULT
+    from searchenginesimple_spark.operators.merge import (
+        decode_postings,
+        merge_postings,
+    )
+    from searchenginesimple_spark.operators.postings import build_postings
+
+    cfg = dataclasses.replace(DEFAULT, shard_span=64, block_size=16)
+    docs = load_documents(spark, sf_dir)
+    tf = tokens_of(docs).groupBy("doc_id", "term").agg(
+        F.count("*").cast("int").alias("tf")
+    )
+    mid = docs.count() // 2
+    merged = merge_postings(
+        build_postings(tf.filter(F.col("doc_id") < mid), cfg),
+        build_postings(tf.filter(F.col("doc_id") >= mid), cfg),
+        cfg,
+    )
+    return decode_postings(merged).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
 def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embeddings table."""
     from searchenginesimple_spark.operators.ann import cosine_topk
@@ -691,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_dedup": _q_simhash_dedup,
+        "index_merge": _q_index_merge,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1384,6 +1420,8 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
         "tf": f"WITH {_SQL_TOK} SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term",
+        # build → merge → decode is the identity on tf (operators/merge.py)
+        "index_merge": f"WITH {_SQL_TOK} SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term",
         "df": f"""WITH {_SQL_TOK},
             tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term)
             SELECT term, count(*) AS df FROM tf GROUP BY term""",

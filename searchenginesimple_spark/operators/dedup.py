@@ -32,7 +32,9 @@ def with_simhash(docs: DataFrame, text_col: str = "content") -> DataFrame:
     return docs.withColumn("simhash", simhash64_udf(F.col(text_col)))
 
 
-def fingerprints_from_tf(tf: DataFrame, n_docs: int | None = None) -> DataFrame:
+def fingerprints_from_tf(
+    tf: DataFrame, n_docs: int | None = None, df_global: DataFrame | None = None
+) -> DataFrame:
     """tf(doc_id, term, tf) → (doc_id, simhash) with tf·idf vote weights.
 
     Weights: w(t,d) = tf(t,d) · round(ln((N+1)/(df(t)+1))·10⁶) — the tf·idf
@@ -58,8 +60,15 @@ def fingerprints_from_tf(tf: DataFrame, n_docs: int | None = None) -> DataFrame:
 
     # no broadcast hint on term_aux: the identifier vocabulary scales with the
     # corpus (2.7M terms at 250k code files) and a driver-built broadcast is
-    # serial time; AQE broadcasts it only while it is genuinely small
-    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # serial time; AQE broadcasts it only while it is genuinely small.
+    # ``df_global`` (term, df) overrides the per-call df derivation — the
+    # incremental build passes base-df + delta-df so a delta's vote weights
+    # reflect the whole corpus, not just the increment.
+    dfc = (
+        df_global.select("term", "df")
+        if df_global is not None
+        else tf.groupBy("term").agg(F.count("*").alias("df"))
+    )
     term_aux = dfc.withColumn("h64", fnv64_udf("term")).select("term", "df", "h64")
     if n_docs is None:
         # last-resort fallback: derive N from tf (a full distinct shuffle).
@@ -166,7 +175,20 @@ def _subset_keys(simhash, cfg: EngineConfig):
     return keys
 
 
-def simhash_dup_pairs(fp: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def _band_explode(fp: DataFrame, cfg: EngineConfig) -> DataFrame:
+    # reference drops simhash==0 (Page.hpp:129-133)
+    return fp.filter(F.col("simhash") != 0).select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*_subset_keys(F.col("simhash"), cfg))).alias(
+            "band_id", "band_val"
+        ),
+    )
+
+
+def simhash_dup_pairs(
+    fp: DataFrame, cfg: EngineConfig = DEFAULT, right: DataFrame | None = None
+) -> DataFrame:
     """fp(doc_id, simhash) → near-dup pairs (a_id < b_id, hamming ≤ threshold).
 
     Physical shape: explode each fingerprint into its block-subset keys
@@ -174,17 +196,15 @@ def simhash_dup_pairs(fp: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     self-equi-join on (band_id, band_val) → cheap JVM popcount theta-filter →
     distinct pairs.  Shuffle is by band key only; residual key skew is
     handled by AQE skew-join splitting.
+
+    ``right`` restricts the b-side (the dropped-candidate side) of the join:
+    the incremental build (plans/merge.py) passes right = the delta
+    fingerprints so only delta-vs-anything pairs materialize — base-vs-base
+    pairs (already resolved in earlier generations) never re-join.
     """
-    fp = fp.filter(F.col("simhash") != 0)  # reference drops simhash==0 (Page.hpp:129-133)
-    bands = fp.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(F.array(*_subset_keys(F.col("simhash"), cfg))).alias(
-            "band_id", "band_val"
-        ),
-    )
+    bands = _band_explode(fp, cfg)
     a = bands.alias("a")
-    b = bands.alias("b")
+    b = (bands if right is None else _band_explode(right, cfg)).alias("b")
     pairs = (
         a.join(
             b,

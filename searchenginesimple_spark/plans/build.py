@@ -111,6 +111,69 @@ class _Metrics:
 
 
 
+def _build_shard_batches(
+    io: TableIO,
+    m: "_Metrics",
+    run_id: str,
+    lineage: str,
+    cfg: EngineConfig,
+    survivors: DataFrame,
+    todo: list[int],
+    fail_after_shards: int | None = None,
+) -> int:
+    """The per-partition-checkpoint shard loop, shared by the full build and
+    the incremental build (plans/merge.py).  One Spark job per BATCH of
+    shards (a per-shard loop would serialize a 10^12-file build); a crash
+    re-does at most one batch, idempotently."""
+    built = 0
+    bsz = max(1, cfg.checkpoint_batch_shards)
+    tf_all = io.read("tf")
+    for i in range(0, len(todo), bsz):
+        if fail_after_shards is not None and built >= fail_after_shards:
+            raise RuntimeError(f"fault injection: stopping after {built} shards")
+        batch = todo[i : i + bsz]
+        ts = time.time()
+        # partition-pruned tf slice, restricted to dedup survivors
+        tf_b = tf_all.filter(F.col("shard").isin(batch)).drop("shard")
+        surv = survivors.filter(F.col("shard").isin(batch)).select("doc_id")
+        tf_b = tf_b.join(surv, "doc_id", "left_semi")
+        doc_stats = tf_b.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
+        # post-encode repartition by shard: exactly one (compressed, small)
+        # file per shard — commit + read-back cost independent of core count
+        io.overwrite_partitions(
+            build_postings(tf_b, cfg).repartition("shard"), "postings", "shard"
+        )
+        io.overwrite_partitions(build_doc_stats_packed(doc_stats, cfg), "doc_stats_packed", "shard")
+        wall_batch = int((time.time() - ts) * 1000)
+        # one metadata job for both read-backs (join of two tiny per-shard aggs)
+        p_stats = (
+            io.read("postings")
+            .filter(F.col("shard").isin(batch))
+            .groupBy("shard")
+            .agg(
+                F.sum("df").alias("postings"),
+                F.sum(F.length("ids") + F.length("tfs")).alias("bytes"),
+            )
+        )
+        d_stats = (
+            io.read("doc_stats_packed").filter(F.col("shard").isin(batch)).select("shard", "n")
+        )
+        stats = {int(r["shard"]): r for r in p_stats.join(d_stats, "shard", "full").collect()}
+        m.log(
+            [
+                (
+                    run_id, "shards", int(s), int(stats[int(s)]["n"] or 0) if int(s) in stats else 0,
+                    int(stats[int(s)]["postings"] or 0) if int(s) in stats else 0,
+                    int(stats[int(s)]["bytes"] or 0) if int(s) in stats else 0,
+                    wall_batch, "done", lineage, time.time(),
+                )
+                for s in batch
+            ],
+        )
+        built += len(batch)
+    return built
+
+
 def build_index(
     spark: SparkSession,
     docs_raw: DataFrame,
@@ -211,56 +274,11 @@ def build_index(
     all_shards = set(m.latest_per_shard("tf_shard").keys())
 
     # ---- stage: shards (per-partition checkpoint, batched) ----------------
-    # One Spark job per BATCH of shards (a per-shard loop would serialize a
-    # 10^12-file build); crash re-does at most one batch, idempotently.
     done = m.done("shards")
     todo = sorted(all_shards - done)
-    built = 0
-    bsz = max(1, cfg.checkpoint_batch_shards)
-    tf_all = io.read("tf")
-    for i in range(0, len(todo), bsz):
-        if fail_after_shards is not None and built >= fail_after_shards:
-            raise RuntimeError(f"fault injection: stopping after {built} shards")
-        batch = todo[i : i + bsz]
-        ts = time.time()
-        # partition-pruned tf slice, restricted to dedup survivors
-        tf_b = tf_all.filter(F.col("shard").isin(batch)).drop("shard")
-        surv = survivors.filter(F.col("shard").isin(batch)).select("doc_id")
-        tf_b = tf_b.join(surv, "doc_id", "left_semi")
-        doc_stats = tf_b.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
-        # post-encode repartition by shard: exactly one (compressed, small)
-        # file per shard — commit + read-back cost independent of core count
-        io.overwrite_partitions(
-            build_postings(tf_b, cfg).repartition("shard"), "postings", "shard"
-        )
-        io.overwrite_partitions(build_doc_stats_packed(doc_stats, cfg), "doc_stats_packed", "shard")
-        wall_batch = int((time.time() - ts) * 1000)
-        # one metadata job for both read-backs (join of two tiny per-shard aggs)
-        p_stats = (
-            io.read("postings")
-            .filter(F.col("shard").isin(batch))
-            .groupBy("shard")
-            .agg(
-                F.sum("df").alias("postings"),
-                F.sum(F.length("ids") + F.length("tfs")).alias("bytes"),
-            )
-        )
-        d_stats = (
-            io.read("doc_stats_packed").filter(F.col("shard").isin(batch)).select("shard", "n")
-        )
-        stats = {int(r["shard"]): r for r in p_stats.join(d_stats, "shard", "full").collect()}
-        m.log(
-            [
-                (
-                    run_id, "shards", int(s), int(stats[int(s)]["n"] or 0) if int(s) in stats else 0,
-                    int(stats[int(s)]["postings"] or 0) if int(s) in stats else 0,
-                    int(stats[int(s)]["bytes"] or 0) if int(s) in stats else 0,
-                    wall_batch, "done", lineage, time.time(),
-                )
-                for s in batch
-            ],
-        )
-        built += len(batch)
+    built = _build_shard_batches(
+        io, m, run_id, lineage, cfg, survivors, todo, fail_after_shards
+    )
 
     # ---- stage: finalize (derived globals, idempotent) --------------------
     dsp = io.read("doc_stats_packed")
