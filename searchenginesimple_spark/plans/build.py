@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -64,6 +65,27 @@ METRICS_SCHEMA = (
     "run_id string, stage string, shard int, docs long, postings long, "
     "bytes long, wall_ms long, status string, lineage string, ts double"
 )
+
+
+@contextmanager
+def _aqe(spark: SparkSession, on: bool):
+    """Phase AQE per build stage.  AQE re-plans the query at every stage
+    materialization; with the 64-expression vote aggregates and multi-stage
+    writes that re-planning is pure driver serial time — measured 26 s of
+    inter-job gaps per 250 k-doc build (4 cores), an Amdahl term that caps
+    N→4N scaling.  The tf/postings shuffles need no runtime re-plan: their
+    skew is bounded by construction (the doc-range shard salt caps every
+    (term, shard) group, operators/postings.py), so AQE is OFF for them.
+    The dedup band self-join keeps the session default (ON): its bucket
+    sizes are data-dependent (near-dup clusters make hot bands) and AQE
+    skew-join splitting is the designed mitigation (operators/dedup.py)."""
+    key = "spark.sql.adaptive.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "true" if on else "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
 
 
 @dataclass
@@ -133,32 +155,33 @@ def _build_shard_batches(
             raise RuntimeError(f"fault injection: stopping after {built} shards")
         batch = todo[i : i + bsz]
         ts = time.time()
-        # partition-pruned tf slice, restricted to dedup survivors
-        tf_b = tf_all.filter(F.col("shard").isin(batch)).drop("shard")
-        surv = survivors.filter(F.col("shard").isin(batch)).select("doc_id")
-        tf_b = tf_b.join(surv, "doc_id", "left_semi")
-        doc_stats = tf_b.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
-        # post-encode repartition by shard: exactly one (compressed, small)
-        # file per shard — commit + read-back cost independent of core count
-        io.overwrite_partitions(
-            build_postings(tf_b, cfg).repartition("shard"), "postings", "shard"
-        )
-        io.overwrite_partitions(build_doc_stats_packed(doc_stats, cfg), "doc_stats_packed", "shard")
-        wall_batch = int((time.time() - ts) * 1000)
-        # one metadata job for both read-backs (join of two tiny per-shard aggs)
-        p_stats = (
-            io.read("postings")
-            .filter(F.col("shard").isin(batch))
-            .groupBy("shard")
-            .agg(
-                F.sum("df").alias("postings"),
-                F.sum(F.length("ids") + F.length("tfs")).alias("bytes"),
+        with _aqe(io.spark, False):
+            # partition-pruned tf slice, restricted to dedup survivors
+            tf_b = tf_all.filter(F.col("shard").isin(batch)).drop("shard")
+            surv = survivors.filter(F.col("shard").isin(batch)).select("doc_id")
+            tf_b = tf_b.join(surv, "doc_id", "left_semi")
+            doc_stats = tf_b.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
+            # post-encode repartition by shard: exactly one (compressed, small)
+            # file per shard — commit + read-back cost independent of core count
+            io.overwrite_partitions(
+                build_postings(tf_b, cfg).repartition("shard"), "postings", "shard"
             )
-        )
-        d_stats = (
-            io.read("doc_stats_packed").filter(F.col("shard").isin(batch)).select("shard", "n")
-        )
-        stats = {int(r["shard"]): r for r in p_stats.join(d_stats, "shard", "full").collect()}
+            io.overwrite_partitions(build_doc_stats_packed(doc_stats, cfg), "doc_stats_packed", "shard")
+            wall_batch = int((time.time() - ts) * 1000)
+            # one metadata job for both read-backs (join of two tiny per-shard aggs)
+            p_stats = (
+                io.read("postings")
+                .filter(F.col("shard").isin(batch))
+                .groupBy("shard")
+                .agg(
+                    F.sum("df").alias("postings"),
+                    F.sum(F.length("ids") + F.length("tfs")).alias("bytes"),
+                )
+            )
+            d_stats = (
+                io.read("doc_stats_packed").filter(F.col("shard").isin(batch)).select("shard", "n")
+            )
+            stats = {int(r["shard"]): r for r in p_stats.join(d_stats, "shard", "full").collect()}
         m.log(
             [
                 (
@@ -180,11 +203,19 @@ def build_index(
     io: TableIO,
     cfg: EngineConfig = DEFAULT,
     run_id: str | None = None,
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = False,
     fail_after_shards: int | None = None,
 ) -> BuildResult:
     """Run (or resume) the full index build.  ``fail_after_shards`` is a
-    test-only fault injection: raise after N shard checkpoints commit."""
+    test-only fault injection: raise after N shard checkpoints commit.
+
+    ``use_pandas_udf`` selects the tokenizer implementation (bit-identical
+    results either way, tests/test_tokenize.py).  Default False = the
+    all-JVM ``regexp_extract_all`` path: measured 20-25 % faster end-to-end
+    at every core count on this class of host because the tokenize stage
+    skips the JVM↔Python Arrow serialize/copy hop — the Arrow-batched
+    pandas-UDF path stays selectable (and is the shape the other Python
+    stages — posting encode, simhash hashing, codecs — always use)."""
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:12]
     lineage = json.dumps({"config": asdict(cfg)})
@@ -195,19 +226,21 @@ def build_index(
     # shard added); dedup later emits only a small survivors table — no
     # second full-content write.
     if -1 not in m.done("tf"):
-        ided = with_doc_ids(docs_raw).filter(
-            F.length(F.col("content")) >= cfg.min_content_len
-        )
+        with _aqe(spark, False):  # with_doc_ids collects its bucket counts
+            ided = with_doc_ids(docs_raw).filter(
+                F.length(F.col("content")) >= cfg.min_content_len
+            )
         staged = (
             ided.withColumn("shard", shard_of(F.col("doc_id"), cfg))
             .withColumn("sha256", F.sha2(F.col("content"), 256))
             .withColumn("n_bytes", F.length("content").cast("long"))
         )
-        io.overwrite_partitions(
-            staged.select("doc_id", "shard", "repo", "path", "commit", "lang", "content", "sha256", "n_bytes"),
-            "docstore_raw",
-            "shard",
-        )
+        with _aqe(spark, False):
+            io.overwrite_partitions(
+                staged.select("doc_id", "shard", "repo", "path", "commit", "lang", "content", "sha256", "n_bytes"),
+                "docstore_raw",
+                "shard",
+            )
         staged = io.read("docstore_raw")
         # stopword filter on the BUILD path only (Page.hpp:294; the query
         # path is never filtered — the reference's asymmetry)
@@ -223,13 +256,14 @@ def build_index(
             .agg(F.count("*").cast("int").alias("tf"))
             .withColumn("shard", shard_of(F.col("doc_id"), cfg))
         )
-        io.overwrite_partitions(tf, "tf", "shard")
-        # column-pruned: reads only (shard, n_bytes), never content
-        per_shard = (
-            staged.groupBy("shard")
-            .agg(F.count("*").alias("docs"), F.sum("n_bytes").alias("bytes"))
-            .collect()
-        )
+        with _aqe(spark, False):
+            io.overwrite_partitions(tf, "tf", "shard")
+            # column-pruned: reads only (shard, n_bytes), never content
+            per_shard = (
+                staged.groupBy("shard")
+                .agg(F.count("*").alias("docs"), F.sum("n_bytes").alias("bytes"))
+                .collect()
+            )
         wall = int((time.time() - t0) * 1000)
         m.log(
             [
@@ -281,26 +315,27 @@ def build_index(
     )
 
     # ---- stage: finalize (derived globals, idempotent) --------------------
-    dsp = io.read("doc_stats_packed")
-    stats_row = dsp.agg(
-        F.sum("n").cast("long").alias("n_docs"),
-        (F.sum("sum_dlen") / F.sum("n")).alias("avgdl"),
-    ).collect()[0]
-    n_docs = stats_row["n_docs"]
-    # 1-row scalar table: driver-side write, no Spark job
-    io.overwrite_rows(
-        [(int(n_docs), float(stats_row["avgdl"]))], "n_docs long, avgdl double", "corpus"
-    )
-    term_stats = (
-        io.read("postings")
-        .groupBy("term")
-        .agg(F.sum("df").cast("int").alias("df"))
-        .withColumn(
-            "idf",
-            F.log((F.lit(int(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),
+    with _aqe(spark, False):
+        dsp = io.read("doc_stats_packed")
+        stats_row = dsp.agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            (F.sum("sum_dlen") / F.sum("n")).alias("avgdl"),
+        ).collect()[0]
+        n_docs = stats_row["n_docs"]
+        # 1-row scalar table: driver-side write, no Spark job
+        io.overwrite_rows(
+            [(int(n_docs), float(stats_row["avgdl"]))], "n_docs long, avgdl double", "corpus"
         )
-    )
-    io.overwrite(term_stats, "term_stats")
+        term_stats = (
+            io.read("postings")
+            .groupBy("term")
+            .agg(F.sum("df").cast("int").alias("df"))
+            .withColumn(
+                "idf",
+                F.log((F.lit(int(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),
+            )
+        )
+        io.overwrite(term_stats, "term_stats")
     wall = int((time.time() - t0) * 1000)
     m.log([(run_id, "finalize", -1, int(n_docs), 0, 0, wall, "done", lineage, time.time())])
 

@@ -57,6 +57,7 @@ from searchenginesimple_spark.operators.dedup import (
 from searchenginesimple_spark.operators.postings import shard_of
 from searchenginesimple_spark.plans.build import (
     BuildResult,
+    _aqe,
     _build_shard_batches,
     _Metrics,
 )
@@ -82,7 +83,7 @@ def build_index_incremental(
     io: TableIO,
     cfg: EngineConfig = DEFAULT,
     run_id: str | None = None,
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = False,  # same default + rationale as build_index
     fail_after_shards: int | None = None,
 ) -> BuildResult:
     """Merge ``new_docs_raw`` into the index at ``io`` (see module docstring)."""
@@ -113,53 +114,58 @@ def build_index_incremental(
     first_id = first_shard * cfg.shard_span
 
     # ---- stage tf.g{gen}: assign boundary-aligned ids, stage, tokenize ----
+    # AQE phasing as in plans/build.py: OFF for the skew-bounded-by-
+    # construction stages (its re-planning is serial driver time), session
+    # default (ON) for the dedup band join below
     if -1 not in m.done(f"tf{sfx}"):
-        ided = with_doc_ids(
-            new_docs_raw.filter(F.length(F.col("content")) >= cfg.min_content_len)
-        ).withColumn("doc_id", F.col("doc_id") + F.lit(int(first_id)))
-        staged = (
-            ided.withColumn("shard", shard_of(F.col("doc_id"), cfg))
-            .withColumn("sha256", F.sha2(F.col("content"), 256))
-            .withColumn("n_bytes", F.length("content").cast("long"))
-        )
-        # exact-dup skip vs the base: sha256 anti-join (column-pruned scan of
-        # the base docstore's sha column; the fingerprint comparison below is
-        # approximate across generations — weights drift with df — this one
-        # is the exact guarantee).  shard < first_shard: a crashed attempt's
-        # own partial writes must not make the delta skip itself on resume.
-        base_sha = (
-            io.read("docstore_raw")
-            .filter(F.col("shard") < first_shard)
-            .select("sha256")
-        )
-        staged = staged.join(base_sha, "sha256", "left_anti")
-        io.overwrite_partitions(
-            staged.select(
-                "doc_id", "shard", "repo", "path", "commit", "lang",
-                "content", "sha256", "n_bytes",
-            ),
-            "docstore_raw",
-            "shard",
-        )
-        staged = io.read("docstore_raw").filter(F.col("shard") >= first_shard)
-        tf = (
-            filter_stopwords(
-                tokens_of(
-                    staged.select("doc_id", "content"), "content",
-                    use_pandas_udf, cfg.token_re,
-                ),
-                cfg.stopwords,
+        with _aqe(spark, False):
+            ided = with_doc_ids(
+                new_docs_raw.filter(F.length(F.col("content")) >= cfg.min_content_len)
+            ).withColumn("doc_id", F.col("doc_id") + F.lit(int(first_id)))
+            staged = (
+                ided.withColumn("shard", shard_of(F.col("doc_id"), cfg))
+                .withColumn("sha256", F.sha2(F.col("content"), 256))
+                .withColumn("n_bytes", F.length("content").cast("long"))
             )
-            .groupBy("doc_id", "term")
-            .agg(F.count("*").cast("int").alias("tf"))
-            .withColumn("shard", shard_of(F.col("doc_id"), cfg))
-        )
-        io.overwrite_partitions(tf, "tf", "shard")
-        per_shard = (
-            staged.groupBy("shard")
-            .agg(F.count("*").alias("docs"), F.sum("n_bytes").alias("bytes"))
-            .collect()
-        )
+            # exact-dup skip vs the base: sha256 anti-join (column-pruned scan
+            # of the base docstore's sha column; the fingerprint comparison
+            # below is approximate across generations — weights drift with df —
+            # this one is the exact guarantee).  shard < first_shard: a crashed
+            # attempt's own partial writes must not make the delta skip itself
+            # on resume.
+            base_sha = (
+                io.read("docstore_raw")
+                .filter(F.col("shard") < first_shard)
+                .select("sha256")
+            )
+            staged = staged.join(base_sha, "sha256", "left_anti")
+            io.overwrite_partitions(
+                staged.select(
+                    "doc_id", "shard", "repo", "path", "commit", "lang",
+                    "content", "sha256", "n_bytes",
+                ),
+                "docstore_raw",
+                "shard",
+            )
+            staged = io.read("docstore_raw").filter(F.col("shard") >= first_shard)
+            tf = (
+                filter_stopwords(
+                    tokens_of(
+                        staged.select("doc_id", "content"), "content",
+                        use_pandas_udf, cfg.token_re,
+                    ),
+                    cfg.stopwords,
+                )
+                .groupBy("doc_id", "term")
+                .agg(F.count("*").cast("int").alias("tf"))
+                .withColumn("shard", shard_of(F.col("doc_id"), cfg))
+            )
+            io.overwrite_partitions(tf, "tf", "shard")
+            per_shard = (
+                staged.groupBy("shard")
+                .agg(F.count("*").alias("docs"), F.sum("n_bytes").alias("bytes"))
+                .collect()
+            )
         wall = int((time.time() - t0) * 1000)
         m.log(
             [
@@ -225,31 +231,33 @@ def build_index_incremental(
     )
 
     # ---- finalize.g{gen}: rewrite the two global tables --------------------
-    dsp = io.read("doc_stats_packed")
-    stats_row = dsp.agg(
-        F.sum("n").cast("long").alias("n_docs"),
-        (F.sum("sum_dlen") / F.sum("n")).alias("avgdl"),
-    ).collect()[0]
-    n_docs = int(stats_row["n_docs"])
-    io.overwrite_rows(
-        [(n_docs, float(stats_row["avgdl"]))], "n_docs long, avgdl double", "corpus"
-    )
-    # df recompute from the postings' small columns (idempotent under crash/
-    # re-run — an additive base+delta update would double-count on resume);
-    # every idf changes with n_docs, so a full rewrite is forced anyway
-    term_stats = (
-        io.read("postings")
-        .groupBy("term")
-        .agg(F.sum("df").cast("int").alias("df"))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
+    with _aqe(spark, False):
+        dsp = io.read("doc_stats_packed")
+        stats_row = dsp.agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            (F.sum("sum_dlen") / F.sum("n")).alias("avgdl"),
+        ).collect()[0]
+        n_docs = int(stats_row["n_docs"])
+        io.overwrite_rows(
+            [(n_docs, float(stats_row["avgdl"]))], "n_docs long, avgdl double", "corpus"
         )
-    )
-    io.overwrite(term_stats, "term_stats")
+        # df recompute from the postings' small columns (idempotent under
+        # crash/re-run — an additive base+delta update would double-count on
+        # resume); every idf changes with n_docs, so a full rewrite is forced
+        # anyway
+        term_stats = (
+            io.read("postings")
+            .groupBy("term")
+            .agg(F.sum("df").cast("int").alias("df"))
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+            )
+        )
+        io.overwrite(term_stats, "term_stats")
     wall = int((time.time() - t0) * 1000)
     m.log([(run_id, f"finalize{sfx}", -1, n_docs, 0, 0, wall, "done", lineage, time.time())])
 
