@@ -278,6 +278,35 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup_verifiable(docs).select("doc_id", "simhash")
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling (operators/sample.py):
+    keep row ⇔ polyhash62(doc_id) mod 10⁶ < rate(lang)·10⁶.  A pure
+    map-side filter — no shuffle, no seed, same kept-set at any parallelism
+    (df.sample() is partition-layout-dependent and irreproducible)."""
+    from searchenginesimple_spark.operators.sample import stratified_sample
+
+    docs = load_documents(spark, sf_dir)
+    return stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.1}, group_col="lang",
+        key="doc_id", default_rate=0.05,
+    ).select("doc_id", "lang")
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan (operators/dedup.py::
+    contamination_counts): count distinct token 5-gram shingles each corpus
+    doc shares with the benchmark set (docs 0-4).  Broadcast-joined against
+    the tiny benchmark shingle set — no corpus self-join, no shuffle of
+    corpus shingles.  (Production spec is 13-grams; 3 fits the fixtures —
+    148 contaminated docs at sf0.01 vs 1 at n=5.)"""
+    from searchenginesimple_spark.operators.dedup import contamination_counts
+
+    docs = load_documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 5)
+    rest = docs.filter(F.col("doc_id") >= 5)
+    return contamination_counts(rest, bench, n=3)
+
+
 def _q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed posting-run merge (north rule "posting-list construction,
     MERGE, compression"; operators/merge.py): split the documents table at
@@ -727,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_dedup": _q_simhash_dedup,
         "index_merge": _q_index_merge,
+        "stratified_sample": _q_stratified_sample,
+        "contamination": _q_contamination,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -1144,6 +1175,45 @@ SELECT a_id, b_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
 _MINHASH_SQL = _minhash_sql()
 
 
+def _polyhash62_sql(expr: str) -> str:
+    """DuckDB mirror of functions/text.py::polyhash62_expr over ``expr``."""
+    def half(init: int, mult: int) -> str:
+        return (
+            f"list_reduce(list_prepend({init}::BIGINT, "
+            f"list_transform(regexp_extract_all({expr}, '(?s).'), c -> ascii(c)::BIGINT)), "
+            f"(a, b) -> (a*{mult} + b) % 2147483647)"
+        )
+    return f"({half(7, 31)} * 2147483648 + {half(11, 37)})"
+
+
+# deterministic per-stratum sampling — mirrors operators/sample.py
+_STRATIFIED_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_polyhash62_sql("CAST(doc_id AS VARCHAR)")} % 1000000 AS b
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE b < (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                     WHEN 'fr' THEN 100000 ELSE 50000 END)
+"""
+
+# benchmark 3-gram decontamination — mirrors operators/dedup.py::contamination_counts
+_CONTAMINATION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS sh
+  FROM tok WHERE len(toks) >= 3
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 5)
+SELECT s.doc_id, count(*) AS n_shared
+FROM sh s JOIN bench USING (sh)
+WHERE s.doc_id >= 5
+GROUP BY 1
+"""
+
 # 62-bit polynomial simhash + banded dedup rule — mirrors
 # operators/dedup.py::verifiable_fingerprints / simhash_dedup_verifiable.
 _SIMHASH_DEDUP_SQL = f"""
@@ -1422,6 +1492,8 @@ def oracle_sql() -> dict[str, str]:
         "tf": f"WITH {_SQL_TOK} SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term",
         # build → merge → decode is the identity on tf (operators/merge.py)
         "index_merge": f"WITH {_SQL_TOK} SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term",
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "contamination": _CONTAMINATION_SQL,
         "df": f"""WITH {_SQL_TOK},
             tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term)
             SELECT term, count(*) AS df FROM tf GROUP BY term""",

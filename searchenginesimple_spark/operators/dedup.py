@@ -492,3 +492,37 @@ def exact_dedup(docs: DataFrame, text_col: str = "content") -> DataFrame:
     h = docs.withColumn("_sha", F.sha2(F.col(text_col), 256))
     keep = h.groupBy("_sha").agg(F.min("doc_id").alias("doc_id"))
     return h.join(keep, ["_sha", "doc_id"], "left_semi").drop("_sha")
+
+
+def contamination_counts(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination scan: per doc, how many distinct token n-gram shingles
+    it shares with ANY benchmark document (the n-gram-overlap rule used to
+    scrub eval sets out of LLM training corpora; 13-grams is the common
+    production spec — entry/tests use a smaller n to fit the fixtures).
+
+    Physical shape: the benchmark side is an eval set — tiny — so its
+    distinct shingle set BROADCASTS; the corpus side is a map-side shingle
+    explode + broadcast-hash join + partial-agg count.  No shuffle of corpus
+    shingles and no self-join (ngram_jaccard_pairs compares corpus-vs-corpus;
+    this compares corpus-vs-constant).  → (doc_id, n_shared), contaminated
+    docs only.
+    """
+    from searchenginesimple_spark.functions.text import shingles
+
+    bench_sh = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
