@@ -144,6 +144,13 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Executor thread count sized to the host, not the core count: a single
+    # 32-thread local executor sits far past this box's memory-bandwidth
+    # knee and THRASHES (measured 100k build, interleaved reps: 104-112 s at
+    # 32 threads vs 27.7-29.4 s at 8-16).  Standard cluster practice is the
+    # same decision — 5-8 cores per executor, many executors — which local
+    # mode can't express, so the bench session takes the knee-sized count.
+    threads = min(cpus, int(os.environ.get("SPARK_GRAFT_BUILD_THREADS", "16")))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
     n_scale = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "250000"))
     scale_n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
@@ -151,10 +158,10 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    cfg = dataclasses.replace(DEFAULT, shuffle_partitions=max(8, cpus))
+    cfg = dataclasses.replace(DEFAULT, shuffle_partitions=max(8, threads))
     work = tempfile.mkdtemp(prefix="bench_idx_", dir=_work_root())
     try:
-        spark = _fresh_spark(cpus, local_dir=work)
+        spark = _fresh_spark(threads, local_dir=work)
         _stage_corpus(spark, n_docs, f"{work}/raw_full")
         wall, io = _build(spark, f"{work}/raw_full", f"{work}/full", cfg)
         queries["build_full"] = round(wall, 3)
