@@ -171,6 +171,50 @@ def _q_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed phrase set (verified hit counts at sf0.01: 18/1/30/3/18/25/0/3 —
+# common bigram, rare trigram, single term, repeated-token phrase, OOV miss).
+PHRASE_SET: list[str] = [
+    "table table",
+    "fast merge batch",
+    "spark window",
+    "value table part",
+    "the a",
+    "dup",
+    "spark zz_oov",
+    "a a the",
+]
+
+_SQL_PHRASE_VALUES = ", ".join(f"({i}, '{p}')" for i, p in enumerate(PHRASE_SET))
+
+from searchenginesimple_spark.functions.text import (  # noqa: E402
+    PII_EMAIL_RE as _PII_EMAIL_RE,
+    PII_IPV4_RE as _PII_IPV4_RE,
+)
+
+
+def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over POSITIONAL postings (operators/phrase.py) —
+    the fulltext capability the bag-of-words reference lacks (its index drops
+    positions, Page.hpp:313-333).  Runs the indexed scale path end-to-end:
+    (term, doc-range shard) positional build → term-IN pushdown → per-(phrase,
+    shard) Arrow adjacency kernel.  Dense baseline + oracle = substring
+    containment on the space-joined token stream (exactly equivalent)."""
+    import dataclasses
+
+    from searchenginesimple_spark.operators.phrase import (
+        build_positional_postings,
+        phrase_match_indexed,
+    )
+
+    cfg = dataclasses.replace(DEFAULT, shard_span=128)
+    docs = load_documents(spark, sf_dir)
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(PHRASE_SET)], "phrase_id long, phrase string"
+    )
+    pp = build_positional_postings(docs, cfg)
+    return phrase_match_indexed(pp, pdf, cfg)
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash; lowest doc_id survives (SURVEY §2.6)."""
     docs = load_documents(spark, sf_dir)
@@ -228,6 +272,39 @@ def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_documents(spark, sf_dir)
     feats = quality_features(F.col("content"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def _q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (training-data op; functions/text.py):
+    distinct-token ratio + top token/bigram fractions, per doc."""
+    from searchenginesimple_spark.functions.text import repetition_features
+
+    docs = load_documents(spark, sf_dir)
+    feats = repetition_features(F.col("content"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data op; functions/text.py).  The synthetic
+    corpus carries no PII, so both engine and oracle first append the SAME
+    deterministic synthetic email + IP per doc — the redaction regexes are
+    then exercised on real positive rows, not vacuously."""
+    from searchenginesimple_spark.functions.text import pii_features
+
+    docs = load_documents(spark, sf_dir).withColumn(
+        "content",
+        F.concat(
+            F.col("content"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com at 10.0."),
+            F.col("doc_id") % 256,
+            F.lit("."),
+            F.col("doc_id") % 100,
+        ),
+    )
+    feats = pii_features(F.col("content"))
     return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
 
@@ -745,11 +822,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": _q_bm25_or,
         "bm25_wand": _q_bm25_wand,
         "conjunctive": _q_conjunctive,
+        "phrase_match": _q_phrase_match,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "token_count_ws": _q_token_count_ws,
         "topk_window": _q_topk_window,
         "quality_score": _q_quality_score,
+        "repetition_score": _q_repetition_score,
+        "pii_scrub": _q_pii_scrub,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1430,6 +1510,47 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked r JOIN documents d ON r.doc_id = d.doc_id WHERE r.rank <= 10",
         ),
         "quality_score": _QUALITY_SQL,
+        "repetition_score": f"""
+            WITH d AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, t,
+                     list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+              FROM d
+            )
+            SELECT doc_id,
+                   len(t)::BIGINT AS n_tokens,
+                   round(CASE WHEN len(t) > 0
+                         THEN len(list_distinct(t))::DOUBLE / len(t) ELSE 0.0 END, 6)
+                       AS distinct_ratio,
+                   round(CASE WHEN len(t) > 0
+                         THEN list_max(list_transform(list_distinct(t),
+                              u -> len(list_filter(t, x -> x = u))))::DOUBLE / len(t)
+                         ELSE 0.0 END, 6) AS top_token_frac,
+                   round(CASE WHEN len(bg) > 0
+                         THEN list_max(list_transform(list_distinct(bg),
+                              u -> len(list_filter(bg, x -> x = u))))::DOUBLE / len(bg)
+                         ELSE 0.0 END, 6) AS top_bigram_frac
+            FROM b""",
+        "pii_scrub": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com at 10.0.'
+                          || (doc_id % 256) || '.' || (doc_id % 100) AS c
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, c,
+                     regexp_replace(c, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS sm
+              FROM d
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(c, '{_PII_EMAIL_RE}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(sm, '{_PII_IPV4_RE}'))::BIGINT AS n_ips,
+                   regexp_replace(sm, '{_PII_IPV4_RE}', '<IP>', 'g') AS scrubbed
+            FROM m""",
         "lang_id": _LANG_ID_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
@@ -1513,6 +1634,23 @@ def oracle_sql() -> dict[str, str]:
             tf AS (SELECT doc_id, term FROM tok WHERE term IN ('spark','window')
                    GROUP BY doc_id, term)
             SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 2""",
+        "phrase_match": f"""
+            WITH p(phrase_id, phrase) AS (VALUES {_SQL_PHRASE_VALUES}),
+            d AS (
+              SELECT doc_id,
+                     ' ' || array_to_string(
+                         regexp_extract_all(lower(text), '{TOKEN_RE}'), ' ') || ' ' AS hay
+              FROM documents
+            ),
+            pt AS (
+              SELECT phrase_id, phrase,
+                     ' ' || array_to_string(
+                         regexp_extract_all(lower(phrase), '{TOKEN_RE}'), ' ') || ' ' AS needle
+              FROM p
+            )
+            SELECT phrase_id, phrase, doc_id
+            FROM pt, d
+            WHERE length(needle) > 2 AND strpos(hay, needle) > 0""",
         "exact_dedup": """
             SELECT sha256(text) AS sha256, min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY sha256(text)""",

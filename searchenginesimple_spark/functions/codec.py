@@ -131,6 +131,22 @@ def delta_encode_rows(flat_ids: np.ndarray, row_lens: np.ndarray) -> np.ndarray:
     return gaps
 
 
+def delta_decode_rows(flat_gaps: np.ndarray, row_lens: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`delta_encode_rows` — per-row cumulative sums over a
+    flattened batch, no per-row python (one global cumsum + a per-row base
+    subtraction)."""
+    gaps = np.ascontiguousarray(flat_gaps, dtype=np.uint64)
+    if gaps.size == 0:
+        return gaps
+    c = np.cumsum(gaps, dtype=np.uint64)
+    row_lens = np.asarray(row_lens, dtype=np.int64)
+    nz = row_lens[row_lens > 0]
+    starts = np.cumsum(nz) - nz
+    base = np.zeros(nz.size, dtype=np.uint64)
+    base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(base, nz)
+
+
 def block_stats_rows(
     flat_ids: np.ndarray,
     flat_tfs: np.ndarray,

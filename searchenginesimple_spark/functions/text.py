@@ -173,6 +173,73 @@ def extract_p_text(html_col: Column) -> Column:
     return F.concat_ws(" ", cleaned)
 
 
+def repetition_features(text_col: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 family), adapted
+    to token streams: distinct-token ratio, most-frequent-token fraction, and
+    most-frequent-bigram fraction.  High top-fractions flag boilerplate /
+    keyword-stuffed / degenerate docs for corpus filtering.
+
+    Pure JVM array lambdas — per-doc O(tokens · distinct) with no shuffle,
+    the right trade for bounded-length docs (an explode+groupBy would shuffle
+    the full token stream to compute a per-doc scalar).  Exact DuckDB mirror
+    via list_transform/list_filter (oracle_sql).
+    """
+    toks = tokenize_expr(text_col)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+
+    def _top_frac(arr: Column, m: Column) -> Column:
+        counts = F.transform(
+            F.array_distinct(arr),
+            lambda u: F.size(F.filter(arr, lambda t: t == u)),
+        )
+        return F.round(
+            F.when(m > 0, F.array_max(counts).cast("double") / m).otherwise(F.lit(0.0)), 6
+        )
+
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return {
+        "n_tokens": n.cast("long"),
+        "distinct_ratio": F.round(
+            F.when(n > 0, n_distinct.cast("double") / n).otherwise(F.lit(0.0)), 6
+        ),
+        "top_token_frac": _top_frac(toks, n),
+        "top_bigram_frac": _top_frac(bigrams, F.size(bigrams)),
+    }
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookarounds.  Scrub order: emails first (an email
+# can contain digit runs an IP pattern could partially claim), then IPv4.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_features(text_col: Column) -> dict[str, Column]:
+    """PII redaction (training-data op): count + scrub emails and IPv4s.
+
+    Detection is regex-recall-oriented (e.g. 999.0.0.1 matches — standard for
+    corpus scrubbing, where over-redaction is the safe side).  Pure JVM
+    regexp expressions; Spark's regexp_replace is global, mirrored with
+    DuckDB's 'g' flag.
+    """
+    n_emails = F.size(F.regexp_extract_all(text_col, F.lit(PII_EMAIL_RE), 0))
+    scrubbed_mail = F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(scrubbed_mail, F.lit(PII_IPV4_RE), 0))
+    return {
+        "n_emails": n_emails.cast("long"),
+        "n_ips": n_ips.cast("long"),
+        "scrubbed": F.regexp_replace(scrubbed_mail, PII_IPV4_RE, "<IP>"),
+    }
+
+
 def shingles(text_col: Column, n: int = 5) -> Column:
     """Distinct token n-gram shingles as array<string> (for Jaccard/MinHash).
 

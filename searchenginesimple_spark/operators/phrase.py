@@ -1,0 +1,261 @@
+"""Positional postings + exact-phrase queries.
+
+The reference engine is bag-of-words only (its index maps term → {doc: w},
+``include/Page/Page.hpp:313-333``; queries intersect doc SETS,
+``include/Page/WebPageQuery.hpp:62-84``) — phrase search is the standard
+fulltext-index capability it lacks, and the natural next stop for this tier.
+Two paths, verified identical in tests/test_phrase.py:
+
+* **Dense baseline** (`phrase_match_dense`) — pure JVM: tokenize both sides
+  with the engine spec, space-join the token streams, and test token-sequence
+  containment as substring containment (tokens contain no spaces, so the two
+  are exactly equivalent).  This is also the shape of the DuckDB oracle.
+* **Indexed scale path** (`phrase_match_indexed`) — positional postings:
+  the posting build's (term, doc-range shard) shuffle extended with per-doc
+  position lists (delta+varbyte, counts sidecar).  Query = broadcast the
+  phrase's (term, offsets) rows onto the postings scan (term-IN pushdown),
+  group by (phrase, shard), and inside an Arrow kernel intersect doc lists
+  rarest-first then verify adjacency: a doc matches iff
+  ``∩_{(t,o) ∈ phrase} (positions_t(doc) − o) ≠ ∅``.  Repeated terms in a
+  phrase contribute one posting row with several offsets.  Like the BM25
+  WAND kernel, every (phrase × shard) group is independent — no cross-shard
+  state, which is what a 1000-executor cluster wants; per-group work is
+  bounded by shard_span docs by construction.
+
+Index size note (the at-scale tradeoff): positions roughly triple posting
+bytes vs doc+tf only, which is why they live in a SEPARATE table built on
+demand (`build_positional_postings`) rather than widening the BM25 postings
+every build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from searchenginesimple_spark.config import DEFAULT, EngineConfig
+from searchenginesimple_spark.functions.codec import (
+    delta_decode_rows,
+    delta_encode_rows,
+    varbyte_decode,
+    varbyte_encode_rows,
+)
+from searchenginesimple_spark.functions.tokenize import tokenize_expr
+from searchenginesimple_spark.operators.postings import shard_of
+
+# --------------------------------------------------------------------------
+# build side
+# --------------------------------------------------------------------------
+
+_PPOSTING_STRUCT = T.StructType(
+    [
+        T.StructField("df", T.IntegerType()),
+        T.StructField("ids", T.BinaryType()),    # delta+varbyte sorted doc ids
+        T.StructField("npos", T.BinaryType()),   # varbyte positions-per-doc
+        T.StructField("pos", T.BinaryType()),    # per-doc delta+varbyte positions
+    ]
+)
+
+
+@pandas_udf(_PPOSTING_STRUCT)
+def _encode_positional(doc_arrs: pd.Series, pos_arrs: pd.Series) -> pd.DataFrame:
+    """(sorted parallel doc/pos arrays per (term, shard) group) → packed row.
+
+    numpy per group (np.unique for doc boundaries, batched delta/varbyte for
+    the position runs) — the loop is over Arrow-batch rows, i.e. (term, shard)
+    groups, never over postings.
+    """
+    out = {"df": [], "ids": [], "npos": [], "pos": []}
+    for docs, poss in zip(doc_arrs, pos_arrs):
+        d = np.asarray(docs, dtype=np.uint64)
+        p = np.asarray(poss, dtype=np.uint64)
+        uniq, counts = np.unique(d, return_counts=True)
+        ids_buf, _ = varbyte_encode_rows(
+            delta_encode_rows(uniq, np.array([uniq.size])), np.array([uniq.size])
+        )
+        np_buf, _ = varbyte_encode_rows(counts.astype(np.uint64), np.array([counts.size]))
+        pos_buf, _ = varbyte_encode_rows(delta_encode_rows(p, counts), np.array([p.size]))
+        out["df"].append(int(uniq.size))
+        out["ids"].append(ids_buf)
+        out["npos"].append(np_buf)
+        out["pos"].append(pos_buf)
+    return pd.DataFrame(out)
+
+
+def tokens_with_pos(
+    docs: DataFrame, cfg: EngineConfig = DEFAULT, text_col: str = "content"
+) -> DataFrame:
+    """documents(doc_id, content) → (doc_id, pos, term); pos is the 0-based
+    token offset (posexplode of the JVM tokenizer — no Python)."""
+    return docs.select(
+        "doc_id", F.posexplode(tokenize_expr(text_col, cfg.token_re)).alias("pos", "term")
+    )
+
+
+def build_positional_postings(
+    docs: DataFrame, cfg: EngineConfig = DEFAULT, text_col: str = "content"
+) -> DataFrame:
+    """→ positional postings (term, shard, df, ids, npos, pos).
+
+    Same one-shuffle (term, doc-range-shard) construction as
+    operators/postings.py — the range salt bounds every group at shard_span
+    docs regardless of term hotness; sort_array hands the encoder
+    (doc_id, pos)-sorted runs.
+    """
+    tp = tokens_with_pos(docs, cfg, text_col).withColumn("shard", shard_of(F.col("doc_id"), cfg))
+    grouped = (
+        tp.repartition(cfg.shuffle_partitions, "term", "shard")
+        .groupBy("term", "shard")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pos"))).alias("tp"))
+        .select(
+            "term",
+            "shard",
+            F.transform("tp", lambda x: x.doc_id).alias("doc_arr"),
+            F.transform("tp", lambda x: x.pos.cast("long")).alias("pos_arr"),
+        )
+    )
+    return grouped.select(
+        "term", "shard", _encode_positional("doc_arr", "pos_arr").alias("p")
+    ).select("term", "shard", "p.df", "p.ids", "p.npos", "p.pos")
+
+
+# --------------------------------------------------------------------------
+# query side
+# --------------------------------------------------------------------------
+
+
+def phrase_terms(phrases: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """phrases(phrase_id, phrase) → (phrase_id, term, offsets, n_terms).
+
+    offsets = every 0-based token offset at which `term` occurs in the phrase
+    (repeated terms → one row, several offsets); n_terms = distinct terms.
+    """
+    tok = phrases.select(
+        "phrase_id",
+        F.posexplode(tokenize_expr("phrase", cfg.token_re)).alias("off", "term"),
+    )
+    per_term = tok.groupBy("phrase_id", "term").agg(
+        F.sort_array(F.collect_list("off")).alias("offsets")
+    )
+    n = per_term.groupBy("phrase_id").agg(F.count("*").cast("int").alias("n_terms"))
+    return per_term.join(n, "phrase_id")
+
+
+def phrase_match_dense(
+    docs: DataFrame,
+    phrases: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    text_col: str = "content",
+) -> DataFrame:
+    """Correctness baseline → (phrase_id, phrase, doc_id).
+
+    Token-sequence containment == substring containment on the space-joined
+    token streams (tokens never contain spaces).  Empty-token phrases match
+    nothing (same convention as the indexed path: no terms → no postings).
+    Wholly JVM whole-stage-codegen; the broadcast side is the phrase set.
+    """
+    ptok = phrases.select(
+        "phrase_id",
+        "phrase",
+        F.concat(
+            F.lit(" "), F.array_join(tokenize_expr("phrase", cfg.token_re), " "), F.lit(" ")
+        ).alias("needle"),
+    ).filter(F.length("needle") > 2)
+    dtok = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "), F.array_join(tokenize_expr(text_col, cfg.token_re), " "), F.lit(" ")
+        ).alias("hay"),
+    )
+    return (
+        dtok.crossJoin(F.broadcast(ptok))
+        .filter(F.contains("hay", F.col("needle")))
+        .select("phrase_id", "phrase", "doc_id")
+    )
+
+
+def _phrase_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (phrase_id, shard) group → matching (phrase_id, doc_id) rows."""
+    empty = pd.DataFrame({"phrase_id": pd.Series([], dtype="int64"),
+                          "doc_id": pd.Series([], dtype="int64")})
+    n_terms = int(pdf["n_terms"].iloc[0])
+    if len(pdf) < n_terms:
+        return empty  # some phrase term absent from this shard
+    pid = int(pdf["phrase_id"].iloc[0])
+    pdf = pdf.sort_values("df").reset_index(drop=True)  # rarest-first
+
+    ids_l, starts_l, pos_l = [], [], []
+    for i in range(len(pdf)):
+        ids = np.cumsum(varbyte_decode(pdf["ids"].iloc[i]), dtype=np.uint64).astype(np.int64)
+        counts = varbyte_decode(pdf["npos"].iloc[i]).astype(np.int64)
+        flat = delta_decode_rows(varbyte_decode(pdf["pos"].iloc[i]), counts).astype(np.int64)
+        starts = np.zeros(counts.size + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        ids_l.append(ids)
+        starts_l.append(starts)
+        pos_l.append(flat)
+
+    # rarest-first conjunctive doc intersection (same move as the WAND kernel)
+    cand = ids_l[0]
+    for other in ids_l[1:]:
+        loc = np.searchsorted(other, cand)
+        ok = loc < other.size
+        hit = np.zeros(cand.size, dtype=bool)
+        hit[ok] = other[loc[ok]] == cand[ok]
+        cand = cand[hit]
+        if cand.size == 0:
+            return empty
+
+    # adjacency check per candidate: ∩_{(term,offsets)} (positions − o) ≠ ∅
+    offsets = [np.asarray(o, dtype=np.int64) for o in pdf["offsets"]]
+    idx_of = [np.searchsorted(ids_l[i], cand) for i in range(len(pdf))]
+    matched = []
+    for c in range(cand.size):
+        s: np.ndarray | None = None
+        for i in range(len(pdf)):
+            j = idx_of[i][c]
+            p = pos_l[i][starts_l[i][j] : starts_l[i][j + 1]]
+            for o in offsets[i]:
+                shifted = p - o
+                s = shifted if s is None else s[np.isin(s, shifted, assume_unique=True)]
+                if s.size == 0:
+                    break
+            if s is not None and s.size == 0:
+                break
+        if s is not None and s.size:
+            matched.append(int(cand[c]))
+    if not matched:
+        return empty
+    return pd.DataFrame({"phrase_id": pid, "doc_id": np.asarray(matched, dtype=np.int64)})
+
+
+def phrase_match_indexed(
+    ppostings: DataFrame,
+    phrases: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    pushdown_terms: bool = True,
+) -> DataFrame:
+    """Scale path → (phrase_id, phrase, doc_id); identical rows to the dense
+    baseline (tests/test_phrase.py pins it).
+
+    Broadcast the (tiny) phrase-term side onto the positional-postings scan —
+    with pushdown_terms the distinct term set becomes an IN filter on the
+    scan (parquet row-group skipping), so a 10^12-doc index reads only the
+    phrase's terms.  groupBy (phrase_id, shard) keeps every kernel group
+    shard-local and bounded.
+    """
+    pt = phrase_terms(phrases, cfg)
+    if pushdown_terms:
+        terms = [r["term"] for r in pt.select("term").distinct().collect()]
+        ppostings = ppostings.filter(F.col("term").isin(terms))
+    rows = ppostings.join(F.broadcast(pt), "term", "inner")
+    hits = rows.groupBy("phrase_id", "shard").applyInPandas(
+        _phrase_kernel, "phrase_id long, doc_id long"
+    )
+    return hits.join(
+        F.broadcast(phrases.select("phrase_id", "phrase")), "phrase_id"
+    ).select("phrase_id", "phrase", "doc_id")

@@ -223,3 +223,57 @@ def test_cli_build_and_query(spark, tmp_path):
     spark.createDataFrame(generate_docs_pdf(120)).write.parquet(str(raw))
     assert cli.main(["build", "--input", str(raw), "--index", str(tmp_path / "idx")]) == 0
     assert cli.main(["query", "--index", str(tmp_path / "idx"), "--query", "ident_000"]) == 0
+
+
+def test_repetition_features_known_values(spark):
+    from searchenginesimple_spark.functions.text import repetition_features
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b"),        # top token a=3/4; bigrams: [a a, a a, a b] → 2/3
+            (1, "x y z"),          # all distinct; every bigram unique → 1/2
+            (2, ""),               # empty
+            (3, "w"),              # single token, no bigrams
+        ],
+        "doc_id long, content string",
+    )
+    feats = repetition_features(F.col("content"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[c.alias(n) for n, c in feats.items()]).collect()
+    }
+    assert rows[0]["n_tokens"] == 4
+    assert rows[0]["distinct_ratio"] == 0.5
+    assert rows[0]["top_token_frac"] == 0.75
+    assert rows[0]["top_bigram_frac"] == round(2 / 3, 6)
+    assert rows[1]["top_token_frac"] == round(1 / 3, 6)
+    assert rows[1]["top_bigram_frac"] == 0.5
+    assert rows[2]["n_tokens"] == 0 and rows[2]["top_bigram_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 1 and rows[3]["top_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_known_values(spark):
+    from searchenginesimple_spark.functions.text import pii_features
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail Bob.Smith+x@sub.example.co.uk or b@c.io now"),
+            (1, "host 192.168.0.1 and 10.0.255.77; ver 1.2 not an ip"),
+            (2, "clean text"),
+            (3, "both a@b.com at 8.8.8.8"),
+        ],
+        "doc_id long, content string",
+    )
+    feats = pii_features(F.col("content"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[c.alias(n) for n, c in feats.items()]).collect()
+    }
+    assert rows[0]["n_emails"] == 2 and rows[0]["n_ips"] == 0
+    assert rows[0]["scrubbed"] == "mail <EMAIL> or <EMAIL> now"
+    assert rows[1]["n_emails"] == 0 and rows[1]["n_ips"] == 2
+    assert rows[1]["scrubbed"] == "host <IP> and <IP>; ver 1.2 not an ip"
+    assert rows[2]["scrubbed"] == "clean text"
+    assert rows[3]["scrubbed"] == "both <EMAIL> at <IP>"
