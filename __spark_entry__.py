@@ -308,6 +308,41 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
 
 
+def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf·idf keywords per doc (operators/bm25.py::doc_keywords) — the
+    reference's keyword-extraction weighting (SURVEY §2.7) as a standalone op."""
+    from searchenginesimple_spark.operators.bm25 import doc_keywords
+
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs)
+    return doc_keywords(idx, k=5)
+
+
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (operators/sample.py::per_key_cap): keep ≤ 10 docs
+    per source, deterministically by doc_id — the crawl-pipeline guard against
+    one host dominating a training corpus."""
+    from searchenginesimple_spark.operators.sample import per_key_cap
+
+    docs = load_documents(spark, sf_dir)
+    return per_key_cap(docs, cap=10, group_col="source", order_col="doc_id").select(
+        "source", "doc_id"
+    )
+
+
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard index metrics rollup (operators/postings.py::postings_stats)
+    — the queryable form of the north rule's per-partition build metrics."""
+    import dataclasses
+
+    from searchenginesimple_spark.operators.postings import postings_stats
+
+    cfg = dataclasses.replace(DEFAULT, shard_span=128)
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs, cfg=cfg)
+    return postings_stats(idx.tf, cfg)
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID heuristic (training-data op)."""
     from searchenginesimple_spark.functions.text import lang_id
@@ -830,6 +865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "repetition_score": _q_repetition_score,
         "pii_scrub": _q_pii_scrub,
+        "doc_keywords": _q_doc_keywords,
+        "domain_cap": _q_domain_cap,
+        "index_stats": _q_index_stats,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1551,6 +1589,40 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(sm, '{_PII_IPV4_RE}'))::BIGINT AS n_ips,
                    regexp_replace(sm, '{_PII_IPV4_RE}', '<IP>', 'g') AS scrubbed
             FROM m""",
+        "doc_keywords": f"""
+            WITH {_SQL_TOK},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs FROM dl),
+            dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            w AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+                         AS weight
+              FROM tf JOIN dfv d USING (term) CROSS JOIN stats s
+            ),
+            r AS (
+              SELECT doc_id, term, weight,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY weight DESC, term ASC) AS rank
+              FROM w
+            )
+            SELECT doc_id, rank, term, weight FROM r WHERE rank <= 5""",
+        "domain_cap": """
+            WITH r AS (
+              SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+              FROM documents
+            )
+            SELECT source, doc_id FROM r WHERE rk <= 10""",
+        "index_stats": f"""
+            WITH {_SQL_TOK},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+            SELECT (doc_id // 128)::INT AS shard,
+                   count(DISTINCT term)::BIGINT AS n_terms,
+                   count(*)::BIGINT AS n_postings,
+                   sum(tf)::BIGINT AS n_tokens
+            FROM tf GROUP BY shard""",
         "lang_id": _LANG_ID_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -276,3 +276,30 @@ def cosine_topk_reference(
             F.col("score").cast("double").alias("score"),
         )
     )
+
+
+def doc_keywords(index: IndexStats, k: int = 5) -> DataFrame:
+    """Top-k tf·idf keywords per document → (doc_id, rank, term, weight).
+
+    The distributed form of the reference's keyword-extraction weighting
+    (its simhash stage votes with tf·idf keyword weights, Simhasher.hpp via
+    Page.hpp:129; SURVEY §2.7 keyword-extraction row) exposed as a
+    standalone operator — per-doc keyword summaries are also a standard
+    training-corpus feature (topic tagging, index pruning).
+
+    weight = round(tf · idf, 6), ranked per doc with ties broken on term
+    ascending (rounding BEFORE ranking keeps engine and oracle rank-stable).
+    tf ⋈ term_stats shuffles on term; the window shuffles on doc_id — both
+    keys the index build already uses, so at scale this rides existing
+    layouts; no global sort.
+    """
+    w = (
+        index.tf.join(index.term_stats.select("term", "idf"), "term")
+        .withColumn("weight", F.round(F.col("tf") * F.col("idf"), 6))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "weight")
+    )

@@ -166,3 +166,22 @@ def build_doc_stats_packed(doc_stats: DataFrame, cfg: EngineConfig = DEFAULT) ->
     return grouped.select("shard", _encode_doc_stats("id_arr", "dl_arr").alias("p")).select(
         "shard", "p.n", "p.sum_dlen", "p.ids", "p.dlens"
     )
+
+
+def postings_stats(tf: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Per-shard index metrics → (shard, n_terms, n_postings, n_tokens).
+
+    The queryable form of the north rule's "docs/postings/bytes per
+    partition" build metrics (plans/build.py persists the same rollup to the
+    metrics table during checkpointed builds): one hash agg over the tf
+    table, keyed by the same doc-range shard as the posting build.
+    """
+    return (
+        tf.withColumn("shard", shard_of(F.col("doc_id"), cfg))
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.count("*").cast("long").alias("n_postings"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )

@@ -52,3 +52,28 @@ def stratified_sample(
         F.when(F.lit(False), 0),
     ).otherwise(int(default_rate * _DENOM))
     return df.filter(bucket < threshold)
+
+
+def per_key_cap(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group (per-domain / per-repo quota — the
+    crawl-pipeline guard against one host dominating the corpus).
+
+    Deterministic: rows rank by ``order_col`` ascending within each group, so
+    the kept set is independent of partitioning.  One shuffle on the group
+    key; groups are typically many and small (hosts/repos), and a genuinely
+    hot group is exactly the one being truncated — the window stops at the
+    first ``cap`` rows per group under AQE skew handling.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("grp_rank", F.row_number().over(w))
+        .filter(F.col("grp_rank") <= cap)
+        .drop("grp_rank")
+    )

@@ -105,3 +105,30 @@ def test_stopword_build_query_asymmetry(spark, indexed):
     alone = bm25_topk(idx, queries_df(spark, ["ident_001"]), cfg).toPandas()
     assert list(mixed["docID"]) == list(alone["docID"])
     assert list(mixed["score"]) == list(alone["score"])
+
+
+def test_doc_keywords_matches_hand_computation(spark):
+    import math
+
+    from searchenginesimple_spark.operators.bm25 import build_index_stats, doc_keywords
+
+    docs = spark.createDataFrame(
+        [(0, "x x x y z"), (1, "y z z"), (2, "w")],
+        "doc_id long, content string",
+    )
+    idx = build_index_stats(docs)
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["weight"])
+        for r in doc_keywords(idx, k=2).collect()
+    }
+
+    def idf(df_, n=3):
+        return math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+
+    # doc 0: x tf3 df1, y tf1 df2, z tf1 df2 → x top, then y (term asc tie)
+    assert got[(0, 1)] == ("x", round(3 * idf(1), 6))
+    assert got[(0, 2)] == ("y", round(1 * idf(2), 6))
+    # doc 1: z tf2 beats y tf1
+    assert got[(1, 1)][0] == "z" and got[(1, 2)][0] == "y"
+    assert got[(2, 1)] == ("w", round(1 * idf(1), 6))
+    assert (2, 2) not in got

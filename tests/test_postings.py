@@ -131,3 +131,19 @@ def test_query_engine_hot_fallback_matches(spark, built):
     got = _canon(engine.query(QUERY_SET))
     assert list(got["docID"]) == list(dense["docID"])
     assert got["score"].tolist() == pytest.approx(dense["score"].tolist(), abs=1e-9)
+
+
+def test_postings_stats_rollup(spark):
+    import dataclasses
+
+    from searchenginesimple_spark.config import DEFAULT
+    from searchenginesimple_spark.operators.postings import postings_stats
+
+    cfg = dataclasses.replace(DEFAULT, shard_span=4)
+    tf = spark.createDataFrame(
+        [(0, "a", 2), (1, "a", 1), (1, "b", 3), (4, "a", 1), (5, "c", 1)],
+        "doc_id long, term string, tf int",
+    )
+    rows = {r["shard"]: r for r in postings_stats(tf, cfg).collect()}
+    assert rows[0]["n_terms"] == 2 and rows[0]["n_postings"] == 3 and rows[0]["n_tokens"] == 6
+    assert rows[1]["n_terms"] == 2 and rows[1]["n_postings"] == 2 and rows[1]["n_tokens"] == 2

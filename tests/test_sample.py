@@ -88,3 +88,23 @@ def test_contamination_counts_matches_bruteforce(spark):
         if k:
             want[i] = k
     assert out == want and 12 not in out
+
+
+def test_per_key_cap_deterministic_and_bounded(spark):
+    from searchenginesimple_spark.operators.sample import per_key_cap
+
+    rows = [(i, f"src{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = per_key_cap(df, cap=4, group_col="source", order_col="doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # each group keeps exactly its 4 smallest doc_ids; grp_rank column dropped
+    assert all(sorted(v) == sorted(v)[:4] for v in by_src.values())
+    assert {k: sorted(v) for k, v in by_src.items()} == {
+        f"src{j}": [j, j + 3, j + 6, j + 9] for j in range(3)
+    }
+    assert "grp_rank" not in per_key_cap(df, 4).columns
+    # repartition-invariant
+    out2 = per_key_cap(df.repartition(7), cap=4).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
