@@ -64,10 +64,12 @@ def per_key_cap(
     crawl-pipeline guard against one host dominating the corpus).
 
     Deterministic: rows rank by ``order_col`` ascending within each group, so
-    the kept set is independent of partitioning.  One shuffle on the group
-    key; groups are typically many and small (hosts/repos), and a genuinely
-    hot group is exactly the one being truncated — the window stops at the
-    first ``cap`` rows per group under AQE skew handling.
+    the kept set is independent of partitioning.  The ``rank ≤ cap`` filter
+    triggers Spark's WindowGroupLimit optimization with a PARTIAL (map-side)
+    pass: each input partition forwards at most ``cap`` rows per group into
+    the shuffle, so a hot host/repo with 10^9 rows ships ``cap`` rows per map
+    task, not 10^9 — the skew the quota exists to cut never reaches the wire
+    (plan pinned in tests/test_plans.py).
     """
     from pyspark.sql import Window
 

@@ -128,3 +128,16 @@ def test_fingerprint_vote_stage_is_jvm(spark, built_io):
     py_nodes = re.findall(r"\(\d+\) (?:Arrow|Batch)EvalPython", plan)
     assert len(py_nodes) <= 1, plan
     assert "partial_sum" in plan, plan  # map-side combine before the doc_id shuffle
+
+
+def test_per_key_cap_partial_window_group_limit(spark):
+    """per_key_cap must keep the map-side WindowGroupLimit (Partial) — the
+    shuffle then carries ≤ cap rows per group per input partition, which is
+    the whole point of the quota at skewed-host scale."""
+    from searchenginesimple_spark.operators.sample import per_key_cap
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(100)], "doc_id long, source string"
+    )
+    plan = per_key_cap(df, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
