@@ -215,6 +215,27 @@ def _q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match_indexed(pp, pdf, cfg)
 
 
+def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked phrase search (operators/phrase.py::phrase_topk): the
+    positional index supplies candidates, the dense scorer ranks them —
+    what a frontend serves for a quoted query."""
+    import dataclasses
+
+    from searchenginesimple_spark.operators.phrase import (
+        build_positional_postings,
+        phrase_topk,
+    )
+
+    cfg = dataclasses.replace(DEFAULT, shard_span=128)
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs, cfg=cfg)
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(PHRASE_SET)], "phrase_id long, phrase string"
+    )
+    pp = build_positional_postings(docs, cfg)
+    return phrase_topk(idx, pp, pdf, cfg)
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash; lowest doc_id survives (SURVEY §2.6)."""
     docs = load_documents(spark, sf_dir)
@@ -858,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand": _q_bm25_wand,
         "conjunctive": _q_conjunctive,
         "phrase_match": _q_phrase_match,
+        "phrase_topk": _q_phrase_topk,
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
         "token_count_ws": _q_token_count_ws,
@@ -899,18 +921,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _bm25_sql(tok_cte: str, conjunctive: bool = True) -> str:
+def _bm25_sql(
+    tok_cte: str,
+    conjunctive: bool = True,
+    values_sql: str | None = None,
+    phrase_restrict: bool = False,
+) -> str:
     """Full BM25 top-k oracle over a pluggable tokenizer CTE (the
     stopword_filter entry swaps in the stop-filtered CTE; conjunctive=False
-    drops the all-terms-match filter — the OR/disjunctive mode)."""
+    drops the all-terms-match filter — the OR/disjunctive mode;
+    phrase_restrict=True narrows candidates to docs containing the query as
+    a verbatim token sequence — the phrase_topk oracle)."""
     conj_pred = "s.nmatch = qn.n_terms" if conjunctive else "TRUE"
+    values_sql = values_sql or _SQL_QUERIES_VALUES
+    cand_cte, cand_join = "", ""
+    if phrase_restrict:
+        cand_cte = f""",
+cand AS (
+  SELECT q.query_id, d2.doc_id
+  FROM q CROSS JOIN (
+    SELECT doc_id,
+           ' ' || array_to_string(regexp_extract_all(lower(text), '{TOKEN_RE}'), ' ')
+               || ' ' AS hay
+    FROM documents
+  ) d2
+  WHERE strpos(d2.hay,
+        ' ' || array_to_string(regexp_extract_all(lower(q.query), '{TOKEN_RE}'), ' ')
+            || ' ') > 0
+)"""
+        cand_join = "JOIN cand USING (query_id, doc_id)"
     return f"""
 WITH {tok_cte},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id),
 stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
 dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-q(query_id, query) AS (VALUES {_SQL_QUERIES_VALUES}),
+q(query_id, query) AS (VALUES {values_sql}){cand_cte},
 qtok AS (
   SELECT query_id, query,
          unnest(regexp_extract_all(lower(query), '{TOKEN_RE}')) AS term
@@ -936,7 +982,7 @@ scored AS (
   FROM contrib GROUP BY query_id, query, doc_id
 ),
 conj AS (
-  SELECT s.* FROM scored s JOIN qn USING (query_id) WHERE {conj_pred}
+  SELECT s.* FROM scored s JOIN qn USING (query_id) {cand_join} WHERE {conj_pred}
 ),
 ranked AS (
   SELECT query, doc_id, score,
@@ -1706,6 +1752,9 @@ def oracle_sql() -> dict[str, str]:
             tf AS (SELECT doc_id, term FROM tok WHERE term IN ('spark','window')
                    GROUP BY doc_id, term)
             SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 2""",
+        "phrase_topk": _bm25_sql(
+            _SQL_TOK, values_sql=_SQL_PHRASE_VALUES, phrase_restrict=True
+        ),
         "phrase_match": f"""
             WITH p(phrase_id, phrase) AS (VALUES {_SQL_PHRASE_VALUES}),
             d AS (

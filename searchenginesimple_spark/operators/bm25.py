@@ -158,12 +158,16 @@ def bm25_topk(
     query_col: str = "query",
     use_pandas_udf: bool = True,
     mode: str = "and",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Score a batch of queries; return (query, rank, docID, score).
 
     mode="and" (default): conjunctive candidates, the reference semantics.
     mode="or": disjunctive — any doc matching ≥1 indexed term scores; the
     dense baseline the block-max pruned path (operators/wand.py) must equal.
+    candidates (query_id, doc_id), if given, restricts scoring output to
+    those pairs (left-semi join BEFORE ranking, so top-k is over the
+    restricted set) — the hook phrase_topk uses.
 
     Physical shape: the query side is tiny → broadcast it against the tf
     table (one broadcast-hash join, no shuffle of tf by term); the per-doc
@@ -200,6 +204,10 @@ def bm25_topk(
     )
     if mode == "and":
         scored = scored.filter(F.col("nmatch") == F.col("n_terms"))
+    if candidates is not None:
+        scored = scored.join(
+            candidates.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi"
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -259,3 +259,24 @@ def phrase_match_indexed(
     return hits.join(
         F.broadcast(phrases.select("phrase_id", "phrase")), "phrase_id"
     ).select("phrase_id", "phrase", "doc_id")
+
+
+def phrase_topk(index, ppostings: DataFrame, phrases: DataFrame,
+                cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """BM25-ranked exact-phrase search → (query, rank, docID, score).
+
+    Composition: the positional index supplies the candidate set (docs
+    containing the phrase verbatim), the BM25 scorer ranks it — phrase
+    candidates are by construction conjunctive matches, so the restriction
+    is a pure left-semi narrowing of the dense scorer's candidate set.
+    The ranked result a search frontend would actually serve for a quoted
+    query.
+    """
+    from searchenginesimple_spark.operators.bm25 import bm25_topk
+
+    hits = phrase_match_indexed(ppostings, phrases, cfg)
+    cands = hits.select(F.col("phrase_id").alias("query_id"), "doc_id")
+    queries = phrases.select(
+        F.col("phrase_id").alias("query_id"), F.col("phrase").alias("query")
+    )
+    return bm25_topk(index, queries, cfg, candidates=cands)

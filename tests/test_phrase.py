@@ -127,3 +127,35 @@ def test_phrase_pushdown_plan(spark):
         pp = docs.sparkSession.read.parquet(f"{td}/pp")
         plan = phrase_match_indexed(pp, pdf, CFG)._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [In(term" in plan or "term IN" in plan.lower()
+
+
+def test_phrase_topk_restricts_bm25_candidates(spark):
+    from searchenginesimple_spark.operators.bm25 import bm25_topk, build_index_stats
+    from searchenginesimple_spark.operators.phrase import (
+        build_positional_postings,
+        phrase_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),      # phrase "alpha beta" present
+            (1, "beta alpha delta"),      # both terms, NOT adjacent in order
+            (2, "alpha beta alpha beta"), # phrase twice, higher tf
+            (3, "unrelated words here"),
+        ],
+        "doc_id long, content string",
+    )
+    idx = build_index_stats(docs, cfg=CFG)
+    pdf = spark.createDataFrame([(0, "alpha beta")], "phrase_id long, phrase string")
+    pp = build_positional_postings(docs, CFG)
+    got = phrase_topk(idx, pp, pdf, CFG).collect()
+    phrase_docs = [r["docID"] for r in got]
+    assert set(phrase_docs) == {0, 2}  # doc 1 conjunctive-matches but is not a phrase hit
+
+    qdf = spark.createDataFrame([(0, "alpha beta")], "query_id long, query string")
+    bm = {r["docID"]: r["score"] for r in bm25_topk(idx, qdf, CFG).collect()}
+    assert set(bm) == {0, 1, 2}
+    # scores of surviving docs are the plain BM25 scores; ranking re-done
+    for r in got:
+        assert r["score"] == bm[r["docID"]]
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2]
