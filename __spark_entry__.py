@@ -863,6 +863,26 @@ def _q_result_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-centred highlight snippets for the top-k results
+    (functions/text.py::query_snippet): an 80-char window around the earliest
+    query-token occurrence — the summarization the reference's gateway would
+    apply to its whole-content results (WebPageQuery.hpp:119-138)."""
+    from searchenginesimple_spark.functions.text import query_snippet
+
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs)
+    topk = bm25_topk(idx, _queries_df(spark))
+    return (
+        F.broadcast(topk)
+        .join(docs, topk.docID == docs.doc_id, "inner")
+        .select(
+            "query", "rank", "docID", "score",
+            query_snippet("content", "query").alias("snippet"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf": _q_tf,
@@ -871,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_filter": _q_stopword_filter,
         "content_fallback": _q_content_fallback,
         "result_fetch": _q_result_fetch,
+        "snippets": _q_snippets,
         "df": _q_df,
         "term_idf": _q_term_idf,
         "doc_stats": _q_doc_stats,
@@ -1591,6 +1612,18 @@ def oracle_sql() -> dict[str, str]:
             'SELECT query, rank::int AS rank, doc_id::bigint AS "docID", score::double AS score\nFROM ranked WHERE rank <= 10',
             'SELECT r.query, r.rank::int AS rank, r.doc_id::bigint AS "docID", r.score::double AS score, '
             "substring(d.text, 1, 40) AS snippet "
+            "FROM ranked r JOIN documents d ON r.doc_id = d.doc_id WHERE r.rank <= 10",
+        ),
+        "snippets": _BM25_SQL.replace(
+            'SELECT query, rank::int AS rank, doc_id::bigint AS "docID", score::double AS score\nFROM ranked WHERE rank <= 10',
+            'SELECT r.query, r.rank::int AS rank, r.doc_id::bigint AS "docID", r.score::double AS score, '
+            f"""substr(d.text,
+                 greatest(1, coalesce(
+                   list_min(list_filter(
+                     list_transform(regexp_extract_all(lower(r.query), '{TOKEN_RE}'),
+                                    t -> strpos(lower(d.text), t)),
+                     p -> p > 0)), 1) - 40),
+                 80) AS snippet """
             "FROM ranked r JOIN documents d ON r.doc_id = d.doc_id WHERE r.rank <= 10",
         ),
         "quality_score": _QUALITY_SQL,

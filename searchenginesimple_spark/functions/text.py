@@ -240,6 +240,37 @@ def pii_features(text_col: Column) -> dict[str, Column]:
     }
 
 
+def query_snippet(
+    text_col: str, query_col: str, width: int = 80, token_re: str | None = None
+) -> Column:
+    """Query-centred result snippet: a ``width``-char window of the document
+    around the EARLIEST occurrence of any query token (the highlight window a
+    search frontend shows under each hit; the reference returns whole
+    ``content``, ``WebPageQuery.hpp:119-138`` — this is the summarization its
+    gateway would do).
+
+    Spec (deterministic, SQL-mirrorable): pos = min over query tokens of
+    their first 1-based position in lower(text), 0-misses dropped; window
+    starts at max(1, pos − width/2).  Pure JVM (SQL lambda expressions —
+    ``locate`` accepts column args in SQL form, unlike the Python wrapper).
+    """
+    from searchenginesimple_spark.config import TOKEN_RE as _DEFAULT_RE
+
+    re_ = token_re or _DEFAULT_RE
+    half = width // 2
+    return F.expr(
+        f"""substr({text_col},
+               greatest(1,
+                 coalesce(
+                   array_min(filter(
+                     transform(regexp_extract_all(lower({query_col}), '{re_}', 0),
+                               t -> locate(t, lower({text_col}))),
+                     p -> p > 0)),
+                   1) - {half}),
+               {width})"""
+    )
+
+
 def shingles(text_col: Column, n: int = 5) -> Column:
     """Distinct token n-gram shingles as array<string> (for Jaccard/MinHash).
 

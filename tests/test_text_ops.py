@@ -277,3 +277,26 @@ def test_pii_scrub_known_values(spark):
     assert rows[1]["scrubbed"] == "host <IP> and <IP>; ver 1.2 not an ip"
     assert rows[2]["scrubbed"] == "clean text"
     assert rows[3]["scrubbed"] == "both <EMAIL> at <IP>"
+
+
+def test_query_snippet_window(spark):
+    from searchenginesimple_spark.functions.text import query_snippet
+
+    text = "x" * 100 + " needle " + "y" * 100
+    docs = spark.createDataFrame(
+        [(0, text, "find the needle term"), (1, "short doc", "zz_absent")],
+        "doc_id long, content string, query string",
+    )
+    out = {
+        r["doc_id"]: r["snip"]
+        for r in docs.select(
+            "doc_id", query_snippet("content", "query", width=20).alias("snip")
+        ).collect()
+    }
+    # earliest query-token hit: "the" occurs first inside... no: content has
+    # no 'find'/'the'; 'needle' at 1-based pos 102; 'term' absent → window
+    # starts at max(1, 102-10) = 92: 9 x's then " needle " then 3 y's
+    assert out[0] == "x" * 9 + " needle " + "y" * 3
+    assert len(out[0]) == 20
+    # no token occurs → prefix window
+    assert out[1] == "short doc"
