@@ -863,6 +863,21 @@ def _q_result_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed seed docs for the more_like_this entry (arbitrary, deterministic).
+MLT_SEEDS = [0, 7, 42]
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-similarity "more like this" (operators/bm25.py::more_like_this):
+    each seed doc's top-5 tf·idf keywords become an OR-mode BM25 query; the
+    seed is excluded before ranking."""
+    from searchenginesimple_spark.operators.bm25 import more_like_this
+
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs)
+    return more_like_this(idx, MLT_SEEDS, k_keywords=5)
+
+
 def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-centred highlight snippets for the top-k results
     (functions/text.py::query_snippet): an 80-char window around the earliest
@@ -892,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_fallback": _q_content_fallback,
         "result_fetch": _q_result_fetch,
         "snippets": _q_snippets,
+        "more_like_this": _q_more_like_this,
         "df": _q_df,
         "term_idf": _q_term_idf,
         "doc_stats": _q_doc_stats,
@@ -1668,6 +1684,61 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(sm, '{_PII_IPV4_RE}'))::BIGINT AS n_ips,
                    regexp_replace(sm, '{_PII_IPV4_RE}', '<IP>', 'g') AS scrubbed
             FROM m""",
+        "more_like_this": f"""
+            WITH {_SQL_TOK},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
+            dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            w AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+                         AS weight
+              FROM tf JOIN dfv d USING (term) CROSS JOIN stats s
+              WHERE tf.doc_id IN ({", ".join(str(d) for d in MLT_SEEDS)})
+            ),
+            kr AS (
+              SELECT doc_id, term,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY weight DESC, term ASC) AS krank
+              FROM w
+            ),
+            kq AS (
+              SELECT doc_id AS query_id, string_agg(term, ' ' ORDER BY krank) AS query
+              FROM kr WHERE krank <= 5 GROUP BY doc_id
+            ),
+            qtok AS (
+              SELECT query_id,
+                     unnest(regexp_extract_all(lower(query), '{TOKEN_RE}')) AS term
+              FROM kq
+            ),
+            qtf AS (SELECT query_id, term, count(*) AS qtf
+                    FROM qtok GROUP BY query_id, term),
+            qidx AS (SELECT qtf.*, dfv.df FROM qtf JOIN dfv USING (term)),
+            contrib AS (
+              SELECT qi.query_id, t.doc_id,
+                     qi.qtf * ln((s.n_docs - qi.df + 0.5) / (qi.df + 0.5) + 1.0)
+                       * (t.tf * ({DEFAULT.k1} + 1.0))
+                       / (t.tf + {DEFAULT.k1} * (1.0 - {DEFAULT.b}
+                          + {DEFAULT.b} * dl.dlen / s.avgdl)) AS c
+              FROM qidx qi
+              JOIN tf t USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats s
+            ),
+            scored AS (
+              SELECT query_id, doc_id, round(sum(c), 6) AS score
+              FROM contrib GROUP BY query_id, doc_id
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored WHERE doc_id <> query_id
+            )
+            SELECT query_id::BIGINT AS seed, rank::int AS rank,
+                   doc_id::bigint AS "docID", score::double AS score
+            FROM ranked WHERE rank <= {DEFAULT.top_k}""",
         "doc_keywords": f"""
             WITH {_SQL_TOK},
             tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

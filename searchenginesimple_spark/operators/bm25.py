@@ -159,6 +159,7 @@ def bm25_topk(
     use_pandas_udf: bool = True,
     mode: str = "and",
     candidates: DataFrame | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Score a batch of queries; return (query, rank, docID, score).
 
@@ -168,6 +169,8 @@ def bm25_topk(
     candidates (query_id, doc_id), if given, restricts scoring output to
     those pairs (left-semi join BEFORE ranking, so top-k is over the
     restricted set) — the hook phrase_topk uses.
+    exclude_self drops rows where doc_id == query_id BEFORE ranking (for
+    doc-as-query flows like more_like_this, where query_id IS a doc_id).
 
     Physical shape: the query side is tiny → broadcast it against the tf
     table (one broadcast-hash join, no shuffle of tf by term); the per-doc
@@ -208,6 +211,8 @@ def bm25_topk(
         scored = scored.join(
             candidates.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi"
         )
+    if exclude_self:
+        scored = scored.filter(F.col("doc_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -310,4 +315,42 @@ def doc_keywords(index: IndexStats, k: int = 5) -> DataFrame:
         w.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "weight")
+    )
+
+
+def more_like_this(
+    index: IndexStats,
+    seed_doc_ids: list[int],
+    k_keywords: int = 5,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Doc-similarity search ("more like this") → (seed, rank, docID, score).
+
+    Each seed document's top-``k_keywords`` tf·idf terms (doc_keywords)
+    become a disjunctive BM25 query; the seed itself is excluded before
+    ranking.  The classic search-engine related-results feature, built
+    entirely from the existing keyword + scorer operators — the query side
+    stays tiny (seeds × k_keywords rows), so the scoring join is the same
+    broadcast shape as any query batch.
+    """
+    kws = doc_keywords(index, k=k_keywords).filter(
+        F.col("doc_id").isin([int(d) for d in seed_doc_ids])
+    )
+    queries = kws.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "term"))),
+                lambda s: s.term,
+            ),
+        ).alias("query")
+    ).select(F.col("doc_id").alias("query_id"), "query")
+    out = bm25_topk(
+        index, queries, cfg, mode="or", exclude_self=True, use_pandas_udf=False
+    )
+    # surface the seed id, not the synthesized keyword string
+    return (
+        out.join(
+            F.broadcast(queries.withColumnRenamed("query_id", "seed")), "query"
+        ).select("seed", "rank", "docID", "score")
     )

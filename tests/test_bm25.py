@@ -132,3 +132,24 @@ def test_doc_keywords_matches_hand_computation(spark):
     assert got[(1, 1)][0] == "z" and got[(1, 2)][0] == "y"
     assert got[(2, 1)] == ("w", round(1 * idf(1), 6))
     assert (2, 2) not in got
+
+
+def test_more_like_this_excludes_seed_and_ranks_overlap(spark):
+    from searchenginesimple_spark.operators.bm25 import build_index_stats, more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma epsilon"),   # 3 shared keywords with seed
+            (2, "alpha zeta eta theta"),       # 1 shared
+            (3, "iota kappa lam mu"),          # 0 shared
+        ],
+        "doc_id long, content string",
+    )
+    idx = build_index_stats(docs)
+    got = more_like_this(idx, [0], k_keywords=4).collect()
+    ids = [r["docID"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert 0 not in ids                 # seed excluded
+    assert ids[0] == 1                  # most keyword overlap ranks first
+    assert set(ids) == {1, 2}           # doc 3 shares no terms → no score
+    assert all(r["seed"] == 0 for r in got)
