@@ -604,6 +604,31 @@ def _q_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_subtoken_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-identifier subtoken split (functions/tokenize.py::subtokens_expr)
+    — camel/Pascal/acronym/snake decomposition, the code-payload analogue of
+    jieba segmentation.  The word-salad driver corpus has no camelCase, so
+    both sides append the SAME deterministic identifiers per doc first (the
+    pii_scrub pattern): the split rules are exercised on real positives."""
+    from searchenginesimple_spark.functions.tokenize import subtokens_expr
+
+    docs = load_documents(spark, sf_dir).withColumn(
+        "content",
+        F.concat(
+            F.col("content"),
+            F.lit(" parseHTTPResponse fooBar_baz getValue"),
+            F.col("doc_id") % 7,
+            F.lit("X AConst __init__"),
+        ),
+    )
+    subs = subtokens_expr("content")
+    return docs.select(
+        "doc_id",
+        F.size(subs).cast("long").alias("n_subtokens"),
+        F.array_join(subs, " ").alias("subtok_str"),
+    )
+
+
 def _q_url_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-encoding decode (reference urlcode.hpp:40-60, applied twice at
     WebServer.cc:187-200): deterministically percent-encode each document
@@ -943,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_p_extract": _q_html_p_extract,
         "b64_codec": _q_b64_codec,
         "url_codec": _q_url_codec,
+        "subtoken_split": _q_subtoken_split,
         "linebreak_join": _q_linebreak_join,
         "tokenize_cjk": _q_tokenize_cjk,
         "rss_parse": _q_rss_parse,
@@ -1783,6 +1809,25 @@ def oracle_sql() -> dict[str, str]:
         "url_codec": _URL_SQL,
         "linebreak_join": _LINEBREAK_SQL,
         "tokenize_cjk": _TOKENIZE_CJK_SQL,
+        "subtoken_split": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' parseHTTPResponse fooBar_baz getValue'
+                          || (doc_id % 7) || 'X AConst __init__' AS c
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     regexp_extract_all(
+                       lower(regexp_replace(
+                         regexp_replace(c, '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+                         '([a-z0-9])([A-Z])', '\1 \2', 'g')),
+                       '[a-z][a-z0-9]*') AS subs
+              FROM d
+            )
+            SELECT doc_id, len(subs)::BIGINT AS n_subtokens,
+                   array_to_string(subs, ' ') AS subtok_str
+            FROM s""",
         "simhash_dedup": _SIMHASH_DEDUP_SQL,
         "minhash_pairs": _MINHASH_SQL,
         "ann_lsh": _ANN_LSH_SQL,

@@ -61,6 +61,26 @@ def make_tokenize_udf(token_re: str = TOKEN_RE):
 tokenize_udf = make_tokenize_udf()
 
 
+def subtokens_expr(content: Column | str, keep_re: str = r"[a-z][a-z0-9]*") -> Column:
+    """Code-identifier SUBtoken split: camelCase, PascalCase, UPPER-acronym
+    and snake_case identifiers decompose into their word parts
+    (``parseHTTPResponse`` → [parse, http, response]; ``fooBar_baz`` →
+    [foo, bar, baz]) — what lets a source-code index match ``response``
+    inside ``parseHTTPResponse``, the payload-specific analogue of the
+    reference's jieba word segmentation (Page.hpp:288).
+
+    Spec (RE2-compatible — no lookarounds — so the DuckDB oracle runs the
+    identical chain): break ACRONYM|Word boundaries (``([A-Z]+)([A-Z][a-z])``
+    → ``$1 $2``), then lower|Upper boundaries (``([a-z0-9])([A-Z])``), then
+    lowercase and extract ``keep_re`` runs (underscores/digits-first runs act
+    as separators).  Pure JVM, codegen'd.
+    """
+    col = F.col(content) if isinstance(content, str) else content
+    spaced = F.regexp_replace(col, r"([A-Z]+)([A-Z][a-z])", r"$1 $2")
+    spaced = F.regexp_replace(spaced, r"([a-z0-9])([A-Z])", r"$1 $2")
+    return F.regexp_extract_all(F.lower(spaced), F.lit(keep_re), F.lit(0))
+
+
 def tokenize_py(text: str, token_re: str = TOKEN_RE) -> list[str]:
     """Single-string tokenizer for the pure-Python oracle — same spec."""
     import re

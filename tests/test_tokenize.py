@@ -132,3 +132,27 @@ def test_cjk_simhash_dedup(spark):
     cfg = dataclasses.replace(DEFAULT, token_re=TOKEN_RE_CJK)
     survivors = {r["doc_id"] for r in simhash_dedup(docs, cfg).collect()}
     assert survivors == {0, 2}  # dup 1 dropped; CJK-only doc fingerprinted
+
+
+def test_subtokens_expr_known_cases(spark):
+    import pyspark.sql.functions as F
+
+    from searchenginesimple_spark.functions.tokenize import subtokens_expr
+
+    cases = [
+        (0, "parseHTTPResponse", ["parse", "http", "response"]),
+        (1, "fooBar_baz", ["foo", "bar", "baz"]),
+        (2, "getValue2X", ["get", "value2", "x"]),
+        (3, "AConst", ["a", "const"]),
+        (4, "__init__", ["init"]),
+        (5, "simple", ["simple"]),
+        (6, "HTTP", ["http"]),
+        (7, "", []),
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in cases], "id long, s string")
+    got = {
+        r["id"]: r["subs"]
+        for r in df.select("id", subtokens_expr("s").alias("subs")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
