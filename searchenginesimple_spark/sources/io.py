@@ -86,6 +86,35 @@ class TableIO:
         else:
             df.write.mode("append").parquet(self.path(name))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_col: str = "term",
+        n_buckets: int = 64,
+        sort: bool = True,
+    ) -> None:
+        """Hash-bucketed, bucket-sorted table write (co-located join layout).
+
+        Two tables bucketed on the same column with the same bucket count
+        join WITHOUT an exchange on either side — the layout a 100 TB
+        deployment gives its postings + term_stats tables so every
+        term-keyed join (stats refresh, index merge, analytics) skips the
+        shuffle entirely (plan pinned in tests/test_plans.py).  Iceberg's
+        equivalent is a ``bucket(N, col)`` partition transform; parquet mode
+        uses the session catalog (``saveAsTable`` with an explicit path —
+        bucket metadata lives in the metastore, which is why a plain
+        ``.parquet()`` write cannot express this).
+        """
+        writer = (
+            df.write.format("parquet")
+            .option("path", self.path(name))
+            .bucketBy(n_buckets, bucket_col)
+        )
+        if sort:
+            writer = writer.sortBy(bucket_col)
+        writer.mode("overwrite").saveAsTable(name)
+
     def append_rows(self, rows: list[tuple], schema_ddl: str, name: str) -> None:
         """Append DRIVER-LOCAL rows (metrics/lineage — always tiny) as one
         parquet file, no Spark job: a metrics append costs ~300 ms of job

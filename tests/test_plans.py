@@ -141,3 +141,32 @@ def test_per_key_cap_partial_window_group_limit(spark):
     )
     plan = per_key_cap(df, 10)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on term with equal bucket counts must join with
+    NO Exchange on either side — the co-located layout postings/term_stats
+    get at deployment scale (sources/io.py::write_bucketed)."""
+    from searchenginesimple_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    a = spark.createDataFrame(
+        [(f"t{i % 17}", i, i % 5) for i in range(200)], "term string, doc_id long, tf int"
+    )
+    b = spark.createDataFrame(
+        [(f"t{i}", i) for i in range(17)], "term string, df int"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        io.write_bucketed(a, "bk_tf", "term", 8)
+        io.write_bucketed(b, "bk_stats", "term", 8)
+        joined = spark.table("bk_tf").join(spark.table("bk_stats"), "term")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bk_tf")
+        spark.sql("DROP TABLE IF EXISTS bk_stats")
