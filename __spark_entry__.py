@@ -806,6 +806,21 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-3 most-frequent JSON `props.k` values per 1-hour
+    window (streaming/clicklog.py::trending_topk over the windowed counts —
+    the batch twin; the streaming twin ranks the append-mode sink)."""
+    from searchenginesimple_spark.streaming.clicklog import trending_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.withColumn("item", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"), "item")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return trending_topk(counts, k=3)
+
+
 def _q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join + agg breadth check: revenue per market segment."""
     cust = load_table(spark, sf_dir, "customer")
@@ -980,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "json_parse": _q_json_parse,
+        "trending": _q_trending,
         "join_agg": _q_join_agg,
     }
 
@@ -1861,6 +1877,21 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, session_id""",
+        "trending": """
+            WITH c AS (
+              SELECT date_trunc('hour', ts) AS window_start,
+                     json_extract(props, '$.k')::BIGINT AS item,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT window_start, item, n,
+                     row_number() OVER (PARTITION BY window_start
+                                        ORDER BY n DESC, item ASC) AS rank
+              FROM c
+            )
+            SELECT window_start, rank::int AS rank, item, n
+            FROM r WHERE rank <= 3""",
         "json_parse": """
             SELECT event_id,
                    json_extract(props, '$.k')::BIGINT AS k,

@@ -82,6 +82,38 @@ def clicks_per_window(
     )
 
 
+def trending_topk(
+    counts: DataFrame,
+    k: int = 3,
+    item_col: str = "item",
+    count_col: str = "n",
+) -> DataFrame:
+    """Top-k items per completed window → (window_start, rank, item, n).
+
+    Input = windowed counts (window_start, <item_col>, <count_col>) from
+    either the batch aggregation or a streaming windowed-count SINK —
+    ranking WITHIN a window needs the window complete, so in streaming the
+    rank runs as a batch pass over the append-mode sink (only closed windows
+    land there; tests/test_clicklog.py pins batch ≡ streaming-sink results).
+    Ties break on item ascending; the rank ≤ k filter gets the same partial
+    WindowGroupLimit as per_key_cap — ≤ k rows per window per map task enter
+    the shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc(count_col), F.asc(item_col)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "window_start", F.col("rank").cast("int").alias("rank"),
+            item_col, count_col,
+        )
+    )
+
+
 def write_clicklog(
     counts: DataFrame, path: str, checkpoint: str, trigger_once: bool = True
 ):

@@ -78,3 +78,61 @@ def test_clicklog_file_stream_end_to_end(spark, tmp_path):
         ("2024-01-01 00:00:00", "u1"): 2,
         ("2024-01-01 00:20:00", "u2"): 1,
     }
+
+
+def test_trending_topk_streaming_sink_equals_batch(spark, tmp_path):
+    """Windowed counts stream to an append-mode sink (closed windows only);
+    trending_topk ranked over the sink must equal the batch rank over the
+    same closed windows."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from searchenginesimple_spark.streaming.clicklog import (
+        trending_topk,
+        write_clicklog,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = []
+    # two complete 10-min windows + one in-flight window (withheld by append mode)
+    for minute, item in [
+        (1, "a"), (2, "a"), (3, "b"), (5, "a"), (7, "c"),      # w0: a=3 b=1 c=1
+        (11, "b"), (12, "b"), (14, "a"), (16, "b"),            # w1: b=3 a=1
+        (21, "z"), (22, "z"),                                  # w2: in-flight
+    ]:
+        rows.append((item, f"2024-01-01 00:{minute:02d}:00"))
+    pdf = pd.DataFrame({"url": [r[0] for r in rows],
+                        "ts": pd.to_datetime([r[1] for r in rows])})
+    spark.createDataFrame(pdf).write.parquet(str(src / "b0"))
+
+    stream = spark.readStream.schema("url string, ts timestamp").parquet(str(src / "*"))
+    from searchenginesimple_spark.streaming.clicklog import clicks_per_window
+
+    q = write_clicklog(
+        clicks_per_window(stream, "10 minutes", "0 minutes"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    sink = spark.read.parquet(str(tmp_path / "out"))
+    got = sorted(
+        map(tuple, trending_topk(sink, k=2, item_col="url", count_col="clicks").collect())
+    )
+
+    batch = (
+        spark.createDataFrame(pdf)
+        .filter(F.col("ts") < "2024-01-01 00:20:00")   # the closed windows
+        .groupBy(F.date_trunc("minute", F.expr("timestampadd(MINUTE, -minute(ts) % 10, ts)")).alias("window_start"), "url")
+        .agg(F.count("*").alias("clicks"))
+    )
+    want = sorted(
+        map(tuple, trending_topk(batch, k=2, item_col="url", count_col="clicks").collect())
+    )
+    assert got == want
+    # hand-check: w0 top-2 = a(3), b(1) [b < c tie on item]; w1 = b(3), a(1)
+    by_rank = {(str(r[0]), r[1]): (r[2], r[3]) for r in got}
+    assert by_rank[("2024-01-01 00:00:00", 1)] == ("a", 3)
+    assert by_rank[("2024-01-01 00:00:00", 2)] == ("b", 1)
+    assert by_rank[("2024-01-01 00:10:00", 1)] == ("b", 3)
+    assert by_rank[("2024-01-01 00:10:00", 2)] == ("a", 1)
