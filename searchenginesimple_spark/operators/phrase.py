@@ -261,6 +261,91 @@ def phrase_match_indexed(
     ).select("phrase_id", "phrase", "doc_id")
 
 
+class PhraseQueryEngine:
+    """Low-latency phrase point queries over built positional postings —
+    the phrase twin of operators/wand.py::Bm25QueryEngine.
+
+    Caches per-term positional posting rows on the driver across queries
+    (first sight of a term = one term-filtered collect; repeats = zero Spark
+    jobs) and runs the EXACT distributed kernel (_phrase_kernel) per
+    (phrase, shard) group, so results are bit-identical to
+    ``phrase_match_indexed`` (pinned in tests/test_phrase.py).  A cache-size
+    guard (estimated from collected bytes) falls back to the distributed
+    path rather than hoarding a hot term's postings on the driver.
+    """
+
+    def __init__(
+        self,
+        ppostings: DataFrame,
+        cfg: EngineConfig = DEFAULT,
+        max_cache_bytes: int = 32 * 1024 * 1024,
+    ):
+        self.ppostings = ppostings
+        self.cfg = cfg
+        self.cap = max_cache_bytes
+        self._post: dict[str, list] = {}  # term -> positional posting rows
+        self._bytes = 0
+
+    def _ensure(self, terms: list[str]) -> bool:
+        """Fetch uncached terms; False = cap exceeded (caller must fall back)."""
+        missing = [t for t in terms if t not in self._post]
+        if missing:
+            rows = self.ppostings.filter(F.col("term").isin(missing)).collect()
+            for t in missing:
+                self._post[t] = []
+            for r in rows:
+                self._post[r["term"]].append(r)
+                self._bytes += len(r["ids"]) + len(r["npos"]) + len(r["pos"])
+        return self._bytes <= self.cap
+
+    def match(self, phrases: list[str]) -> pd.DataFrame:
+        """→ pandas (phrase_id, phrase, doc_id), phrase_id = list position."""
+        from searchenginesimple_spark.functions.tokenize import tokenize_py
+
+        ptoks = [tokenize_py(p, self.cfg.token_re) for p in phrases]
+        all_terms = sorted({t for toks in ptoks for t in toks})
+        if not self._ensure(all_terms):
+            spark = self.ppostings.sparkSession
+            pdf = spark.createDataFrame(
+                list(enumerate(phrases)), "phrase_id long, phrase string"
+            )
+            out = phrase_match_indexed(self.ppostings, pdf, self.cfg).toPandas()
+            return out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+
+        frames: list[pd.DataFrame] = []
+        for pid, (phrase, toks) in enumerate(zip(phrases, ptoks)):
+            offsets: dict[str, list[int]] = {}
+            for off, t in enumerate(toks):
+                offsets.setdefault(t, []).append(off)
+            terms = sorted(offsets)
+            if not terms:
+                continue
+            shards = sorted(
+                {r["shard"] for t in terms for r in self._post[t]}
+            )
+            for shard in shards:
+                rows = [
+                    {
+                        "phrase_id": pid, "shard": shard, "term": t,
+                        "offsets": offsets[t], "n_terms": len(terms),
+                        "df": r["df"], "ids": r["ids"], "npos": r["npos"],
+                        "pos": r["pos"],
+                    }
+                    for t in terms
+                    for r in self._post[t]
+                    if r["shard"] == shard
+                ]
+                if rows:
+                    res = _phrase_kernel(pd.DataFrame(rows))
+                    if len(res):
+                        res["phrase"] = phrase
+                        frames.append(res)
+        if not frames:
+            return pd.DataFrame({"phrase_id": [], "phrase": [], "doc_id": []})
+        out = pd.concat(frames, ignore_index=True)[["phrase_id", "phrase", "doc_id"]]
+        return out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
+
+
 def phrase_topk(index, ppostings: DataFrame, phrases: DataFrame,
                 cfg: EngineConfig = DEFAULT) -> DataFrame:
     """BM25-ranked exact-phrase search → (query, rank, docID, score).

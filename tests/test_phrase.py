@@ -159,3 +159,41 @@ def test_phrase_topk_restricts_bm25_candidates(spark):
     for r in got:
         assert r["score"] == bm[r["docID"]]
     assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_phrase_query_engine_matches_distributed(spark):
+    from searchenginesimple_spark.operators.phrase import (
+        PhraseQueryEngine,
+        build_positional_postings,
+        phrase_match_indexed,
+    )
+
+    docs = _corpus(80, seed=9)
+    phrases = ["a b", "dd ee", "b a b", "zz_oov", "", "a"]
+    ddf = spark.createDataFrame(docs, "doc_id long, content string")
+    pp = build_positional_postings(ddf, CFG)
+
+    eng = PhraseQueryEngine(pp, CFG)
+    got = eng.match(phrases)
+    got2 = eng.match(phrases)  # repeat: served from cache, must be identical
+    assert got.equals(got2)
+
+    pdf = spark.createDataFrame(
+        list(enumerate(phrases)), "phrase_id long, phrase string"
+    )
+    want = (
+        phrase_match_indexed(pp, pdf, CFG)
+        .toPandas()
+        .sort_values(["phrase_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.itertuples(index=False))) == list(
+        map(tuple, want.itertuples(index=False))
+    )
+
+    # tiny cap → distributed fallback, still identical
+    eng_small = PhraseQueryEngine(pp, CFG, max_cache_bytes=1)
+    got3 = eng_small.match(phrases)
+    assert list(map(tuple, got3.itertuples(index=False))) == list(
+        map(tuple, want.itertuples(index=False))
+    )
