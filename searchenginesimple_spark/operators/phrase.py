@@ -178,8 +178,24 @@ def phrase_match_dense(
     )
 
 
+# packed (doc, shifted-pos) key layout for the vectorized adjacency intersect:
+# key = doc_id·2²⁴ + (pos − offset + _POS_BIAS), all uint64 arithmetic.
+# Bounds this encodes (both generous for real corpora, asserted nowhere hot):
+# per-doc token position < 2²⁴ − 2·_POS_BIAS (≈16.7M tokens/doc) and
+# doc_id < 2⁴⁰ (10¹² files fits).
+_POS_SHIFT = np.uint64(24)
+_POS_BIAS = np.uint64(4096)  # > max phrase length, keeps pos − offset ≥ 0
+
+
 def _phrase_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (phrase_id, shard) group → matching (phrase_id, doc_id) rows."""
+    """One (phrase_id, shard) group → matching (phrase_id, doc_id) rows.
+
+    Fully vectorized: a doc matches iff ∩_{(term,o)} {(doc, p − o) : p ∈
+    positions_term(doc)} is non-empty, so the kernel intersects SORTED packed
+    key arrays across (term, offset) pairs — no per-candidate python loop;
+    work is O(total postings of the phrase's terms in this shard), rarest
+    term first so the running set only shrinks.
+    """
     empty = pd.DataFrame({"phrase_id": pd.Series([], dtype="int64"),
                           "doc_id": pd.Series([], dtype="int64")})
     n_terms = int(pdf["n_terms"].iloc[0])
@@ -188,49 +204,24 @@ def _phrase_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     pid = int(pdf["phrase_id"].iloc[0])
     pdf = pdf.sort_values("df").reset_index(drop=True)  # rarest-first
 
-    ids_l, starts_l, pos_l = [], [], []
+    keys: np.ndarray | None = None
     for i in range(len(pdf)):
-        ids = np.cumsum(varbyte_decode(pdf["ids"].iloc[i]), dtype=np.uint64).astype(np.int64)
+        ids = np.cumsum(varbyte_decode(pdf["ids"].iloc[i]), dtype=np.uint64)
         counts = varbyte_decode(pdf["npos"].iloc[i]).astype(np.int64)
-        flat = delta_decode_rows(varbyte_decode(pdf["pos"].iloc[i]), counts).astype(np.int64)
-        starts = np.zeros(counts.size + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts[1:])
-        ids_l.append(ids)
-        starts_l.append(starts)
-        pos_l.append(flat)
-
-    # rarest-first conjunctive doc intersection (same move as the WAND kernel)
-    cand = ids_l[0]
-    for other in ids_l[1:]:
-        loc = np.searchsorted(other, cand)
-        ok = loc < other.size
-        hit = np.zeros(cand.size, dtype=bool)
-        hit[ok] = other[loc[ok]] == cand[ok]
-        cand = cand[hit]
-        if cand.size == 0:
-            return empty
-
-    # adjacency check per candidate: ∩_{(term,offsets)} (positions − o) ≠ ∅
-    offsets = [np.asarray(o, dtype=np.int64) for o in pdf["offsets"]]
-    idx_of = [np.searchsorted(ids_l[i], cand) for i in range(len(pdf))]
-    matched = []
-    for c in range(cand.size):
-        s: np.ndarray | None = None
-        for i in range(len(pdf)):
-            j = idx_of[i][c]
-            p = pos_l[i][starts_l[i][j] : starts_l[i][j + 1]]
-            for o in offsets[i]:
-                shifted = p - o
-                s = shifted if s is None else s[np.isin(s, shifted, assume_unique=True)]
-                if s.size == 0:
-                    break
-            if s is not None and s.size == 0:
-                break
-        if s is not None and s.size:
-            matched.append(int(cand[c]))
-    if not matched:
+        flat = delta_decode_rows(varbyte_decode(pdf["pos"].iloc[i]), counts)
+        doc_rep = np.repeat(ids, counts)  # ascending; positions ascend per doc
+        base = (doc_rep << _POS_SHIFT) + flat + _POS_BIAS  # sorted ascending
+        for o in sorted(pdf["offsets"].iloc[i]):
+            shifted = base - np.uint64(o)
+            keys = shifted if keys is None else keys[
+                np.isin(keys, shifted, assume_unique=True)
+            ]
+            if keys is None or keys.size == 0:
+                return empty
+    if keys is None or keys.size == 0:
         return empty
-    return pd.DataFrame({"phrase_id": pid, "doc_id": np.asarray(matched, dtype=np.int64)})
+    matched = np.unique(keys >> _POS_SHIFT).astype(np.int64)
+    return pd.DataFrame({"phrase_id": pid, "doc_id": matched})
 
 
 def phrase_match_indexed(
