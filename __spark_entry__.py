@@ -806,6 +806,17 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related terms by document-level PMI (operators/cooccur.py): top-3
+    partners per term, support ≥ 5 docs — the usage-based companion to the
+    char-index's lexical suggestions."""
+    from searchenginesimple_spark.operators.cooccur import related_terms
+
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs)
+    return related_terms(idx, k=3, min_pairs=5)
+
+
 def _q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trending items: top-3 most-frequent JSON `props.k` values per 1-hour
     window (streaming/clicklog.py::trending_topk over the windowed counts —
@@ -996,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "json_parse": _q_json_parse,
         "trending": _q_trending,
+        "related_terms": _q_related_terms,
         "join_agg": _q_join_agg,
     }
 
@@ -1877,6 +1889,39 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM sess GROUP BY user_id, session_id""",
+        "related_terms": f"""
+            WITH {_SQL_TOK},
+            t AS (SELECT DISTINCT doc_id, term FROM tok),
+            dl AS (SELECT DISTINCT doc_id FROM t),
+            stats AS (SELECT count(*) AS n_docs FROM dl),
+            dfv AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+            pairs AS (
+              SELECT a.term AS ta, b.term AS tb, count(*) AS n_ab
+              FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY a.term, b.term
+              HAVING count(*) >= 5
+            ),
+            bidir AS (
+              SELECT ta, tb, n_ab FROM pairs
+              UNION ALL
+              SELECT tb AS ta, ta AS tb, n_ab FROM pairs
+            ),
+            scored AS (
+              SELECT bo.ta, bo.tb, bo.n_ab,
+                     round(ln(bo.n_ab * s.n_docs * 1.0 / (da.df * db.df)), 6) AS pmi
+              FROM bidir bo
+              JOIN dfv da ON bo.ta = da.term
+              JOIN dfv db ON bo.tb = db.term
+              CROSS JOIN stats s
+            ),
+            r AS (
+              SELECT ta, tb, n_ab, pmi,
+                     row_number() OVER (PARTITION BY ta
+                                        ORDER BY pmi DESC, tb ASC) AS rank
+              FROM scored
+            )
+            SELECT ta AS term, rank::int AS rank, tb AS other, n_ab, pmi
+            FROM r WHERE rank <= 3""",
         "trending": """
             WITH c AS (
               SELECT date_trunc('hour', ts) AS window_start,

@@ -1,0 +1,82 @@
+"""Term co-occurrence mining: related terms by pointwise mutual information.
+
+The suggestion server's char-index (operators/suggest.py) finds LEXICALLY
+close candidates; this finds SEMANTICALLY related terms from usage — the
+"related searches" / synonym-mining feature a search engine layers on its
+index, and a standard corpus-analysis op for training-data pipelines.
+
+    pmi(a, b) = ln( n_ab · N / (df_a · df_b) )
+
+computed over document-level co-occurrence (n_ab = docs containing both).
+
+Physical shape at scale: the pair generation is a self-join of the DISTINCT
+(doc_id, term) table on doc_id — co-partitioned on the join key, so no extra
+shuffle beyond the pair aggregation itself, whose key space is bounded by
+(distinct terms per doc)² per doc.  The ``min_pairs`` support prune drops the
+long tail BEFORE the PMI join, and per-term top-k goes through the same
+map-side WindowGroupLimit as every other rank-filter in this engine.
+A 10^12-doc deployment additionally caps per-doc distinct terms upstream
+(quality_score's n_distinct) — pair fan-out is quadratic in that bound and
+in nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.operators.bm25 import IndexStats
+
+
+def related_terms(
+    index: IndexStats,
+    k: int = 3,
+    min_pairs: int = 5,
+) -> DataFrame:
+    """→ (term, rank, other, n_ab, pmi): top-k PMI partners per term.
+
+    Deterministic: pmi rounded to 6 decimals BEFORE ranking, ties break on
+    partner term ascending.  Pairs are generated once with term_a < term_b
+    and expanded to both directions for the per-term ranking.
+    """
+    t = index.tf.select("doc_id", "term")
+    a = t.withColumnRenamed("term", "ta")
+    b = t.withColumnRenamed("term", "tb")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    both = pairs.select("ta", "tb", "n_ab").union(
+        pairs.select(F.col("tb").alias("ta"), F.col("ta").alias("tb"), "n_ab")
+    )
+    dfv = index.term_stats.select("term", "df")
+    scored = (
+        both.join(dfv.withColumnRenamed("term", "ta").withColumnRenamed("df", "df_a"), "ta")
+        .join(dfv.withColumnRenamed("term", "tb").withColumnRenamed("df", "df_b"), "tb")
+        .crossJoin(F.broadcast(index.corpus.select("n_docs")))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("ta").orderBy(F.desc("pmi"), F.asc("tb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("ta").alias("term"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("tb").alias("other"),
+            "n_ab",
+            "pmi",
+        )
+    )
