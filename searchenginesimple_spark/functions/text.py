@@ -254,17 +254,27 @@ def query_snippet(
     starts at max(1, pos − width/2).  Pure JVM (SQL lambda expressions —
     ``locate`` accepts column args in SQL form, unlike the Python wrapper).
     """
+    import re as _re
+
     from searchenginesimple_spark.config import TOKEN_RE as _DEFAULT_RE
 
     re_ = token_re or _DEFAULT_RE
+    # the expression is assembled as SQL text: escape the regex literal and
+    # backtick-quote the identifiers so a quote in token_re (or a column
+    # name needing quoting) cannot break or inject into the parsed SQL
+    re_lit = re_.replace("\\", "\\\\").replace("'", "\\'")
+    for ident in (text_col, query_col):
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
+            raise ValueError(f"query_snippet: invalid column name {ident!r}")
+    text_q, query_q = f"`{text_col}`", f"`{query_col}`"
     half = width // 2
     return F.expr(
-        f"""substr({text_col},
+        f"""substr({text_q},
                greatest(1,
                  coalesce(
                    array_min(filter(
-                     transform(regexp_extract_all(lower({query_col}), '{re_}', 0),
-                               t -> locate(t, lower({text_col}))),
+                     transform(regexp_extract_all(lower({query_q}), '{re_lit}', 0),
+                               t -> locate(t, lower({text_q}))),
                      p -> p > 0)),
                    1) - {half}),
                {width})"""

@@ -160,8 +160,13 @@ def bm25_topk(
     mode: str = "and",
     candidates: DataFrame | None = None,
     exclude_self: bool = False,
+    keep_query_id: bool = False,
 ) -> DataFrame:
-    """Score a batch of queries; return (query, rank, docID, score).
+    """Score a batch of queries; return (query, rank, docID, score),
+    plus the leading ``query_id`` column when ``keep_query_id`` — the
+    collision-safe key for callers that synthesize query strings (two seeds
+    with identical keyword sets produce identical strings; joining back on
+    the string would cross-join their result sets).
 
     mode="and" (default): conjunctive candidates, the reference semantics.
     mode="or": disjunctive — any doc matching ≥1 indexed term scores; the
@@ -214,15 +219,18 @@ def bm25_topk(
     if exclude_self:
         scored = scored.filter(F.col("doc_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    cols = [
+        F.col(query_col).alias("query"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("long").alias("docID"),
+        F.col("score").cast("double").alias("score"),
+    ]
+    if keep_query_id:
+        cols.insert(0, F.col("query_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cfg.top_k)
-        .select(
-            F.col(query_col).alias("query"),
-            F.col("rank").cast("int").alias("rank"),
-            F.col("doc_id").cast("long").alias("docID"),
-            F.col("score").cast("double").alias("score"),
-        )
+        .select(*cols)
     )
 
 
@@ -345,12 +353,13 @@ def more_like_this(
             ),
         ).alias("query")
     ).select(F.col("doc_id").alias("query_id"), "query")
+    # keep_query_id: the seed id rides the ranking itself — joining back on
+    # the synthesized keyword STRING would cross-join seeds that share a
+    # keyword set (e.g. duplicate documents), duplicating (seed, rank) rows
     out = bm25_topk(
-        index, queries, cfg, mode="or", exclude_self=True, use_pandas_udf=False
+        index, queries, cfg, mode="or", exclude_self=True, use_pandas_udf=False,
+        keep_query_id=True,
     )
-    # surface the seed id, not the synthesized keyword string
-    return (
-        out.join(
-            F.broadcast(queries.withColumnRenamed("query_id", "seed")), "query"
-        ).select("seed", "rank", "docID", "score")
+    return out.select(
+        F.col("query_id").alias("seed"), "rank", "docID", "score"
     )

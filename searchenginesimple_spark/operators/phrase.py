@@ -73,6 +73,16 @@ def _encode_positional(doc_arrs: pd.Series, pos_arrs: pd.Series) -> pd.DataFrame
     for docs, poss in zip(doc_arrs, pos_arrs):
         d = np.asarray(docs, dtype=np.uint64)
         p = np.asarray(poss, dtype=np.uint64)
+        # packed-key layout bound (see _POS_SHIFT/_POS_BIAS): a position at
+        # or past 2²⁴ − 2·4096 would bleed into the next doc_id's keyspace
+        # and SILENTLY corrupt phrase matches — fail loudly instead.  ~16.7M
+        # tokens in ONE document; real corpora never get close.
+        if p.size and int(p.max()) >= (1 << 24) - 2 * 4096:
+            raise ValueError(
+                f"document token position {int(p.max())} exceeds the packed "
+                "positional-key bound (2^24 - 2*4096); split the document "
+                "or use phrase_match_dense"
+            )
         uniq, counts = np.unique(d, return_counts=True)
         ids_buf, _ = varbyte_encode_rows(
             delta_encode_rows(uniq, np.array([uniq.size])), np.array([uniq.size])
@@ -87,17 +97,26 @@ def _encode_positional(doc_arrs: pd.Series, pos_arrs: pd.Series) -> pd.DataFrame
 
 
 def tokens_with_pos(
-    docs: DataFrame, cfg: EngineConfig = DEFAULT, text_col: str = "content"
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    text_col: str = "content",
+    tokens_col=None,
 ) -> DataFrame:
     """documents(doc_id, content) → (doc_id, pos, term); pos is the 0-based
-    token offset (posexplode of the JVM tokenizer — no Python)."""
-    return docs.select(
-        "doc_id", F.posexplode(tokenize_expr(text_col, cfg.token_re)).alias("pos", "term")
-    )
+    token offset (posexplode of the JVM tokenizer — no Python).
+
+    ``tokens_col`` (optional Column of array<string>) swaps in an alternate
+    tokenizer — e.g. the dictionary-FMM CJK segmenter
+    (functions/segment.py) — while keeping the identical downstream plan."""
+    tok = tokens_col if tokens_col is not None else tokenize_expr(text_col, cfg.token_re)
+    return docs.select("doc_id", F.posexplode(tok).alias("pos", "term"))
 
 
 def build_positional_postings(
-    docs: DataFrame, cfg: EngineConfig = DEFAULT, text_col: str = "content"
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    text_col: str = "content",
+    tokens_col=None,
 ) -> DataFrame:
     """→ positional postings (term, shard, df, ids, npos, pos).
 
@@ -106,7 +125,9 @@ def build_positional_postings(
     docs regardless of term hotness; sort_array hands the encoder
     (doc_id, pos)-sorted runs.
     """
-    tp = tokens_with_pos(docs, cfg, text_col).withColumn("shard", shard_of(F.col("doc_id"), cfg))
+    tp = tokens_with_pos(docs, cfg, text_col, tokens_col).withColumn(
+        "shard", shard_of(F.col("doc_id"), cfg)
+    )
     grouped = (
         tp.repartition(cfg.shuffle_partitions, "term", "shard")
         .groupBy("term", "shard")
@@ -128,15 +149,20 @@ def build_positional_postings(
 # --------------------------------------------------------------------------
 
 
-def phrase_terms(phrases: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+def phrase_terms(
+    phrases: DataFrame, cfg: EngineConfig = DEFAULT, tokens_col=None
+) -> DataFrame:
     """phrases(phrase_id, phrase) → (phrase_id, term, offsets, n_terms).
 
     offsets = every 0-based token offset at which `term` occurs in the phrase
     (repeated terms → one row, several offsets); n_terms = distinct terms.
-    """
+    ``tokens_col`` swaps in an alternate tokenizer (must match the one the
+    positional postings were built with — e.g. dictionary-FMM)."""
     tok = phrases.select(
         "phrase_id",
-        F.posexplode(tokenize_expr("phrase", cfg.token_re)).alias("off", "term"),
+        F.posexplode(
+            tokens_col if tokens_col is not None else tokenize_expr("phrase", cfg.token_re)
+        ).alias("off", "term"),
     )
     per_term = tok.groupBy("phrase_id", "term").agg(
         F.sort_array(F.collect_list("off")).alias("offsets")
@@ -199,6 +225,16 @@ def _phrase_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     empty = pd.DataFrame({"phrase_id": pd.Series([], dtype="int64"),
                           "doc_id": pd.Series([], dtype="int64")})
     n_terms = int(pdf["n_terms"].iloc[0])
+    max_off = max((max(o) for o in pdf["offsets"]), default=0)
+    if max_off >= int(_POS_BIAS):
+        # pos − offset + _POS_BIAS would underflow uint64 → silent garbage;
+        # both query paths (distributed + serving engine) funnel through
+        # this kernel, so one loud guard covers them.
+        raise ValueError(
+            f"phrase token offset {max_off} exceeds the packed-key bias "
+            f"({int(_POS_BIAS)}); phrases this long are not supported by "
+            "the indexed path — use phrase_match_dense"
+        )
     if len(pdf) < n_terms:
         return empty  # some phrase term absent from this shard
     pid = int(pdf["phrase_id"].iloc[0])
@@ -229,6 +265,7 @@ def phrase_match_indexed(
     phrases: DataFrame,
     cfg: EngineConfig = DEFAULT,
     pushdown_terms: bool = True,
+    phrase_tokens_col=None,
 ) -> DataFrame:
     """Scale path → (phrase_id, phrase, doc_id); identical rows to the dense
     baseline (tests/test_phrase.py pins it).
@@ -237,9 +274,10 @@ def phrase_match_indexed(
     with pushdown_terms the distinct term set becomes an IN filter on the
     scan (parquet row-group skipping), so a 10^12-doc index reads only the
     phrase's terms.  groupBy (phrase_id, shard) keeps every kernel group
-    shard-local and bounded.
+    shard-local and bounded.  ``phrase_tokens_col`` must tokenize the phrase
+    the same way the postings were built (e.g. dictionary-FMM).
     """
-    pt = phrase_terms(phrases, cfg)
+    pt = phrase_terms(phrases, cfg, phrase_tokens_col)
     if pushdown_terms:
         terms = [r["term"] for r in pt.select("term").distinct().collect()]
         ppostings = ppostings.filter(F.col("term").isin(terms))
@@ -260,9 +298,14 @@ class PhraseQueryEngine:
     (first sight of a term = one term-filtered collect; repeats = zero Spark
     jobs) and runs the EXACT distributed kernel (_phrase_kernel) per
     (phrase, shard) group, so results are bit-identical to
-    ``phrase_match_indexed`` (pinned in tests/test_phrase.py).  A cache-size
-    guard (estimated from collected bytes) falls back to the distributed
-    path rather than hoarding a hot term's postings on the driver.
+    ``phrase_match_indexed`` (pinned in tests/test_phrase.py).
+
+    Memory discipline (reference ``include/lrucache.hpp:31-57``): the cache
+    is a byte-bounded LRU, and a query whose term set would not fit is
+    size-PROBED with a tiny Spark aggregate and routed to the distributed
+    path WITHOUT collecting — the driver never holds more than
+    ``max_cache_bytes`` of postings, under any term-churn workload
+    (tests/test_cache.py).
     """
 
     def __init__(
@@ -271,23 +314,43 @@ class PhraseQueryEngine:
         cfg: EngineConfig = DEFAULT,
         max_cache_bytes: int = 32 * 1024 * 1024,
     ):
+        from searchenginesimple_spark.operators.cache import LruBytesCache
+
         self.ppostings = ppostings
         self.cfg = cfg
         self.cap = max_cache_bytes
-        self._post: dict[str, list] = {}  # term -> positional posting rows
-        self._bytes = 0
+        self._post = LruBytesCache(max_cache_bytes)  # term -> posting rows
 
     def _ensure(self, terms: list[str]) -> bool:
-        """Fetch uncached terms; False = cap exceeded (caller must fall back)."""
+        """Make every term's postings cache-resident; False = this query's
+        working set exceeds the budget (caller must use the distributed
+        path).  Missing terms are size-probed BEFORE any collect."""
         missing = [t for t in terms if t not in self._post]
-        if missing:
-            rows = self.ppostings.filter(F.col("term").isin(missing)).collect()
-            for t in missing:
-                self._post[t] = []
-            for r in rows:
-                self._post[r["term"]].append(r)
-                self._bytes += len(r["ids"]) + len(r["npos"]) + len(r["pos"])
-        return self._bytes <= self.cap
+        need = sum(self._post.nbytes(t) for t in terms)
+        if not missing:
+            return True
+        probe = (
+            self.ppostings.filter(F.col("term").isin(missing))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.length("ids") + F.length("npos") + F.length("pos") + 64
+                    ),
+                    F.lit(0),
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        if need + int(probe) > self.cap:
+            return False
+        rows = self.ppostings.filter(F.col("term").isin(missing)).collect()
+        per_term: dict[str, list] = {t: [] for t in missing}
+        for r in rows:
+            per_term[r["term"]].append(r)
+        for t in missing:
+            nb = sum(len(r["ids"]) + len(r["npos"]) + len(r["pos"]) + 64 for r in per_term[t])
+            self._post.put(t, per_term[t], nb, pinned=terms)
+        return True
 
     def match(self, phrases: list[str]) -> pd.DataFrame:
         """→ pandas (phrase_id, phrase, doc_id), phrase_id = list position."""
@@ -303,6 +366,7 @@ class PhraseQueryEngine:
             out = phrase_match_indexed(self.ppostings, pdf, self.cfg).toPandas()
             return out.sort_values(["phrase_id", "doc_id"]).reset_index(drop=True)
 
+        cached = {t: self._post.get(t) or [] for t in all_terms}
         frames: list[pd.DataFrame] = []
         for pid, (phrase, toks) in enumerate(zip(phrases, ptoks)):
             offsets: dict[str, list[int]] = {}
@@ -312,7 +376,7 @@ class PhraseQueryEngine:
             if not terms:
                 continue
             shards = sorted(
-                {r["shard"] for t in terms for r in self._post[t]}
+                {r["shard"] for t in terms for r in cached[t]}
             )
             for shard in shards:
                 rows = [
@@ -323,7 +387,7 @@ class PhraseQueryEngine:
                         "pos": r["pos"],
                     }
                     for t in terms
-                    for r in self._post[t]
+                    for r in cached[t]
                     if r["shard"] == shard
                 ]
                 if rows:

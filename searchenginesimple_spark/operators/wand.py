@@ -252,14 +252,20 @@ class Bm25QueryEngine:
     the driver across queries:
 
     * corpus scalars       — collected once at construction (1 row);
-    * per-term idf/df      — fetched on first sight of a term, memoized;
+    * per-term idf/df      — fetched on first sight of a term, LRU-bounded
+      by entry count;
     * per-term postings    — same, size-guarded by df (≤ ~20 B/posting
       varbyte upper bound) so a hot term over 10^12 docs falls back to the
-      DISTRIBUTED path instead of a driver collect;
-    * per-shard doc stats  — fetched for shards the cached postings touch.
+      DISTRIBUTED path instead of a driver collect; cached in a byte-bounded
+      LRU (reference ``include/lrucache.hpp:31-57``) so a TERM-CHURN
+      workload evicts cold terms instead of growing without bound;
+    * per-shard doc stats  — fetched for shards the cached postings touch,
+      same LRU policy.
 
-    Scoring reuses the EXACT distributed kernel per (query, shard) group
-    (_driver_topk → _make_kernel), so results are bit-identical to
+    Eviction changes what is cached, never results: evicted terms are simply
+    re-fetched on next sight (tests/test_cache.py pins bit-identity under
+    churn).  Scoring reuses the EXACT distributed kernel per (query, shard)
+    group (_driver_topk → _make_kernel), so results are bit-identical to
     ``bm25_topk_compressed`` — verified in tests/test_postings.py.
     A repeated query costs ZERO Spark jobs; a novel query costs ≤ 3 tiny
     term-filtered collects.
@@ -268,6 +274,7 @@ class Bm25QueryEngine:
     # conservative varbyte upper bound: ids (≤ 9 B/value delta-varbyte is
     # pathological; ≤ 10 covers ids+tfs together at realistic deltas)
     BYTES_PER_POSTING = 20
+    _OOV = object()  # cached negative term_stats lookup
 
     def __init__(
         self,
@@ -277,7 +284,11 @@ class Bm25QueryEngine:
         cfg: EngineConfig = DEFAULT,
         mode: str = "and",
         fastpath_max_bytes: int = 32 * 1024 * 1024,
+        cache_max_bytes: int = 128 * 1024 * 1024,
+        meta_max_terms: int = 1_000_000,
     ):
+        from searchenginesimple_spark.operators.cache import LruBytesCache
+
         self.postings = postings
         self.dsp = doc_stats_packed
         self.index = index
@@ -285,36 +296,55 @@ class Bm25QueryEngine:
         self.mode = mode
         self.cap = fastpath_max_bytes
         self.corpus_row = index.corpus.collect()[0]
-        self._meta: dict[str, object] = {}  # term -> term_stats Row | None (OOV)
-        self._post: dict[str, list] = {}  # term -> postings rows
-        self._ds: dict[int, object] = {}  # shard -> doc_stats_packed row
+        # meta rows are ~64 B each; nbytes=1 per entry makes max_bytes an
+        # entry-count cap
+        self._meta = LruBytesCache(meta_max_terms)
+        self._post = LruBytesCache(cache_max_bytes)  # term -> postings rows
+        self._ds = LruBytesCache(cache_max_bytes)  # shard -> dsp row
 
-    def _ensure_terms(self, terms: list[str]) -> None:
-        new = [t for t in terms if t not in self._meta]
-        if not new:
-            return
-        found = {
-            r["term"]: r
-            for r in self.index.term_stats.filter(F.col("term").isin(new)).collect()
-        }
-        for t in new:
-            self._meta[t] = found.get(t)
+    @staticmethod
+    def _row_bytes(row) -> int:
+        """Driver-memory estimate for a collected Row: binary payloads + a
+        flat per-row object overhead."""
+        return 64 + sum(len(v) for v in row if isinstance(v, (bytes, bytearray)))
 
-    def _ensure_postings(self, terms: list[str]) -> None:
+    def _ensure_terms(self, terms: list[str]) -> dict[str, object]:
+        meta: dict[str, object] = {}
+        new = []
+        for t in terms:
+            v = self._meta.get(t)
+            if v is None:
+                new.append(t)
+            else:
+                meta[t] = v
+        if new:
+            found = {
+                r["term"]: r
+                for r in self.index.term_stats.filter(F.col("term").isin(new)).collect()
+            }
+            for t in new:
+                v = found.get(t, self._OOV)
+                self._meta.put(t, v, 1, pinned=terms)
+                meta[t] = v
+        return meta
+
+    def _ensure_postings(self, terms: list[str]) -> list:
         missing = [t for t in terms if t not in self._post]
-        if not missing:
-            return
-        rows = self.postings.filter(F.col("term").isin(missing)).collect()
-        for t in missing:
-            self._post[t] = []
-        for r in rows:
-            self._post[r["term"]].append(r)
-        shards = sorted(
-            {r["shard"] for r in rows if r["shard"] not in self._ds}
-        )
-        if shards:
-            for r in self.dsp.filter(F.col("shard").isin(shards)).collect():
-                self._ds[r["shard"]] = r
+        if missing:
+            rows = self.postings.filter(F.col("term").isin(missing)).collect()
+            per_term: dict[str, list] = {t: [] for t in missing}
+            for r in rows:
+                per_term[r["term"]].append(r)
+            for t in missing:
+                nb = sum(self._row_bytes(r) for r in per_term[t])
+                self._post.put(t, per_term[t], nb, pinned=terms)
+        prows = [r for t in terms for r in self._post.get(t)]
+        shards = sorted({r["shard"] for r in prows})
+        miss_sh = [s for s in shards if s not in self._ds]
+        if miss_sh:
+            for r in self.dsp.filter(F.col("shard").isin(miss_sh)).collect():
+                self._ds.put(r["shard"], r, self._row_bytes(r), pinned=shards)
+        return prows
 
     def query(self, queries: list[str]) -> pd.DataFrame:
         """→ pandas (query, rank, docID, score); bit-identical to the
@@ -324,9 +354,9 @@ class Bm25QueryEngine:
         all_terms = sorted(
             {t for q in queries for t in tokenize_py(q, self.cfg.token_re)}
         )
-        self._ensure_terms(all_terms)
-        live = [t for t in all_terms if self._meta[t] is not None]
-        est = sum(self._meta[t]["df"] for t in live) * self.BYTES_PER_POSTING
+        meta = self._ensure_terms(all_terms)
+        live = [t for t in all_terms if meta[t] is not self._OOV]
+        est = sum(meta[t]["df"] for t in live) * self.BYTES_PER_POSTING
         if est > self.cap:
             spark = self.index.term_stats.sparkSession
             qdf = spark.createDataFrame(
@@ -336,13 +366,15 @@ class Bm25QueryEngine:
                 self.postings, self.dsp, self.index, qdf, self.cfg, self.mode,
                 fastpath_max_bytes=None,
             ).toPandas()
-        self._ensure_postings(live)
-        prows = [r for t in live for r in self._post[t]]
-        ts_rows = [self._meta[t] for t in live]
+        prows = self._ensure_postings(live)
+        ds_rows = [
+            self._ds.get(s) for s in sorted({r["shard"] for r in prows})
+        ]
+        ts_rows = [meta[t] for t in live]
         q_rows = [{"query_id": i, "query": q} for i, q in enumerate(queries)]
         return _driver_topk(
-            prows, list(self._ds.values()), ts_rows, self.corpus_row, q_rows,
-            self.cfg, self.mode,
+            prows, [r for r in ds_rows if r is not None], ts_rows,
+            self.corpus_row, q_rows, self.cfg, self.mode,
         )
 
     def query_df(self, spark, queries: list[str]) -> DataFrame:

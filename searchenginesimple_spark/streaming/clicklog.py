@@ -46,20 +46,43 @@ def parse_click_payload(raw: DataFrame) -> DataFrame:
     ).select("e.*")
 
 
+def kafka_source_options(
+    brokers: str,
+    topic: str = "SearchResultsJump",
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The exact Kafka source option set (contract-tested without a broker,
+    tests/test_clicklog.py).  ``starting_offsets='earliest'`` mirrors the
+    reference's resume-from-committed-offset behavior on a FRESH checkpoint
+    (WebServer.cc:127-146 reads its offset files before consuming); once a
+    checkpoint exists Spark ignores this and resumes from its own offsets —
+    the same commit semantics, owned by the checkpoint instead of manual
+    ``kafka.<topic>.<part>.<offset>`` files."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_clicklog_kafka(
-    spark: SparkSession, brokers: str, topic: str = "SearchResultsJump"
+    spark: SparkSession,
+    brokers: str,
+    topic: str = "SearchResultsJump",
+    starting_offsets: str = "earliest",
 ) -> DataFrame:
     """Production source wiring: Kafka topic → parsed click events.
 
     Offsets/commits are Spark's checkpoint, replacing the reference's manual
     ``kafka.<topic>.<part>.<offset>`` files (WebServer.cc:127-146).  Requires
-    the spark-sql-kafka package + a broker; everything below the two source
-    lines is ``parse_click_payload`` (test-covered).
+    the spark-sql-kafka package + a broker; everything below the source
+    lines is ``parse_click_payload``, e2e-covered on the built-in SOCKET
+    streaming source (tests/test_clicklog.py) so the only untested seam is
+    the broker itself.
     """
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
+        .options(**kafka_source_options(brokers, topic, starting_offsets))
         .load()
     )
     return parse_click_payload(raw)

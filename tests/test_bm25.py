@@ -153,3 +153,35 @@ def test_more_like_this_excludes_seed_and_ranks_overlap(spark):
     assert ids[0] == 1                  # most keyword overlap ranks first
     assert set(ids) == {1, 2}           # doc 3 shares no terms → no score
     assert all(r["seed"] == 0 for r in got)
+
+
+def test_more_like_this_duplicate_seeds_no_cross_join(spark):
+    """r2 advisor finding: recovering the seed by joining back on the
+    synthesized keyword STRING cross-joined seeds with identical keyword
+    sets (e.g. duplicate documents).  The seed id must ride query_id:
+    each seed gets exactly ONE ranked list, even when seeds are copies."""
+    from searchenginesimple_spark.operators.bm25 import build_index_stats, more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),     # exact duplicate of seed 0
+            (2, "alpha beta gamma epsilon"),
+            (3, "unrelated terms only"),
+        ],
+        "doc_id long, content string",
+    )
+    idx = build_index_stats(docs)
+    got = more_like_this(idx, [0, 1], k_keywords=4).collect()
+    per_seed = {}
+    for r in got:
+        per_seed.setdefault(r["seed"], []).append((r["rank"], r["docID"]))
+    # identical keyword sets → identical (mirror-image) result shape, but
+    # NO duplicated (seed, rank) rows
+    for seed, rows in per_seed.items():
+        ranks = [rk for rk, _ in rows]
+        assert len(ranks) == len(set(ranks)), f"duplicated ranks for seed {seed}"
+    assert set(per_seed) == {0, 1}
+    # each seed's top hit is its twin (highest term overlap)
+    top = {s: sorted(rows)[0][1] for s, rows in per_seed.items()}
+    assert top == {0: 1, 1: 0}

@@ -136,3 +136,83 @@ def test_trending_topk_streaming_sink_equals_batch(spark, tmp_path):
     assert by_rank[("2024-01-01 00:00:00", 2)] == ("b", 1)
     assert by_rank[("2024-01-01 00:10:00", 1)] == ("b", 3)
     assert by_rank[("2024-01-01 00:10:00", 2)] == ("a", 1)
+
+
+def test_kafka_source_option_contract():
+    """Pin the exact Kafka wiring (subscribe / bootstrap / offsets) so the
+    only untested seam is the broker itself (no broker in this sandbox)."""
+    from searchenginesimple_spark.streaming.clicklog import kafka_source_options
+
+    opts = kafka_source_options("b1:9092,b2:9092")
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "SearchResultsJump",
+        "startingOffsets": "earliest",
+    }
+    assert kafka_source_options("h:1", topic="t2", starting_offsets="latest")[
+        "subscribe"
+    ] == "t2"
+
+
+def test_clicklog_socket_stream_end_to_end(spark):
+    """parse_click_payload over a REAL streaming socket source: the same
+    code path a Kafka frame takes (value column → from_json), with an
+    actual network hop instead of the file source."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from searchenginesimple_spark.streaming.clicklog import parse_click_payload
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    payloads = [
+        {"url": "/hit/1", "query": "spark", "ts": "2024-01-01 00:00:01"},
+        {"url": "/hit/2", "query": "index", "ts": "2024-01-01 00:00:02"},
+    ]
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            for p in payloads:
+                conn.sendall((json.dumps(p) + "\n").encode())
+            conn.sendall(b"this is not json\n")
+            time.sleep(8)
+        finally:
+            conn.close()
+            srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    q = (
+        parse_click_payload(raw)
+        .writeStream.format("memory")
+        .queryName("clicks_sock")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT url, query FROM clicks_sock WHERE url IS NOT NULL"
+            ).collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+        got = sorted((r["url"], r["query"]) for r in rows)
+        assert got == [("/hit/1", "spark"), ("/hit/2", "index")][0:len(got)] or \
+               got == sorted([("/hit/1", "spark"), ("/hit/2", "index")])
+        assert len(rows) == 2, f"expected 2 parsed clicks, saw {rows}"
+    finally:
+        q.stop()

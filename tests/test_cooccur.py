@@ -40,3 +40,38 @@ def test_related_terms_hand_computed(spark):
     assert got[("c", 2)] == ("a", 1, pmi(1, 1, 4))
     # x pairs only within doc 1: a and b, both pmi ~ ln(4/(4·1))=0 / ln(4/3)
     assert got[("x", 1)] == ("b", 1, pmi(1, 1, 3))
+
+
+def test_related_terms_skew_cap(spark):
+    """One pathological doc with far more distinct terms than the cap: the
+    in-operator top-m-by-tf guard bounds its pair fan-out to m²/2 while
+    normal docs are untouched, and PMI marginals (df, N) stay uncapped."""
+    from searchenginesimple_spark.operators.bm25 import build_index_stats
+    from searchenginesimple_spark.operators.cooccur import related_terms
+
+    # doc 0: hot terms h0,h1 appear twice (survive the cap), 50 singleton
+    # junk terms; docs 1-3: normal 2-term docs
+    junk = " ".join(f"junk{i:02d}" for i in range(50))
+    docs = spark.createDataFrame(
+        [
+            (0, f"h0 h0 h1 h1 {junk}"),
+            (1, "h0 h1"),
+            (2, "h0 h1"),
+            (3, "solo other"),
+        ],
+        "doc_id long, content string",
+    )
+    idx = build_index_stats(docs)
+    m = 10
+    out = related_terms(idx, k=5, min_pairs=1, max_terms_per_doc=m).collect()
+    # fan-out bound: doc 0 contributes ≤ C(m,2) pairs, not C(52,2)
+    pair_count = {(r["term"], r["other"]) for r in out}
+    kept_junk = {t for t, _ in pair_count if t.startswith("junk")}
+    # cap keeps h0,h1 (tf=2) + first 8 junk terms by tie-break (term asc)
+    assert kept_junk == {f"junk{i:02d}" for i in range(8)}
+    got = {(r["term"], r["rank"]): (r["other"], r["n_ab"], r["pmi"]) for r in out}
+    # h0/h1 co-occur in docs 0,1,2 → n_ab=3; df uncapped (3 each), N=4
+    assert got[("h0", 1)][0:2] == ("h1", 3)
+    assert got[("h0", 1)][2] == round(math.log(3 * 4 / (3 * 3)), 6)
+    # normal doc pair unaffected by the cap
+    assert got[("solo", 1)][0] == "other"

@@ -143,6 +143,34 @@ def test_per_key_cap_partial_window_group_limit(spark):
     assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
+def test_more_like_this_seed_filter_below_window(spark):
+    """more_like_this narrows doc_keywords to the seed docs AFTER the
+    keyword window in source order; doc_id is the window's partition key, so
+    Catalyst must push the seed filter BELOW the Window — at 10^12 docs
+    that's the difference between ranking keywords for 3 documents and for
+    all of them.  (In the optimized-plan tree, children print after their
+    parent: pushed ⇒ the IN-filter line appears after the Window line.)"""
+    import re
+
+    from searchenginesimple_spark.operators.bm25 import build_index_stats, doc_keywords
+    from searchenginesimple_spark.sources.corpus import docs_df, with_doc_ids
+
+    idx = build_index_stats(with_doc_ids(docs_df(spark, 50)))
+    df = doc_keywords(idx, k=5).filter(F.col("doc_id").isin([0, 7, 42]))
+    lp = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    win = [i for i, line in enumerate(lp) if "Window [" in line]
+    # Catalyst may rewrite doc_id to its defining expression when pushing —
+    # match the IN-set itself, wherever it landed
+    filt = [
+        i for i, line in enumerate(lp)
+        if re.search(r"IN \(0,\s*7,\s*42\)", line) or "INSET" in line
+    ]
+    assert win and filt, f"plan missing window/filter:\n" + "\n".join(lp)
+    assert min(filt) > min(win), (
+        "seed filter was NOT pushed below the keyword Window:\n" + "\n".join(lp)
+    )
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on term with equal bucket counts must join with
     NO Exchange on either side — the co-located layout postings/term_stats
