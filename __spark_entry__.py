@@ -782,7 +782,9 @@ def _q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time window agg (batch mirror of the streaming op)."""
+    """Tumbling 1-hour event-time window agg — batch mirror of
+    streaming/clicklog.py::events_per_window (watermark + window + append
+    sink); sink ≡ batch pinned in tests/test_clicklog.py."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(

@@ -71,6 +71,79 @@ def tokens_of(
     return docs.select("doc_id", F.explode(tok).alias("term"))
 
 
+def tf_mapside(
+    docs: DataFrame,
+    text_col: str = "content",
+    use_pandas_udf: bool = False,
+    token_re: str = TOKEN_RE,
+    stopwords: tuple[str, ...] = (),
+) -> DataFrame:
+    """docs(doc_id, <text_col>) → (doc_id, term, tf) with NO shuffle.
+
+    ``tokens_of(...).groupBy(doc_id, term)`` shuffles the ENTIRE token
+    stream on (doc_id, term) — at 100 TB that is the build's largest
+    shuffle, moving data that never needed to move: every document's tokens
+    already sit together in its input row.  This computes the per-doc term
+    counts inside ONE projection (sort the token array, run-length encode
+    it with JVM array lambdas, explode the (term, tf) runs) — map-only,
+    whole-stage-codegen'd, zero Python, bit-identical output (pinned in
+    tests/test_tokenize.py::test_tf_mapside_equals_groupby).
+
+    The downstream aggregations that DO need cross-doc grouping (df per
+    term, posting runs per (term, shard)) shuffle these pre-aggregated
+    (doc, term, tf) rows instead of raw tokens — strictly less data.
+    """
+    if use_pandas_udf:
+        # a Python UDF cannot appear INSIDE a lambda higher-order function
+        # (Spark UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF), so the
+        # Arrow tokenizer materializes into its own projection (ArrowEvalPython
+        # node) and the HOFs below operate on the plain array column
+        udf = tokenize_udf if token_re == TOKEN_RE else make_tokenize_udf(token_re)
+        docs = docs.select("doc_id", udf(F.col(text_col)).alias("__toks"))
+        tok = F.col("__toks")
+    else:
+        tok = tokenize_expr(text_col, token_re)
+    if stopwords:
+        stop = F.array(*[F.lit(s) for s in stopwords])
+        tok = F.filter(tok, lambda t: ~F.array_contains(stop, t))
+    # STAGED projections, deliberately: `element_at(<expr>, p)` inside a
+    # lambda re-evaluates <expr> PER ELEMENT (no common-subexpression
+    # elimination across lambda boundaries) — with the sort inlined that is
+    # O(n²·log n) per document (measured: a 5k-doc warmup build went from
+    # ~20 s to minutes).  Binding the sorted array and the run-start
+    # positions to attributes first makes every element_at an O(1) array
+    # access; CollapseProject leaves multi-referenced non-cheap expressions
+    # staged, so the optimizer cannot re-inline them.
+    staged = docs.select("doc_id", F.array_sort(tok).alias("__srt"))
+    srt = F.col("__srt")
+    n = F.size(srt)
+    # 1-based run starts: position p is a run start iff p == 1 or the token
+    # differs from its predecessor.  F.when keeps the p-1 lookup unevaluated
+    # at p == 1 (element_at index 0 is an error under ANSI); the n > 0 guard
+    # keeps empty docs from evaluating sequence(1, 0) (NULL → explode drops
+    # the doc, same as the groupBy path).
+    starts_expr = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda p: F.when(p == 1, F.lit(True)).otherwise(
+            F.element_at(srt, p) != F.element_at(srt, p - 1)
+        ),
+    )
+    staged = staged.select(
+        "doc_id", "__srt", F.when(n > 0, starts_expr).alias("__starts")
+    )
+    starts = F.col("__starts")
+    nrun = F.size(starts)
+    # run length = next start − this start (sentinel n+1 closes the last run)
+    nexts = F.concat(F.slice(starts, 2, F.greatest(nrun - 1, F.lit(0))), F.array(n + 1))
+    runs = F.zip_with(
+        starts, nexts, lambda s, e: F.struct(F.element_at(srt, s).alias("term"), (e - s).alias("tf"))
+    )
+    return (
+        staged.select("doc_id", F.explode(runs).alias("r"))
+        .select("doc_id", F.col("r.term").alias("term"), F.col("r.tf").cast("int").alias("tf"))
+    )
+
+
 def filter_stopwords(
     tokens: DataFrame, stopwords: tuple[str, ...], term_col: str = "term"
 ) -> DataFrame:
@@ -95,19 +168,17 @@ def build_index_stats(
 ) -> IndexStats:
     """docs(doc_id, <text_col>) → BM25 statistics tables.
 
-    Two shuffles: tokens → (doc_id, term) hash agg (map-side partial combine is
-    automatic), then term-level DF agg.  At 100 TB these are exactly the
-    shuffles the salted posting build in operators/postings.py re-keys; here
-    we let AQE size them.
+    tf is computed map-side (``tf_mapside`` — run-length counting in the
+    scan projection, NO shuffle of the raw token stream); the only shuffles
+    left are the pre-aggregated per-doc/per-term rollups, which move
+    strictly less data.  At 100 TB these are exactly the keys the salted
+    posting build in operators/postings.py re-uses; AQE sizes them.
 
     ``cfg.stopwords`` (if set) is applied to the token stream HERE, on the
     build side only — queries containing stopwords then find no postings,
     exactly the reference's build/query asymmetry.
     """
-    tokens = filter_stopwords(
-        tokens_of(docs, text_col, use_pandas_udf, cfg.token_re), cfg.stopwords
-    )
-    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").cast("int").alias("tf"))
+    tf = tf_mapside(docs, text_col, use_pandas_udf, cfg.token_re, cfg.stopwords)
     doc_stats = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dlen"))
     corpus = doc_stats.agg(
         F.count("*").cast("long").alias("n_docs"),

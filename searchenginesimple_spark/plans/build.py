@@ -46,8 +46,7 @@ from pyspark.sql import functions as F
 from searchenginesimple_spark.config import DEFAULT, EngineConfig
 from searchenginesimple_spark.operators.bm25 import (
     IndexStats,
-    filter_stopwords,
-    tokens_of,
+    tf_mapside,
 )
 from searchenginesimple_spark.operators.dedup import (
     fingerprints_from_tf,
@@ -243,19 +242,16 @@ def build_index(
             )
         staged = io.read("docstore_raw")
         # stopword filter on the BUILD path only (Page.hpp:294; the query
-        # path is never filtered — the reference's asymmetry)
-        tf = (
-            filter_stopwords(
-                tokens_of(
-                    staged.select("doc_id", "content"), "content",
-                    use_pandas_udf, cfg.token_re,
-                ),
-                cfg.stopwords,
-            )
-            .groupBy("doc_id", "term")
-            .agg(F.count("*").cast("int").alias("tf"))
-            .withColumn("shard", shard_of(F.col("doc_id"), cfg))
-        )
+        # path is never filtered — the reference's asymmetry).  tf_mapside:
+        # per-doc counts are computed with run-length array expressions in
+        # the scan projection — map-only, NO shuffle of the raw token
+        # stream (at 10^12 files the former explode+groupBy shuffle was the
+        # build's largest data movement; bit-identity pinned in
+        # tests/test_tokenize.py).
+        tf = tf_mapside(
+            staged.select("doc_id", "content"), "content",
+            use_pandas_udf, cfg.token_re, cfg.stopwords,
+        ).withColumn("shard", shard_of(F.col("doc_id"), cfg))
         with _aqe(spark, False):
             io.overwrite_partitions(tf, "tf", "shard")
             # column-pruned: reads only (shard, n_bytes), never content
@@ -289,7 +285,23 @@ def build_index(
             n_staged = sum(r[3] for r in tf_shard_rows.values())
         else:  # no tf_shard rows at all → derive from tf
             n_staged = tf.select("doc_id").distinct().count()
-        fp = fingerprints_from_tf(tf, n_docs=int(n_staged))
+        # Checkpoint the fingerprints (doc_id, simhash — 16 B/doc) before
+        # the band join.  Three reasons: (1) the old single dedup query
+        # referenced the fingerprint subtree TWICE (band join + survivor
+        # anti-join) and Spark re-executed the corpus-wide vote aggregate
+        # for each — materializing it once cut a 250k-doc build ~30 %;
+        # (2) AQE now re-plans only within this one bounded query instead
+        # of across the whole dedup mega-query (AQE stays ON here: the
+        # vocabulary-side df/hash join relies on its runtime broadcast
+        # conversion — statically it can flip to a full sort-merge join on
+        # a file-size estimate); (3) the fingerprint table is build lineage
+        # worth persisting — a crash between fingerprint and survivors
+        # resumes without re-aggregating the corpus-wide votes.
+        if not io.exists("fingerprints", committed=True):
+            io.overwrite(
+                fingerprints_from_tf(tf, n_docs=int(n_staged)), "fingerprints"
+            )
+        fp = io.read("fingerprints")
         dropped = simhash_dup_pairs(fp, cfg).select(F.col("b_id").alias("doc_id")).distinct()
         obs = Observation()
         survivors = (

@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from searchenginesimple_spark.config import DEFAULT, EngineConfig
-from searchenginesimple_spark.operators.bm25 import filter_stopwords, tokens_of
+from searchenginesimple_spark.operators.bm25 import tf_mapside
 from searchenginesimple_spark.operators.dedup import (
     fingerprints_from_tf,
     simhash_dup_pairs,
@@ -148,18 +148,11 @@ def build_index_incremental(
                 "shard",
             )
             staged = io.read("docstore_raw").filter(F.col("shard") >= first_shard)
-            tf = (
-                filter_stopwords(
-                    tokens_of(
-                        staged.select("doc_id", "content"), "content",
-                        use_pandas_udf, cfg.token_re,
-                    ),
-                    cfg.stopwords,
-                )
-                .groupBy("doc_id", "term")
-                .agg(F.count("*").cast("int").alias("tf"))
-                .withColumn("shard", shard_of(F.col("doc_id"), cfg))
-            )
+            # shuffle-free per-doc counts (see plans/build.py tf stage)
+            tf = tf_mapside(
+                staged.select("doc_id", "content"), "content",
+                use_pandas_udf, cfg.token_re, cfg.stopwords,
+            ).withColumn("shard", shard_of(F.col("doc_id"), cfg))
             io.overwrite_partitions(tf, "tf", "shard")
             per_shard = (
                 staged.groupBy("shard")

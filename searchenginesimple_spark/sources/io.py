@@ -39,14 +39,24 @@ class TableIO:
     def path(self, name: str) -> str:
         return f"{self.root}/{name}"
 
-    def exists(self, name: str) -> bool:
+    def exists(self, name: str, committed: bool = False) -> bool:
+        """``committed=True`` additionally requires the ``_SUCCESS`` job-commit
+        marker — use it for tables that gate a skip-if-present checkpoint, so a
+        build that crashed mid-write re-runs the stage instead of trusting the
+        partially-committed files a v2 committer leaves behind.  (Not valid for
+        the driver-side pyarrow writers, which emit no marker.)"""
         if self.catalog:
             return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
-        try:
-            self.spark.read.parquet(self.path(name)).schema
-            return True
-        except Exception:
-            return False
+        # Hadoop FileSystem probe, not spark.read.parquet(...).schema: the
+        # read-based probe builds a full scan relation (directory listing +
+        # parquet footer reads — at 10^12-file scale a real cost) and logs a
+        # PATH_NOT_FOUND stack trace on every fresh build.  fs.exists is one
+        # metadata RPC and works for any Hadoop-compatible URI (file/hdfs/s3a).
+        jvm = self.spark._jvm
+        probe = self.path(name) + "/_SUCCESS" if committed else self.path(name)
+        hpath = jvm.org.apache.hadoop.fs.Path(probe)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
 
     def read(self, name: str) -> DataFrame:
         if self.catalog:

@@ -105,6 +105,33 @@ def clicks_per_window(
     )
 
 
+def events_per_window(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window event analytics: (window_start, event_type, n,
+    sum_value) — the streaming twin of the driver's batch ``events_window``
+    entry (same grouping and aggregates; for tumbling windows aligned to the
+    epoch, ``window(ts, '1 hour').start`` ≡ ``date_trunc('hour', ts)``, so a
+    closed streaming window's row is bit-equal to the batch row over the
+    same events — pinned in tests/test_clicklog.py).
+
+    Works identically on a streaming or batch DataFrame with
+    (ts, event_type, value); `write_clicklog` sinks it append-mode (closed
+    windows only) with exactly-once checkpointing.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
 def trending_topk(
     counts: DataFrame,
     k: int = 3,

@@ -90,3 +90,20 @@ def test_noop_resume_rebuilds_nothing(spark, raw_docs, tmp_path_factory):
     r2 = build_index(spark, raw_docs, io, CFG, run_id="two")
     assert r2.built_shards == 0
     assert r2.resumed_shards == r1.n_shards
+
+
+def test_exists_probe_semantics(spark, tmp_path_factory):
+    """fs-level exists(): False for absent, True for written tables; with
+    committed=True a directory missing the _SUCCESS job-commit marker (the
+    footprint of a build killed mid-write) does NOT count as present, so the
+    fingerprint checkpoint re-runs instead of trusting partial files."""
+    import os
+
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_exists")))
+    assert not io.exists("t")
+    spark.range(3).write.parquet(io.path("t"))
+    assert io.exists("t")
+    assert io.exists("t", committed=True)
+    os.remove(io.path("t") + "/_SUCCESS")
+    assert io.exists("t")
+    assert not io.exists("t", committed=True)

@@ -138,6 +138,69 @@ def test_trending_topk_streaming_sink_equals_batch(spark, tmp_path):
     assert by_rank[("2024-01-01 00:10:00", 2)] == ("a", 1)
 
 
+def test_events_window_streaming_sink_equals_batch(spark, tmp_path):
+    """The driver's batch `events_window` entry and the streaming
+    events_per_window twin must agree: stream synthetic events through the
+    watermarked windowed agg into the append-mode sink and compare against
+    the batch date_trunc aggregation over the same closed windows."""
+    import pandas as pd
+
+    from searchenginesimple_spark.streaming.clicklog import (
+        events_per_window,
+        write_clicklog,
+    )
+
+    rows = [
+        ("click", "2024-01-01 00:10:00", 1.25),
+        ("click", "2024-01-01 00:40:00", 2.50),
+        ("view", "2024-01-01 00:59:59", 0.125),
+        ("click", "2024-01-01 01:15:00", 4.0),
+        ("view", "2024-01-01 01:30:00", 8.0),
+        # sentinel far ahead pushes the watermark past every real window
+        ("__sentinel__", "2025-01-01 00:00:00", 0.0),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_type": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "value": [r[2] for r in rows],
+        }
+    )
+    src = tmp_path / "in"
+    spark.createDataFrame(pdf).write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, value double"
+    ).parquet(str(src))
+    q = write_clicklog(
+        events_per_window(stream, window="1 hour", watermark="1 minute"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    sink = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .filter(F.col("event_type") != "__sentinel__")
+    )
+    got = sorted(map(tuple, sink.collect()))
+
+    batch = (
+        spark.createDataFrame(pdf)
+        .filter(F.col("event_type") != "__sentinel__")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+    assert len(got) == 4  # (2 hours × 2 types)
+
+
 def test_kafka_source_option_contract():
     """Pin the exact Kafka wiring (subscribe / bootstrap / offsets) so the
     only untested seam is the broker itself (no broker in this sandbox)."""

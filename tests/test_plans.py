@@ -143,6 +143,19 @@ def test_per_key_cap_partial_window_group_limit(spark):
     assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
+def test_tf_mapside_has_no_exchange(spark):
+    """The build's tf computation must be map-only: per-doc run-length
+    counting in the projection, no shuffle of the raw token stream (the
+    former explode+groupBy was the 10^12-file build's largest shuffle)."""
+    from searchenginesimple_spark.operators.bm25 import tf_mapside
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "c")], "doc_id long, content string"
+    )
+    plan = tf_mapside(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_more_like_this_seed_filter_below_window(spark):
     """more_like_this narrows doc_keywords to the seed docs AFTER the
     keyword window in source order; doc_id is the window's partition key, so

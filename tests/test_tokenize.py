@@ -156,3 +156,54 @@ def test_subtokens_expr_known_cases(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_tf_mapside_equals_groupby(spark):
+    """The shuffle-free run-length tf must be bit-identical to the
+    explode+groupBy tf — including duplicate tokens, CJK, stopword
+    filtering, empty and null docs."""
+    from pyspark.sql import functions as F
+
+    from searchenginesimple_spark.config import TOKEN_RE_CJK
+    from searchenginesimple_spark.operators.bm25 import (
+        filter_stopwords,
+        tf_mapside,
+        tokens_of,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a c a b"),
+            (1, "solo"),
+            (2, ""),
+            (3, None),
+            (4, "the the the of x"),
+            (5, "搜索 引擎 搜索 x1 x1"),
+            (6, "z " * 500),
+        ],
+        "doc_id long, content string",
+    )
+    for token_re in (None, TOKEN_RE_CJK):
+        for stops in ((), ("the", "of")):
+            kw = {"token_re": token_re} if token_re else {}
+            want = sorted(
+                map(
+                    tuple,
+                    filter_stopwords(
+                        tokens_of(docs, "content", False, **kw), stops
+                    )
+                    .groupBy("doc_id", "term")
+                    .agg(F.count("*").cast("int").alias("tf"))
+                    .collect(),
+                )
+            )
+            for use_udf in (False, True):
+                got = sorted(
+                    map(
+                        tuple,
+                        tf_mapside(
+                            docs, "content", use_udf, stopwords=stops, **kw
+                        ).collect(),
+                    )
+                )
+                assert got == want, (token_re, stops, use_udf)
