@@ -1,11 +1,15 @@
 """spark-submit entry points (north rule: ships via ``spark-submit --py-files``).
 
 Usage on a cluster (module zip built by e.g. ``zip -r engine.zip
-searchenginesimple_spark``):
+searchenginesimple_spark``; ``driver.py`` is the two-line shim
+``from searchenginesimple_spark.cli import main; raise SystemExit(main())``
+— spark-submit takes a script, not ``-m``):
 
-    spark-submit --py-files engine.zip -m searchenginesimple_spark.cli ...
+    spark-submit --master yarn --py-files engine.zip driver.py build ...
 
-or locally:
+The whole flow — zip the package, submit with --py-files, imports resolved
+from the ZIP (not a checkout) — is exercised end-to-end by
+tests/test_cli.py::test_spark_submit_py_files_ships.  Or locally:
 
     python -m searchenginesimple_spark.cli build  --input /path/docs_parquet --index /path/idx
     python -m searchenginesimple_spark.cli query  --index /path/idx --query "spark window" [--mode or]

@@ -24,3 +24,77 @@ def test_cli_build_and_query(spark, tmp_path, capsys):
     rows = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
     assert rows and all(set(r) == {"query", "rank", "docID", "score"} for r in rows)
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_spark_submit_py_files_ships(spark, tmp_path):
+    """The literal north-rule ship mechanism: zip the package, launch a real
+    ``spark-submit --py-files engine.zip driver.py`` subprocess from a cwd
+    where the repo checkout is NOT importable, and prove the job both ran
+    end-to-end (build then query, rank-ordered JSON rows out) and resolved
+    the engine from the ZIP (the shim prints the module's __file__)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    import pyspark
+
+    from searchenginesimple_spark.sources.corpus import docs_df
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "searchenginesimple_spark")
+    zip_path = tmp_path / "engine.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+
+    shim = tmp_path / "driver.py"
+    shim.write_text(
+        "import sys\n"
+        "import searchenginesimple_spark\n"
+        "print('ENGINE_FROM', searchenginesimple_spark.__file__, flush=True)\n"
+        "from searchenginesimple_spark.cli import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+
+    corpus, idx = tmp_path / "corpus", tmp_path / "idx"
+    docs_df(spark, 150).write.mode("overwrite").parquet(str(corpus))
+
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    env = {**os.environ}
+    env.pop("PYTHONPATH", None)  # imports must come from the zip, not the repo
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    def submit(*args: str) -> list[str]:
+        res = subprocess.run(
+            [spark_submit, "--master", "local[4]", "--py-files", str(zip_path),
+             str(shim), *args],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-3000:]
+        lines = [l for l in res.stdout.splitlines() if l.strip()]
+        assert any(
+            l.startswith("ENGINE_FROM") and "engine.zip" in l for l in lines
+        ), lines[:3]
+        return [l for l in lines if not l.startswith("ENGINE_FROM")]
+
+    import json
+
+    build_out = submit("build", "--input", str(corpus), "--index", str(idx))
+    built = json.loads(build_out[-1])
+    assert built["n_docs"] > 0 and built["built_shards"] >= 1
+
+    query_out = submit("query", "--index", str(idx), "--query", "ident_000")
+    rows = [json.loads(l) for l in query_out]
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(set(r) == {"query", "rank", "docID", "score"} for r in rows)
