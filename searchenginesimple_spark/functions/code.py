@@ -1,0 +1,50 @@
+"""Source-code symbol extraction (code-payload op, §2-plus).
+
+The north-rule corpus is source code (input_hint: ``(repo, path, commit,
+lang, content)``); a code search engine wants definition-site rows — "where
+is ``parse_response`` *defined*, not mentioned" — next to the token index.
+The reference engine (a prose/CJK searcher) has no equivalent; the public
+precedent is ctags-style definition regexes (universal-ctags) and the
+symbol atoms of zoekt/livegrep.
+
+One JVM projection per document: ``regexp_extract_all`` per definition
+kind, flattened to (doc_id, kind, symbol) rows — codegen'd, no Python, no
+shuffle (the explode is map-side).  The patterns are deliberately RE2-safe
+(no backrefs/lookarounds) so the DuckDB oracle can run the *identical*
+strings, and anchored with ``(?m)^\\s*`` so commented-out definitions
+(``// def x(``) don't match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+IDENT = "[A-Za-z_][A-Za-z0-9_]*"
+
+# kind → (pattern with ONE capture group).  Covers the def/class/function
+# spellings of the corpus langs (py, js, java/cpp/go-ish C-family heads).
+SYMBOL_PATTERNS: dict[str, str] = {
+    "def": rf"(?m)^\s*def\s+({IDENT})\s*\(",
+    "class": rf"(?m)^\s*class\s+({IDENT})",
+    "function": rf"(?m)^\s*function\s+({IDENT})\s*\(",
+    "cfunc": rf"(?m)^\s*(?:void|int|long|bool|double|float)\s+({IDENT})\s*\(",
+}
+
+
+def extract_symbols(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """→ (doc_id, kind, symbol): one row per definition occurrence, in
+    document order within each kind."""
+    c = F.col(content_col)
+
+    def kind_structs(kind: str, pattern: str):
+        return F.transform(
+            F.regexp_extract_all(c, F.lit(pattern), F.lit(1)),
+            lambda s: F.struct(F.lit(kind).alias("kind"), s.alias("symbol")),
+        )
+
+    all_syms = F.flatten(
+        F.array(*[kind_structs(k, p) for k, p in SYMBOL_PATTERNS.items()])
+    )
+    return df.select("doc_id", F.explode(all_syms).alias("s")).select(
+        "doc_id", F.col("s.kind").alias("kind"), F.col("s.symbol").alias("symbol")
+    )

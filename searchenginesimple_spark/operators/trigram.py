@@ -1,0 +1,152 @@
+"""Trigram substring index + exact substring search (code-search style).
+
+Public design: R. Cox, "Regular Expression Matching with a Trigram Index"
+(2012, swtch.com/~rsc/regexp/regexp4.html) — the Google Code Search /
+zoekt family.  Index every 3-char window of content; answer a substring
+query by intersecting the postings of the needle's trigrams, then verify
+candidates exactly against the content.  The reference engine has no
+substring search — its index is token-level (``include/InvertIndex.hpp``,
+jieba-token postings) — but the north-rule payload is *source code*, where
+users grep for operator spellings, partial identifiers, and punctuated
+patterns that token postings cannot express.  This operator is the
+§2-plus code-payload extension.
+
+Correctness contract: the last stage verifies ``instr(content, needle) > 0``
+on the candidate set, so the OUTPUT equals the brute-force scan for every
+needle — the trigram index only *prunes*.  That makes the DuckDB oracle the
+brute-force scan itself, and it makes both scale knobs safe (each can only
+widen the candidate set, never narrow the result):
+
+* rarest-first pruning: only the ``max_trigrams`` rarest (by df) trigrams
+  of a needle join the postings — intersection selectivity saturates after
+  a few rare trigrams, and joining the rest only adds shuffle volume;
+* hot-trigram drop (``max_df``): stop-trigrams (``"e t"``, ``" th"``, …)
+  whose posting lists approach corpus size are dropped from required sets;
+  a needle whose trigrams are ALL hot — or shorter than 3 chars — falls
+  back to the exact broadcast-scan path instead of intersecting postings
+  the size of the corpus.
+
+Scale story (100 TB): the build is one ``transform``+``array_distinct``
+projection (map-side — each doc contributes each trigram at most once
+BEFORE any shuffle) and one explode; the only build shuffle is the df
+aggregation over (trigram, doc_id) rows bounded by content length.  The
+query side broadcasts the needle trigrams (a handful of rows per needle),
+intersects via one count==n hash aggregation on (needle_id, doc_id), and
+verifies by joining the candidate ids back to the doc store — a selective
+join on the store's partition key, same shape as result_fetch.  No
+cartesian product anywhere except the documented all-hot/short-needle
+fallback, which is a broadcast of a few needles over a map-only scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def content_trigrams(col: Column) -> Column:
+    """Distinct 3-char windows of ``col`` (empty array below 3 chars).
+
+    The ``length >= 3`` guard matters: ``sequence(1, length-2)`` with
+    ``length < 3`` would *descend* (Spark infers step −1 when start > stop)
+    and emit junk windows.
+    """
+    windows = F.transform(
+        F.sequence(F.lit(1), F.length(col) - 2),
+        lambda i: F.substring(col, i, F.lit(3)),
+    )
+    return F.when(F.length(col) >= 3, F.array_distinct(windows)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def build_trigram_index(
+    docs: DataFrame, content_col: str = "content"
+) -> tuple[DataFrame, DataFrame]:
+    """→ (postings(trigram, doc_id) — unique pairs, stats(trigram, df)).
+
+    ``array_distinct`` runs inside the per-doc projection, so the explode
+    already yields unique (trigram, doc_id) pairs with NO distinct shuffle;
+    the only shuffle is the df hash-agg (map-side partial count first).
+    """
+    postings = docs.select(
+        "doc_id", F.explode(content_trigrams(F.col(content_col))).alias("trigram")
+    )
+    stats = postings.groupBy("trigram").agg(F.count("*").cast("long").alias("df"))
+    return postings, stats
+
+
+def trigram_search(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    needles: DataFrame,
+    max_trigrams: int = 8,
+    max_df: int | None = None,
+    content_col: str = "content",
+) -> DataFrame:
+    """Exact substring search: (needle_id, needle, doc_id, pos) rows for
+    every document whose content contains the needle (pos = 1-based first
+    occurrence, ``instr`` semantics).
+
+    ``needles``: (needle_id:long, needle:string).  Needles with at least one
+    usable (not hot-dropped) trigram take the index path; the rest — under
+    3 chars, or every trigram hotter than ``max_df`` — take the broadcast
+    scan path.  Both paths end in the same exact verify, so output is
+    independent of the knobs (pytest pins this).
+    """
+    ntri = needles.select(
+        "needle_id", F.explode(content_trigrams(F.col("needle"))).alias("trigram")
+    )
+    # left join: a trigram absent from the index (df null → 0) is the BEST
+    # evidence — it proves the needle matches nothing, and ranking it
+    # rarest-first makes the intersection empty immediately.
+    req = ntri.join(stats, "trigram", "left").withColumn(
+        "df", F.coalesce("df", F.lit(0).cast("long"))
+    )
+    if max_df is not None:
+        req = req.filter(F.col("df") <= max_df)
+    w = Window.partitionBy("needle_id").orderBy(F.asc("df"), F.asc("trigram"))
+    req = (
+        req.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= max_trigrams)
+        .select("needle_id", "trigram")
+    )
+    n_req = req.groupBy("needle_id").agg(F.count("*").cast("int").alias("n_req"))
+
+    # index path: postings ⋈ broadcast(required trigrams) → count==n per doc
+    cand = (
+        postings.join(F.broadcast(req), "trigram")
+        .groupBy("needle_id", "doc_id")
+        .agg(F.count("*").cast("int").alias("nhit"))
+        .join(F.broadcast(n_req), "needle_id")
+        .filter(F.col("nhit") == F.col("n_req"))
+        .select("needle_id", "doc_id")
+    )
+    indexed = cand.join(F.broadcast(needles), "needle_id").join(docs, "doc_id")
+
+    # scan path: needles with NO required trigram (short, or all hot-dropped)
+    scan_needles = needles.join(F.broadcast(n_req), "needle_id", "left_anti")
+    scanned = docs.join(F.broadcast(scan_needles))
+
+    pos = F.instr(F.col(content_col), F.col("needle")).cast("long")
+    out_cols = ["needle_id", "needle", "doc_id"]
+    return (
+        indexed.select(*out_cols, pos.alias("pos"))
+        .unionByName(scanned.select(*out_cols, pos.alias("pos")))
+        .filter(F.col("pos") > 0)
+    )
+
+
+def trigram_search_bruteforce(
+    docs: DataFrame, needles: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """The scan twin (what the oracle runs): broadcast every needle over a
+    map-only pass.  Used by tests to pin index-path ≡ scan for arbitrary
+    needles and knob settings."""
+    pos = F.instr(F.col(content_col), F.col("needle")).cast("long")
+    return (
+        docs.join(F.broadcast(needles))
+        .select("needle_id", "needle", "doc_id", pos.alias("pos"))
+        .filter(F.col("pos") > 0)
+    )

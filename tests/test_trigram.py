@@ -1,0 +1,141 @@
+"""Trigram substring index (operators/trigram.py).
+
+The operator's contract is output ≡ brute-force scan for EVERY needle and
+EVERY knob setting (the index only prunes; verify is exact) — so every test
+here pins the index path against ``trigram_search_bruteforce`` on the
+deterministic synthetic code corpus, plus plan-shape asserts for the
+100×-scale claims (broadcast needle side, no cartesian on the index path).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.operators.trigram import (
+    build_trigram_index,
+    content_trigrams,
+    trigram_search,
+    trigram_search_bruteforce,
+)
+from searchenginesimple_spark.sources.corpus import docs_df, with_doc_ids
+
+N_DOCS = 300
+
+NEEDLES = [
+    (0, "return"),            # hot token
+    (1, "return ident"),      # cross-token span
+    (2, "loc_7_"),            # file-local identifier prefix (partial ident)
+    (3, "absent_zzz_needle"), # no match
+    (4, "id"),                # < 3 chars → scan fallback
+    (5, "x = 1"),             # short-doc content, punctuation + spaces
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = with_doc_ids(docs_df(spark, N_DOCS)).select("doc_id", "content")
+    docs = docs.cache()
+    docs.count()
+    return docs
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    postings, stats = build_trigram_index(corpus)
+    postings, stats = postings.cache(), stats.cache()
+    postings.count(), stats.count()
+    return postings, stats
+
+
+def _needles(spark, rows=NEEDLES):
+    return spark.createDataFrame(rows, "needle_id long, needle string")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_content_trigrams_windows(spark):
+    df = spark.range(1).select(
+        content_trigrams(F.lit("abcde")).alias("t"),
+        content_trigrams(F.lit("ab")).alias("short"),
+        content_trigrams(F.lit("aaaa")).alias("dup"),
+    )
+    row = df.first()
+    assert row["t"] == ["abc", "bcd", "cde"]
+    assert row["short"] == []          # no descending-sequence junk
+    assert row["dup"] == ["aaa"]       # distinct per doc
+
+
+def test_index_path_equals_bruteforce(spark, corpus, index):
+    postings, stats = index
+    needles = _needles(spark)
+    got = _rows(trigram_search(corpus, postings, stats, needles))
+    want = _rows(trigram_search_bruteforce(corpus, needles))
+    assert got == want
+    # non-vacuous: the hot token and the cross-token span both match docs,
+    # the absent needle matches none
+    by_needle = {i: sum(1 for r in got if r[0] == i) for i, _ in NEEDLES}
+    assert by_needle[0] > 50 and by_needle[1] > 0 and by_needle[2] > 0
+    assert by_needle[3] == 0 and by_needle[4] > 0
+
+
+@pytest.mark.parametrize(
+    "knobs",
+    [
+        {"max_trigrams": 1},                   # maximal pruning
+        {"max_trigrams": 3, "max_df": 20},     # hot-drop active
+        {"max_df": 0},                         # EVERY trigram hot → all-scan
+    ],
+)
+def test_knobs_never_change_results(spark, corpus, index, knobs):
+    postings, stats = index
+    needles = _needles(spark)
+    got = _rows(trigram_search(corpus, postings, stats, needles, **knobs))
+    want = _rows(trigram_search_bruteforce(corpus, needles))
+    assert got == want
+
+
+def test_positions_are_first_occurrence(spark, corpus, index):
+    postings, stats = index
+    needles = _needles(spark, [(0, "return")])
+    out = trigram_search(corpus, postings, stats, needles)
+    joined = out.join(corpus, "doc_id").select(
+        "pos", F.instr("content", F.lit("return")).alias("want")
+    )
+    assert joined.filter(F.col("pos") != F.col("want")).count() == 0
+
+
+def test_index_path_plan_shape(spark, corpus, index):
+    """Scale pins: the needle side of the candidate join is broadcast, and
+    the index path contains no cartesian product (the only nested-loop join
+    allowed is the documented scan fallback, absent for 3+ char needles
+    with default knobs)."""
+    postings, stats = index
+    needles = _needles(spark, [(0, "return ident")])
+    plan = trigram_search(
+        corpus, postings, stats, needles
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the scan fallback (BroadcastNestedLoopJoin) exists in the union but
+    # must sit under an empty anti-joined needle set; the candidate
+    # intersection itself is hash-agg + hash-join
+    assert "HashAggregate" in plan
+
+
+def test_postings_unique_and_df_consistent(spark, corpus, index):
+    postings, stats = index
+    dup = (
+        postings.groupBy("trigram", "doc_id").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    # df in stats is exactly the posting count per trigram
+    bad = (
+        postings.groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .join(stats, "trigram")
+        .filter("n != df")
+        .count()
+    )
+    assert bad == 0
