@@ -105,6 +105,17 @@ _TRIGRAM_NEEDLES: list[tuple[int, str]] = [
     (5, "ta"),
 ]
 
+# Regex needles riding the same entry through trigram_regex_search (Cox
+# trigram-compiled regex → candidate union → exact RLIKE verify; pos
+# reported as 0 — "first match position" has no dialect-identical
+# definition for regexes, so the entry pins the MATCH SET only).  The
+# patterns stay inside the Java≡RE2 subset the compiler guarantees.
+_TRIGRAM_REGEXES: list[tuple[int, str]] = [
+    (6, "(fast|slow) ta"),       # alternation → two branches
+    (7, "hash .*value"),         # wildcard gap → two required segments
+    (8, "scan (slow|missing_zz)"),  # one matching + one absent branch
+]
+
 
 def _q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring search through the trigram index (code-search design,
@@ -116,13 +127,20 @@ def _q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_trigram_index,
         trigram_search,
     )
+    from searchenginesimple_spark.operators.trigram_regex import (
+        trigram_regex_search,
+    )
 
     docs = load_documents(spark, sf_dir)
     postings, stats = build_trigram_index(docs)
     needles = spark.createDataFrame(
         _TRIGRAM_NEEDLES, "needle_id long, needle string"
     )
-    return trigram_search(docs, postings, stats, needles)
+    sub = trigram_search(docs, postings, stats, needles)
+    rex = trigram_regex_search(docs, postings, stats, _TRIGRAM_REGEXES)
+    return sub.unionByName(
+        rex.withColumn("pos", F.lit(0).cast("long"))
+    )
 
 
 def _q_term_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2117,15 +2135,22 @@ def oracle_sql() -> dict[str, str]:
         "index_merge": f"WITH {_SQL_TOK} SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term",
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "contamination": _CONTAMINATION_SQL,
-        # brute-force scan — the trigram index only prunes (verify stage is
-        # exact), so scan ≡ engine output by construction
+        # brute-force scans — the trigram index only prunes (verify stage is
+        # exact), so scan ≡ engine output by construction; substring needles
+        # via strpos, regex needles via regexp_matches (pos pinned to 0)
         "trigram_search": f"""
             SELECT q.needle_id::BIGINT AS needle_id, q.needle, d.doc_id,
                    strpos(d.text, q.needle)::BIGINT AS pos
             FROM documents d
             CROSS JOIN (VALUES {", ".join(f"({i}, '{n}')" for i, n in _TRIGRAM_NEEDLES)})
                  q(needle_id, needle)
-            WHERE strpos(d.text, q.needle) > 0""",
+            WHERE strpos(d.text, q.needle) > 0
+            UNION ALL
+            SELECT r.needle_id::BIGINT, r.needle, d.doc_id, 0::BIGINT AS pos
+            FROM documents d
+            CROSS JOIN (VALUES {", ".join(f"({i}, '{n}')" for i, n in _TRIGRAM_REGEXES)})
+                 r(needle_id, needle)
+            WHERE regexp_matches(d.text, r.needle)""",
         "term_idf": f"""WITH {_SQL_TOK},
             tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
             dl AS (SELECT doc_id FROM tf GROUP BY doc_id),
