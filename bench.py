@@ -324,6 +324,49 @@ def main() -> None:
         queries["driver_bm25_dense"] = min(dense_walls)
         extra["driver_bm25_dense_reps"] = dense_walls
 
+        # --- trigram code-search: index build + substring query ------------
+        # (operators/trigram.py — the build is explode + map-side
+        # array_distinct with NO shuffle before the parquet sink; df stats
+        # aggregate from the materialized postings, one shuffle)
+        from pyspark.sql import functions as F
+
+        from searchenginesimple_spark.operators.trigram import (
+            build_trigram_index,
+            trigram_search,
+        )
+        from searchenginesimple_spark.sources.corpus import with_doc_ids
+
+        tri_docs = (
+            with_doc_ids(spark.read.parquet(f"{work}/raw_full"))
+            .select("doc_id", "content")
+            .cache()
+        )
+        tri_docs.count()
+        t0 = time.time()
+        tri_post, _ = build_trigram_index(tri_docs)
+        tri_post.write.mode("overwrite").parquet(f"{work}/tri_postings")
+        tri_post = spark.read.parquet(f"{work}/tri_postings")
+        tri_stats = tri_post.groupBy("trigram").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        tri_stats.write.mode("overwrite").parquet(f"{work}/tri_stats")
+        queries["trigram_build"] = round(time.time() - t0, 3)
+        tri_stats = spark.read.parquet(f"{work}/tri_stats")
+        tri_needles = spark.createDataFrame(
+            [(0, "return ident"), (1, "loc_42_7"), (2, "zz_absent_zz"),
+             (3, "ident_00")],
+            "needle_id long, needle string",
+        )
+
+        def tri_batch():
+            trigram_search(tri_docs, tri_post, tri_stats, tri_needles).count()
+
+        tri_batch()  # steady-state warmup, same policy as every component
+        t0 = time.time()
+        tri_batch()
+        queries["trigram_query"] = round(time.time() - t0, 3)
+        tri_docs.unpersist()
+
         # --- N → 4N scaling (hard-capped subprocesses, same staged input) ---
         # Interleaved reps, min per config: the sandbox VM shows bursty
         # noisy-neighbor slowdowns (measured 1.5-2x wall swings on identical
