@@ -84,6 +84,7 @@ def trigram_search(
     max_trigrams: int = 8,
     max_df: int | None = None,
     content_col: str = "content",
+    pushdown_max_needles: int = 1000,
 ) -> DataFrame:
     """Exact substring search: (needle_id, needle, doc_id, pos) rows for
     every document whose content contains the needle (pos = 1-based first
@@ -94,10 +95,28 @@ def trigram_search(
     3 chars, or every trigram hotter than ``max_df`` — take the broadcast
     scan path.  Both paths end in the same exact verify, so output is
     independent of the knobs (pytest pins this).
+
+    Scan pruning: a query batch is small by nature, so the needle trigram
+    UNIVERSE (≤ needles × needle_len strings) is collected driver-side and
+    pushed as an IN-filter into the postings scan — Parquet row groups
+    whose trigram stats miss every needle trigram are never read (same
+    discipline as the term-IN pushdown in operators/wand.py, where the
+    plan assertion lives).  For batches over ``pushdown_max_needles`` the
+    filter is skipped (the IN-list would bloat the plan) and the join
+    alone drives the scan.
     """
     ntri = needles.select(
         "needle_id", F.explode(content_trigrams(F.col("needle"))).alias("trigram")
     )
+    try:
+        n_needles = needles.count()
+    except Exception:  # pragma: no cover - streaming/no-count sources
+        n_needles = pushdown_max_needles + 1
+    if n_needles <= pushdown_max_needles:
+        universe = [r["trigram"] for r in ntri.select("trigram").distinct().collect()]
+        if universe:
+            postings = postings.filter(F.col("trigram").isin(universe))
+            stats = stats.filter(F.col("trigram").isin(universe))
     # left join: a trigram absent from the index (df null → 0) is the BEST
     # evidence — it proves the needle matches nothing, and ranking it
     # rarest-first makes the intersection empty immediately.

@@ -214,6 +214,13 @@ def trigram_regex_search(
     pats_df = spark.createDataFrame(patterns, "needle_id long, needle string")
     results = []
     if req_rows:
+        # patterns are compiled driver-side, so the trigram universe is
+        # already in hand — push it into the postings/stats scans as an
+        # IN-filter (Parquet row-group pruning; same discipline as
+        # operators/wand.py term-IN pushdown)
+        universe = sorted({t for _, _, t in req_rows})
+        postings = postings.filter(F.col("trigram").isin(universe))
+        stats = stats.filter(F.col("trigram").isin(universe))
         req = spark.createDataFrame(
             req_rows, "needle_id long, branch int, trigram string"
         )

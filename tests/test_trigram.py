@@ -124,6 +124,30 @@ def test_index_path_plan_shape(spark, corpus, index):
     assert "HashAggregate" in plan
 
 
+def test_needle_trigram_pushdown_reaches_parquet_scan(spark, corpus, index, tmp_path):
+    """Scale pin: with postings materialized as parquet, the needle-trigram
+    IN-filter must reach the scan (PushedFilters), so row groups without
+    needle trigrams are never read — at 10^12 files this is the difference
+    between scanning the index and scanning only the needles' slice."""
+    postings, stats = index
+    postings.write.mode("overwrite").parquet(str(tmp_path / "tp"))
+    stats.write.mode("overwrite").parquet(str(tmp_path / "ts"))
+    p = spark.read.parquet(str(tmp_path / "tp"))
+    s = spark.read.parquet(str(tmp_path / "ts"))
+    needles = _needles(spark, [(0, "return ident")])
+    plan = trigram_search(
+        corpus, p, s, needles
+    )._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    pushed = _re.findall(r"PushedFilters: \[[^\]]*In\(trigram", plan)
+    assert pushed, "needle-trigram IN-filter did not reach the parquet scan"
+    # equivalence must survive the parquet round-trip + pushdown
+    got = _rows(trigram_search(corpus, p, s, _needles(spark)))
+    want = _rows(trigram_search_bruteforce(corpus, _needles(spark)))
+    assert got == want
+
+
 def test_postings_unique_and_df_consistent(spark, corpus, index):
     postings, stats = index
     dup = (
