@@ -325,14 +325,13 @@ def main() -> None:
         extra["driver_bm25_dense_reps"] = dense_walls
 
         # --- trigram code-search: index build + substring query ------------
-        # (operators/trigram.py — the build is explode + map-side
-        # array_distinct with NO shuffle before the parquet sink; df stats
-        # aggregate from the materialized postings, one shuffle)
-        from pyspark.sql import functions as F
-
+        # (operators/trigram.py — explode + map-side array_distinct, then
+        # ONE range shuffle to cluster postings by trigram so queries scan
+        # only their own row groups; df stats from the materialized index)
         from searchenginesimple_spark.operators.trigram import (
             build_trigram_index,
             trigram_search,
+            write_trigram_index,
         )
         from searchenginesimple_spark.sources.corpus import with_doc_ids
 
@@ -343,15 +342,9 @@ def main() -> None:
         )
         tri_docs.count()
         t0 = time.time()
-        tri_post, _ = build_trigram_index(tri_docs)
-        tri_post.write.mode("overwrite").parquet(f"{work}/tri_postings")
-        tri_post = spark.read.parquet(f"{work}/tri_postings")
-        tri_stats = tri_post.groupBy("trigram").agg(
-            F.count("*").cast("long").alias("df")
-        )
-        tri_stats.write.mode("overwrite").parquet(f"{work}/tri_stats")
+        tri_raw, _ = build_trigram_index(tri_docs)
+        tri_post, tri_stats = write_trigram_index(tri_raw, f"{work}/tri_idx")
         queries["trigram_build"] = round(time.time() - t0, 3)
-        tri_stats = spark.read.parquet(f"{work}/tri_stats")
         tri_needles = spark.createDataFrame(
             [(0, "return ident"), (1, "loc_42_7"), (2, "zz_absent_zz"),
              (3, "ident_00")],

@@ -76,6 +76,54 @@ def build_trigram_index(
     return postings, stats
 
 
+def write_trigram_index(
+    postings: DataFrame,
+    path: str,
+    partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the index CLUSTERED BY trigram and return the readers.
+
+    Layout matters more than the filter: postings come off the build
+    doc-major, so every Parquet row group spans the whole trigram range and
+    the needle IN-filter prunes nothing.  One range-repartition + in-
+    partition sort makes each trigram's rows contiguous — row-group min/max
+    stats then confine a needle's scan to its own slice (and usually its
+    own files).  This is the trigram analogue of the BM25 postings' sorted
+    shard runs (operators/postings.py), and the one extra shuffle it costs
+    the build is the classic build-once/query-forever trade.
+
+    Two-phase write, both phases load-bearing (measured at the 100k bench
+    point):
+
+    1. stage the doc-major postings as parquet FIRST — the explode runs
+       exactly once.  Feeding the un-materialized explode straight into
+       ``repartitionByRange`` doubles the build (212 s vs ~120 s): range
+       partitioning runs a boundary-SAMPLING job that re-executes its
+       upstream.  Staging also rules out hash clustering as the cheap
+       alternative — hash scatters every file across the full trigram
+       range, so file/row-group min-max stats prune nothing (measured:
+       queries got SLOWER than the doc-major layout).
+    2. range-cluster from the staged parquet (sampling now reads compact
+       columns), sort within partitions, write.  The staged copy stays on
+       disk as the doc-major twin — it is the layout a delete/compact pass
+       wants (all of one doc's trigrams contiguous).
+
+    The df stats aggregate from the materialized clustered postings (one
+    re-read of compact parquet) and land beside them.
+    """
+    spark = postings.sparkSession
+    postings.write.mode("overwrite").parquet(f"{path}/postings_by_doc")
+    staged = spark.read.parquet(f"{path}/postings_by_doc")
+    p = staged.repartitionByRange(
+        *([partitions] if partitions else []), F.col("trigram")
+    ).sortWithinPartitions("trigram", "doc_id")
+    p.write.mode("overwrite").parquet(f"{path}/postings")
+    p_read = spark.read.parquet(f"{path}/postings")
+    stats = p_read.groupBy("trigram").agg(F.count("*").cast("long").alias("df"))
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    return p_read, spark.read.parquet(f"{path}/stats")
+
+
 def trigram_search(
     docs: DataFrame,
     postings: DataFrame,

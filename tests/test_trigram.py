@@ -129,11 +129,19 @@ def test_needle_trigram_pushdown_reaches_parquet_scan(spark, corpus, index, tmp_
     IN-filter must reach the scan (PushedFilters), so row groups without
     needle trigrams are never read — at 10^12 files this is the difference
     between scanning the index and scanning only the needles' slice."""
+    from searchenginesimple_spark.operators.trigram import write_trigram_index
+
     postings, stats = index
-    postings.write.mode("overwrite").parquet(str(tmp_path / "tp"))
-    stats.write.mode("overwrite").parquet(str(tmp_path / "ts"))
-    p = spark.read.parquet(str(tmp_path / "tp"))
-    s = spark.read.parquet(str(tmp_path / "ts"))
+    p, s = write_trigram_index(postings, str(tmp_path / "idx"))
+    # clustered layout: stats derived from the materialized postings agree
+    # with the pre-write stats
+    assert (
+        s.join(stats.withColumnRenamed("df", "df0"), "trigram")
+        .filter("df != df0")
+        .count()
+        == 0
+    )
+    assert s.count() == stats.count()
     needles = _needles(spark, [(0, "return ident")])
     plan = trigram_search(
         corpus, p, s, needles
