@@ -495,28 +495,41 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qv, k=10)
 
 
-def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate cosine top-k, fully DuckDB-hash-verified:
-    integer hyperplanes + floor-quantized projections make the candidate set
-    deterministic, so the oracle reproduces buckets, candidates and the exact
-    re-rank bit-for-bit (approximate vs brute force, exact vs the spec)."""
-    from searchenginesimple_spark.operators.ann import lsh_topk
+def _q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH approximate-ANN scale paths in one entry (method column, the
+    embed_neardup folding precedent): method='lsh' is the LSH-bucketed top-k
+    (integer hyperplanes + floor-quantized projections make the candidate
+    set deterministic) and method='ivf' is the IVF cell-probe top-k
+    (training-free integer centroids → n_probe candidate join → exact
+    re-rank).  Both fully DuckDB-hash-verified — buckets/cells, candidates
+    and re-rank reproduce bit-for-bit; recall vs brute force is measured in
+    tests/test_ann."""
+    from searchenginesimple_spark.operators.ann import ivf_topk, lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, qv, dim=64, k=10, n_planes=8)
+    lsh = lsh_topk(emb, qv, dim=64, k=10, n_planes=8)
+    ivf = ivf_topk(emb, qv, dim=64, k=10, n_centroids=16, n_probe=4)
+    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "*")
+    )
 
 
-def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate cosine top-k (training-free integer centroids, cell
-    assignment → n_probe candidate join → exact re-rank), fully
-    DuckDB-hash-verified via the same quantized-integer determinism as
-    ann_lsh; recall vs brute force measured in tests/test_ann."""
-    from searchenginesimple_spark.operators.ann import ivf_topk
+def _q_code_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints → clone pairs (operators/winnow.py; MOSS,
+    Schleimer et al. SIGMOD'03; §2-plus code-payload op).  The reference
+    dedups whole documents by simhash (Page.hpp:121-161); winnowing finds
+    PARTIAL clones with the (k,w) local guarantee.  polyhash62 k-gram
+    hashes and the arithmetic rightmost-min selection key make fingerprints,
+    selection and pair scores DuckDB-reproducible bit-for-bit."""
+    from searchenginesimple_spark.operators.winnow import (
+        clone_pairs,
+        winnow_fingerprints,
+    )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, qv, dim=64, k=10, n_centroids=16, n_probe=4)
+    docs = load_documents(spark, sf_dir)
+    fps = winnow_fingerprints(docs, k=5, w=4)
+    return clone_pairs(fps, min_shared=1, min_similarity=0.0, max_df=64)
 
 
 def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,13 +702,18 @@ def _q_subtoken_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_code_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symbol-definition extraction over source code (code-payload op,
-    functions/code.py; §2-plus).  The driver's documents table is prose, so
-    the entry synthesizes a deterministic code wrapper per document from its
-    own first tokens (the established rss_parse/json_parse pattern) and
-    extracts (kind, symbol) definition rows from it; the oracle runs the
-    identical regexes through DuckDB's RE2."""
-    from searchenginesimple_spark.functions.code import extract_symbols
+    """Symbol-definition AND import-edge extraction over source code
+    (code-payload ops, functions/code.py; §2-plus) — both halves of the
+    ctags duality in one entry (kind values disjoint): what a file defines
+    (def/class/function/cfunc) and what it consumes (import/from_import/
+    include/require).  The driver's documents table is prose, so the entry
+    synthesizes a deterministic code wrapper per document from its own
+    first tokens (the established rss_parse/json_parse pattern); the oracle
+    runs the identical RE2-safe regexes through DuckDB."""
+    from searchenginesimple_spark.functions.code import (
+        extract_imports,
+        extract_symbols,
+    )
 
     docs = load_documents(spark, sf_dir)
 
@@ -707,8 +725,14 @@ def _q_code_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp(2), F.lit("_C:\n    pass\n\nfunction "), sp(3),
         F.lit("Handler() {\n}\nvoid "), sp(4),
         F.lit("_impl() {\n}\n// def not_a(\n"),
+        F.lit("import "), sp(5), F.lit("_mod\nfrom "), sp(6),
+        F.lit("_pkg import thing\n#include <"), sp(7),
+        F.lit(".h>\nx = require('"), sp(8), F.lit("_js')\n"),
     )
-    return extract_symbols(docs.select("doc_id", code.alias("code")), "code")
+    wrapped = docs.select("doc_id", code.alias("code"))
+    return extract_symbols(wrapped, "code").unionByName(
+        extract_imports(wrapped, "code").withColumnRenamed("module", "symbol")
+    )
 
 
 def _q_streaming_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,8 +1080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _q_contamination,
         "embed_neardup": _q_embed_neardup,
         "ann_cosine": _q_ann_cosine,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
+        "ann_approx": _q_ann_approx,
+        "code_clones": _q_code_clones,
         "stratified_sample": _q_stratified_sample,
         "domain_cap": _q_domain_cap,
         "token_count": _q_token_count,
@@ -1505,9 +1529,70 @@ SELECT a_id, b_id, cos::double AS cos FROM scored WHERE cos >= {threshold}
 """
 
 
-_ANN_LSH_SQL = _ann_lsh_sql()
-_ANN_IVF_SQL = _ann_ivf_sql()
+_ANN_APPROX_SQL = f"""
+SELECT 'lsh' AS method, * FROM ({_ann_lsh_sql()})
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({_ann_ivf_sql()})
+"""
 _EMBED_NEARDUP_LSH_SQL = _embed_neardup_lsh_sql()
+
+# Winnowing clone pairs (operators/winnow.py): k=5, w=4, polyhash62 grams,
+# selection key = (h mod 2^36)·2^25 + (2^25−1−pos) — constants inlined.
+_CODE_CLONES_SQL = """
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest([{'pos': i-1, 'g': array_to_string(toks[i:i+4], ' ')}
+                         for i in range(1, len(toks)-3)], recursive := true)
+  FROM tokd WHERE len(toks) >= 5
+),
+hashed AS (
+  SELECT doc_id, pos,
+    list_reduce(list_prepend(7::BIGINT,
+        list_transform(regexp_extract_all(g, '(?s).'), c -> ascii(c)::BIGINT)),
+      (acc,c) -> (acc*31 + c) % 2147483647) * 2147483648
+    + list_reduce(list_prepend(11::BIGINT,
+        list_transform(regexp_extract_all(g, '(?s).'), c -> ascii(c)::BIGINT)),
+      (acc,c) -> (acc*37 + c) % 2147483647) AS h
+  FROM grams
+),
+keyed AS (
+  SELECT doc_id, pos, h,
+         (h % 68719476736) * 33554432 + (33554431 - pos) AS key
+  FROM hashed
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS skey
+  FROM keyed
+  QUALIFY pos >= least(4, count(*) OVER (PARTITION BY doc_id)) - 1
+),
+fps AS (
+  SELECT DISTINCT k.doc_id, k.h AS fp
+  FROM sel s JOIN keyed k
+    ON k.doc_id = s.doc_id AND k.pos = 33554431 - (s.skey % 33554432)
+),
+kept AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df <= 64
+),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.a_id, p.b_id, p.shared,
+       round(p.shared::DOUBLE / least(sa.n_fp, sb.n_fp), 6) AS similarity
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a_id
+JOIN sizes sb ON sb.doc_id = p.b_id
+WHERE p.shared >= 1
+"""
 
 
 def _minhash_sql() -> str:
@@ -1717,9 +1802,13 @@ FROM ({_HTML_P_SQL}) h JOIN ({_LINEBREAK_SQL}) l USING (doc_id)
 
 def _code_symbols_sql() -> str:
     """Mirrors _q_code_symbols: identical synthesized wrapper, identical
-    RE2-safe patterns (functions/code.py::SYMBOL_PATTERNS) via DuckDB
-    regexp_extract_all, one UNION ALL branch per kind."""
-    from searchenginesimple_spark.functions.code import SYMBOL_PATTERNS
+    RE2-safe patterns (functions/code.py::SYMBOL_PATTERNS +
+    IMPORT_PATTERNS) via DuckDB regexp_extract_all, one UNION ALL branch
+    per kind."""
+    from searchenginesimple_spark.functions.code import (
+        IMPORT_PATTERNS,
+        SYMBOL_PATTERNS,
+    )
 
     nl = "chr(10)"
     code = (
@@ -1730,7 +1819,11 @@ def _code_symbols_sql() -> str:
         f" 'function ' || split_part(text, ' ', 3) || 'Handler() {{' || {nl} ||"
         f" '}}' || {nl} ||"
         f" 'void ' || split_part(text, ' ', 4) || '_impl() {{' || {nl} ||"
-        f" '}}' || {nl} || '// def not_a(' || {nl}"
+        f" '}}' || {nl} || '// def not_a(' || {nl} ||"
+        f" 'import ' || split_part(text, ' ', 5) || '_mod' || {nl} ||"
+        f" 'from ' || split_part(text, ' ', 6) || '_pkg import thing' || {nl} ||"
+        f" '#include <' || split_part(text, ' ', 7) || '.h>' || {nl} ||"
+        f" 'x = require(''' || split_part(text, ' ', 8) || '_js'')' || {nl}"
     )
     branches = " UNION ALL ".join(
         # DuckDB string literals are standard SQL: backslash is NOT an
@@ -1738,7 +1831,7 @@ def _code_symbols_sql() -> str:
         "SELECT doc_id, '{k}' AS kind, unnest(regexp_extract_all(code, '{p}', 1)) AS symbol FROM d".format(
             k=k, p=p.replace("'", "''")
         )
-        for k, p in SYMBOL_PATTERNS.items()
+        for k, p in list(SYMBOL_PATTERNS.items()) + list(IMPORT_PATTERNS.items())
     )
     return f"WITH d AS (SELECT doc_id, {code} AS code FROM documents) {branches}"
 
@@ -2009,8 +2102,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s""",
         "simhash_dedup": _SIMHASH_DEDUP_SQL,
         "minhash_pairs": _MINHASH_SQL,
-        "ann_lsh": _ANN_LSH_SQL,
-        "ann_ivf": _ANN_IVF_SQL,
+        "ann_approx": _ANN_APPROX_SQL,
+        "code_clones": _CODE_CLONES_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
         "rss_parse": _RSS_SQL,
         "dict": _DICT_SQL,

@@ -31,20 +31,51 @@ SYMBOL_PATTERNS: dict[str, str] = {
 }
 
 
-def extract_symbols(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """→ (doc_id, kind, symbol): one row per definition occurrence, in
-    document order within each kind."""
+# kind → (pattern with ONE capture group) for dependency edges — the other
+# half of the ctags duality: what a file PROVIDES (symbols) vs what it
+# CONSUMES (imports).  Same RE2-safe discipline; ``import`` covers the
+# python/java spelling, ``from_import``/``include``/``require`` the
+# py/c-family/js ones.  ``require`` is deliberately NOT line-anchored
+# (JS requires are legal mid-expression).
+IMPORT_PATTERNS: dict[str, str] = {
+    "import": r"(?m)^\s*import\s+([A-Za-z_][A-Za-z0-9_.]*)",
+    "from_import": r"(?m)^\s*from\s+([A-Za-z_][A-Za-z0-9_.]*)\s+import",
+    "include": r"(?m)^\s*#include\s+[<\"]([A-Za-z0-9_./]+)[>\"]",
+    "require": r"require\s*\(\s*['\"]([A-Za-z0-9_./@-]+)['\"]\s*\)",
+}
+
+
+def _extract_by_patterns(
+    df: DataFrame, patterns: dict[str, str], content_col: str, out_col: str
+) -> DataFrame:
+    """Shared shuffle-free projection: per-kind regexp_extract_all →
+    flatten → one map-side explode."""
     c = F.col(content_col)
 
     def kind_structs(kind: str, pattern: str):
         return F.transform(
             F.regexp_extract_all(c, F.lit(pattern), F.lit(1)),
-            lambda s: F.struct(F.lit(kind).alias("kind"), s.alias("symbol")),
+            lambda s: F.struct(F.lit(kind).alias("kind"), s.alias(out_col)),
         )
 
-    all_syms = F.flatten(
-        F.array(*[kind_structs(k, p) for k, p in SYMBOL_PATTERNS.items()])
+    all_rows = F.flatten(
+        F.array(*[kind_structs(k, p) for k, p in patterns.items()])
     )
-    return df.select("doc_id", F.explode(all_syms).alias("s")).select(
-        "doc_id", F.col("s.kind").alias("kind"), F.col("s.symbol").alias("symbol")
+    return df.select("doc_id", F.explode(all_rows).alias("s")).select(
+        "doc_id", F.col("s.kind").alias("kind"), F.col(f"s.{out_col}").alias(out_col)
     )
+
+
+def extract_symbols(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """→ (doc_id, kind, symbol): one row per definition occurrence, in
+    document order within each kind."""
+    return _extract_by_patterns(df, SYMBOL_PATTERNS, content_col, "symbol")
+
+
+def extract_imports(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """→ (doc_id, kind, module): one row per import/include/require edge.
+
+    The (doc_id, module) edges are the dependency graph a code-search
+    engine aggregates for reverse-dependency ranking ("most-imported
+    module"), impact analysis, and vendored-code detection."""
+    return _extract_by_patterns(df, IMPORT_PATTERNS, content_col, "module")

@@ -1,0 +1,168 @@
+"""Winnowing document fingerprints + clone-pair mining (code-payload op).
+
+Public design: Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms
+for Document Fingerprinting" (SIGMOD 2003, the MOSS algorithm).  The
+reference engine dedups whole documents by 64-bit simhash
+(include/simhash/simhasher.hpp via Page.hpp:121-161); winnowing answers the
+code-corpus question simhash structurally cannot: WHICH passages two files
+share (partial clones, vendored snippets, license headers), with a local
+guarantee — any match of at least w+k−1 consecutive tokens produces at
+least one shared fingerprint (SIGMOD'03 §3, the "(k, w)-guarantee").
+
+Spark shape (the 100×-scale story):
+
+* ``winnow_fingerprints`` is **shuffle-free**: tokenize → k-gram hash →
+  window-min selection all run as per-row array higher-order functions
+  (pure JVM, codegen'd) — the map-only stage a 10¹²-file corpus needs.
+  No explode-then-window: a per-doc ``Window.partitionBy(doc_id)`` would
+  shuffle every k-gram of every document once before selecting.
+* ``clone_pairs`` is **one shuffle on fingerprint value** whose per-key
+  fan-out is capped by ``max_df`` (boilerplate fingerprints dropped the
+  way the BM25 build drops stop-words — operators/bm25.py) so the
+  self-join is ≤ max_df² rows per key, never quadratic in corpus size.
+
+Every hash is the engine's SQL-reproducible polyhash62
+(functions/text.py:polyhash62_expr), so the DuckDB oracle reproduces
+fingerprints, selection, and pair scores bit-for-bit.
+
+Selection rule (made arithmetic so Spark ≡ ANSI SQL without min_by/struct
+comparators): within each window of ``w`` consecutive k-grams pick the
+minimum of ``key = (h mod 2^36)·2^25 + (2^25−1−pos)`` — i.e. minimum
+reduced hash, ties broken toward the RIGHTMOST position (the robust-
+winnowing tie rule, SIGMOD'03 §5; larger pos ⇒ smaller key).  The reduced
+41→36-bit hash only orders the selection; the emitted fingerprint is the
+full 62-bit hash.  Documents are capped at 2^25 k-grams (≈ 33.5M tokens
+per file) and the cap is ENFORCED with raise_error, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchenginesimple_spark.config import TOKEN_RE
+from searchenginesimple_spark.functions.text import polyhash62_expr
+from searchenginesimple_spark.functions.tokenize import tokenize_expr
+
+WINNOW_POS_CAP = 1 << 25  # max k-grams per document (enforced)
+WINNOW_R_MOD = 1 << 36  # reduced-hash modulus for the selection key
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    token_re: str = TOKEN_RE,
+) -> DataFrame:
+    """→ (doc_id, pos:int, fp:long): winnowed k-gram fingerprints.
+
+    ``pos`` is the 0-based k-gram position the fingerprint was selected at;
+    ``fp`` is polyhash62 of the space-joined k-token gram.  Shuffle-free:
+    every stage is a per-row projection (plan-asserted in tests).
+    Documents with fewer than k tokens produce no fingerprints; documents
+    with n < w+... fewer grams than w use one window over all grams (the
+    standard short-document rule: still ≥1 fingerprint per document).
+    """
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+
+    toks = tokenize_expr(F.col(content_col), token_re)
+    staged = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+
+    # k-gram hash array (map-side; polyhash62 nested inside transform).
+    n_grams = F.size("toks") - F.lit(k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: polyhash62_expr(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, k))),
+    )
+    hashed = staged.select("doc_id", grams.alias("hs"))
+
+    # Selection keys: reduced hash ‖ bitwise-flipped position (rightmost-min
+    # tie rule).  Enforce the position cap loudly, never silently.
+    n = F.size("hs")
+    n_ok = F.when(
+        n < F.lit(WINNOW_POS_CAP), n
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "winnow_fingerprints: document exceeds 2^25 k-grams; "
+                "raise WINNOW_POS_CAP (and the oracle's key constants)"
+            )
+        )
+    )
+    keys = F.transform(
+        F.col("hs"),
+        lambda h, i: F.pmod(h, F.lit(WINNOW_R_MOD)) * F.lit(WINNOW_POS_CAP)
+        + (F.lit(WINNOW_POS_CAP - 1) - i),
+    )
+    keyed = hashed.select("doc_id", "hs", keys.alias("keys"), n_ok.alias("n"))
+
+    # One window per ending gram q ∈ [wlen−1, n−1]; fingerprint = window min.
+    wlen = F.least(F.lit(w), F.col("n"))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(wlen - 1, F.col("n") - 1),
+            lambda q: F.array_min(F.slice(F.col("keys"), q - wlen + 2, wlen)),
+        )
+    )
+    exploded = keyed.select("doc_id", "hs", F.explode(sel).alias("key"))
+
+    pos = F.lit(WINNOW_POS_CAP - 1) - F.pmod(F.col("key"), F.lit(WINNOW_POS_CAP))
+    return exploded.select(
+        "doc_id",
+        pos.cast("int").alias("pos"),
+        F.element_at(F.col("hs"), pos.cast("int") + 1).alias("fp"),
+    )
+
+
+def clone_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    min_similarity: float = 0.0,
+    max_df: int = 64,
+) -> DataFrame:
+    """→ (a_id, b_id, shared:long, similarity:double): document pairs that
+    share winnowed fingerprints.
+
+    * ``max_df`` drops fingerprints present in more than max_df documents
+      BEFORE the self-join (boilerplate guard = the scale knob: per-key
+      join fan-out ≤ max_df², so the shuffle is linear in fingerprint
+      volume, never quadratic in corpus size).
+    * ``similarity`` = shared / min(|fp_a|, |fp_b|) (containment, MOSS
+      report score) computed over the post-cap fingerprint sets of both
+      documents, rounded to 6 decimals for cross-engine float stability.
+    """
+    # df-filter as a window over fp: the hash(fp) partitioning this
+    # introduces is exactly the partitioning the self-join below needs, so
+    # Catalyst reuses it instead of shuffling twice.
+    distinct_fps = fps.select("doc_id", "fp").distinct()
+    kept = (
+        distinct_fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("df") <= F.lit(max_df))
+        .drop("df")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+
+    a = kept.select(F.col("doc_id").alias("a_id"), "fp")
+    b = kept.select(F.col("doc_id").alias("b_id"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    sim = F.round(
+        F.col("shared").cast("double") / F.least(F.col("na"), F.col("nb")), 6
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_fp").alias("na")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_fp").alias("nb")), "b_id")
+        .select("a_id", "b_id", "shared", sim.alias("similarity"))
+        .filter(
+            (F.col("shared") >= F.lit(min_shared))
+            & (F.col("similarity") >= F.lit(min_similarity))
+        )
+    )
