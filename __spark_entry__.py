@@ -528,7 +528,7 @@ def _q_code_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_documents(spark, sf_dir)
-    fps = winnow_fingerprints(docs, k=5, w=4)
+    fps = winnow_fingerprints(docs, k=5, w=4, hash_family="poly")
     return clone_pairs(fps, min_shared=1, min_similarity=0.0, max_df=64)
 
 

@@ -358,6 +358,28 @@ def main() -> None:
         t0 = time.time()
         tri_batch()
         queries["trigram_query"] = round(time.time() - t0, 3)
+
+        # --- winnowing clone mining (operators/winnow.py) -------------------
+        # fingerprints are shuffle-free array HOFs; pair join shuffles on
+        # fingerprint with max_df capping per-key fan-out.  One timed pass =
+        # fingerprint + pair mine end-to-end over the same staged corpus.
+        from searchenginesimple_spark.operators.winnow import (
+            clone_pairs,
+            winnow_fingerprints,
+        )
+
+        def clone_batch():
+            clone_pairs(
+                winnow_fingerprints(tri_docs, k=5, w=4),
+                min_shared=2,
+                min_similarity=0.5,
+                max_df=64,
+            ).count()
+
+        clone_batch()  # warmup
+        t0 = time.time()
+        clone_batch()
+        queries["clone_mine"] = round(time.time() - t0, 3)
         tri_docs.unpersist()
 
         # --- N → 4N scaling (hard-capped subprocesses, same staged input) ---

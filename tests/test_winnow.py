@@ -74,7 +74,7 @@ def test_matches_python_reference(spark, k, w):
     df = spark.createDataFrame(docs, "doc_id long, content string")
     got = {
         (r.doc_id, r.pos, r.fp)
-        for r in winnow_fingerprints(df, k=k, w=w).collect()
+        for r in winnow_fingerprints(df, k=k, w=w, hash_family="poly").collect()
     }
     want = {
         (doc_id, pos, fp)
