@@ -124,6 +124,126 @@ def write_trigram_index(
     return p_read, spark.read.parquet(f"{path}/stats")
 
 
+def _fs(spark, path: str):
+    """Hadoop FileSystem for ``path`` (storage-agnostic listing/delete —
+    works for file://, hdfs://, s3a:// alike)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jpath, jvm
+
+
+def append_trigram_delta(
+    delta_docs: DataFrame, path: str, name: str, content_col: str = "content"
+) -> None:
+    """LSM-style incremental maintenance: index ONLY the new/changed docs
+    into ``{path}/deltas/{name}`` and leave the base untouched.
+
+    Soundness leans on the exact-verify stage (the same property that makes
+    the knobs safe): a replaced document's STALE base postings can only add
+    candidates, which ``instr`` verification prunes; a deleted document's
+    candidates die at the docstore join.  So correctness needs exactly one
+    invariant — every CURRENT document's postings exist somewhere in
+    base ∪ deltas — which appending the delta provides.  No tombstones.
+    (The term-index analogue is plans/merge.py, where exact-dup skip plays
+    the same role; zoekt ships the same shard-append + periodic-compact
+    design.)
+
+    Cost of deferring compaction: df stats drift high for trigrams of
+    replaced docs (they order rarest-first pruning only — never results)
+    and stale rows widen the scan until ``compact_trigram_index`` runs.
+    """
+    postings, _ = build_trigram_index(delta_docs, content_col)
+    d = f"{path}/deltas/{name}"
+    # deltas are small by nature (a day's changed files): one sorted write,
+    # no two-phase staging — range-sampling a small delta is cheap.
+    postings.sortWithinPartitions("trigram", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/postings")
+    staged = delta_docs.sparkSession.read.parquet(f"{d}/postings")
+    staged.groupBy("trigram").agg(
+        F.count("*").cast("long").alias("df")
+    ).write.mode("overwrite").parquet(f"{d}/stats")
+
+
+def read_trigram_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """→ (postings, stats) over base ∪ all deltas.
+
+    The count==n intersection in trigram_search counts rows per
+    (needle_id, doc_id), so a (trigram, doc_id) pair indexed in BOTH base
+    and a delta (replaced doc, unchanged trigram) would double-count and
+    could produce nhit > n_req; the union is therefore distinct-ed when
+    deltas are open — the unique-pair invariant the single-shard build
+    gets for free from array_distinct.  Stats are the per-shard sums
+    (approximate while deltas are open: stale base rows inflate df;
+    ordering/pruning-only, never results — see append_trigram_delta).
+    """
+    fs, base, _ = _fs(spark, f"{path}/deltas")
+    shards = [f"{path}/postings"]
+    stat_shards = [f"{path}/stats"]
+    if fs.exists(base):
+        for st in fs.listStatus(base):
+            if st.isDirectory():
+                d = st.getPath().toString()
+                shards.append(f"{d}/postings")
+                stat_shards.append(f"{d}/stats")
+    postings = spark.read.parquet(*shards)
+    if len(shards) > 1:
+        # a doc present in base AND a delta would double-count in the
+        # count==n intersection; distinct restores the unique-pair invariant
+        postings = postings.distinct()
+    stats = (
+        spark.read.parquet(*stat_shards)
+        .groupBy("trigram")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    return postings, stats
+
+
+def compact_trigram_index(
+    spark, path: str, partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Fold all deltas into the base: delta rows SUPERSEDE base rows for the
+    same doc_id (anti-join — removes replaced docs' stale postings), then
+    re-cluster by trigram and recompute exact df stats.  Clears the deltas.
+
+    Incremental by construction: reads only materialized parquet (never
+    re-explodes content), so its cost is proportional to index size, not
+    corpus tokenization — the LSM compaction trade.
+    """
+    fs, dbase, _ = _fs(spark, f"{path}/deltas")
+    if not fs.exists(dbase):
+        return (
+            spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(f"{path}/stats"),
+        )
+    delta_dirs = [
+        st.getPath().toString() for st in fs.listStatus(dbase) if st.isDirectory()
+    ]
+    delta = spark.read.parquet(*[f"{d}/postings" for d in delta_dirs]).distinct()
+    base_p = spark.read.parquet(f"{path}/postings")
+    delta_ids = delta.select("doc_id").distinct()
+    merged = base_p.join(delta_ids, "doc_id", "left_anti").unionByName(delta)
+
+    # two-phase, same rationale as write_trigram_index: materialize the
+    # merge once, then let range sampling read the compact staging copy.
+    merged.write.mode("overwrite").parquet(f"{path}/compact_staged")
+    staged = spark.read.parquet(f"{path}/compact_staged")
+    p = staged.repartitionByRange(
+        *([partitions] if partitions else []), F.col("trigram")
+    ).sortWithinPartitions("trigram", "doc_id")
+    p.write.mode("overwrite").parquet(f"{path}/postings")
+    p_read = spark.read.parquet(f"{path}/postings")
+    p_read.groupBy("trigram").agg(
+        F.count("*").cast("long").alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+    fs2, staged_path, _ = _fs(spark, f"{path}/compact_staged")
+    fs2.delete(staged_path, True)
+    fs2.delete(dbase, True)
+    return p_read, spark.read.parquet(f"{path}/stats")
+
+
 def trigram_search(
     docs: DataFrame,
     postings: DataFrame,

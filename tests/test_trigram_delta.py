@@ -1,0 +1,158 @@
+"""LSM-style incremental trigram index maintenance (operators/trigram.py:
+append_trigram_delta / read_trigram_index / compact_trigram_index).
+
+The soundness argument under test: the exact-verify stage prunes every
+stale-posting artifact, so the ONLY invariant appends must keep is "every
+current document's postings exist in base ∪ deltas".  Each test pins
+search-over-shards ≡ brute-force scan over the CURRENT docstore through
+adds, replacements, deletions, and compaction; compaction additionally
+must converge to exactly the fresh-rebuild index (postings set AND df
+stats — approximation is allowed only while deltas are open).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.operators.trigram import (
+    append_trigram_delta,
+    build_trigram_index,
+    compact_trigram_index,
+    read_trigram_index,
+    trigram_search,
+    trigram_search_bruteforce,
+    write_trigram_index,
+)
+
+BASE_DOCS = [
+    (1, "def alpha_handler(x): return unique_marker_one"),
+    (2, "class BetaServer: stale_needle_gone lives here"),
+    (3, "def gamma(): return shared_prefix_token"),
+    (4, "doomed_document_token will be deleted entirely"),
+]
+# doc 2 replaced (old content had stale_needle_gone; new has fresh_needle_new
+# AND keeps 'BetaServer' — the base∪delta duplicate-pair case), doc 4 deleted,
+# doc 5 brand new.
+CURRENT_DOCS = [
+    (1, "def alpha_handler(x): return unique_marker_one"),
+    (2, "class BetaServer: fresh_needle_new lives here"),
+    (3, "def gamma(): return shared_prefix_token"),
+    (5, "def delta_only_doc(): return appended_marker"),
+]
+DELTA_DOCS = [CURRENT_DOCS[1], CURRENT_DOCS[3]]
+
+NEEDLES = [
+    (0, "unique_marker_one"),   # base-only doc, untouched
+    (1, "stale_needle_gone"),   # ONLY in replaced doc's OLD content → 0 hits
+    (2, "fresh_needle_new"),    # ONLY in replaced doc's NEW content → delta
+    (3, "BetaServer"),          # in old AND new content of doc 2 → exactly 1
+    (4, "doomed_document"),     # deleted doc → 0 hits
+    (5, "appended_marker"),     # new doc → delta
+    (6, "return"),              # spans base and delta docs
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def _needles(spark):
+    return spark.createDataFrame(NEEDLES, "needle_id long, needle string")
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def idx_path(tmp_path):
+    return str(tmp_path / "tri_idx")
+
+
+def _build_base_and_delta(spark, idx_path):
+    base_docs = _docs(spark, BASE_DOCS)
+    raw, _ = build_trigram_index(base_docs)
+    write_trigram_index(raw, idx_path)
+    append_trigram_delta(_docs(spark, DELTA_DOCS), idx_path, "d001")
+
+
+def test_search_over_shards_equals_scan(spark, idx_path):
+    _build_base_and_delta(spark, idx_path)
+    current = _docs(spark, CURRENT_DOCS)
+    postings, stats = read_trigram_index(spark, idx_path)
+    got = _rows(trigram_search(current, postings, stats, _needles(spark)))
+    want = _rows(trigram_search_bruteforce(current, _needles(spark)))
+    assert got == want
+    # the scenario is only meaningful if it exercises every case:
+    by_needle = {}
+    for needle_id, _, doc_id, _ in want:
+        by_needle.setdefault(needle_id, set()).add(doc_id)
+    assert by_needle.get(0) == {1}
+    assert 1 not in by_needle          # stale content unreachable
+    assert by_needle.get(2) == {2}     # replacement indexed via delta
+    assert by_needle.get(3) == {2}     # base∪delta duplicate pair: exactly once
+    assert 4 not in by_needle          # deleted doc unreachable
+    assert by_needle.get(5) == {5}     # appended doc found
+
+
+def test_multiple_deltas_stack(spark, idx_path):
+    _build_base_and_delta(spark, idx_path)
+    extra = [(6, "def second_delta(): return second_marker")]
+    append_trigram_delta(_docs(spark, extra), idx_path, "d002")
+    current = _docs(spark, CURRENT_DOCS + extra)
+    needles = spark.createDataFrame(
+        NEEDLES + [(7, "second_marker")], "needle_id long, needle string"
+    )
+    postings, stats = read_trigram_index(spark, idx_path)
+    got = _rows(trigram_search(current, postings, stats, needles))
+    want = _rows(trigram_search_bruteforce(current, needles))
+    assert got == want
+
+
+def test_compaction_converges_to_fresh_rebuild(spark, idx_path, tmp_path):
+    _build_base_and_delta(spark, idx_path)
+    current = _docs(spark, CURRENT_DOCS)
+    postings, stats = compact_trigram_index(spark, idx_path)
+
+    fresh_raw, _ = build_trigram_index(current)
+    fresh_p, fresh_s = write_trigram_index(fresh_raw, str(tmp_path / "fresh"))
+    # NOTE: compaction cannot know about doc 4's deletion (it is absent from
+    # the deltas) — stale postings for DELETED docs survive until the caller
+    # compacts against a doc list.  They remain harmless (verify prunes).
+    doc4 = F.col("doc_id") != 4
+    assert _rows(postings.filter(doc4)) == _rows(fresh_p)
+    assert _rows(stats) != [] and _rows(
+        postings.filter(doc4).groupBy("trigram").count()
+    ) == _rows(fresh_p.groupBy("trigram").count())
+
+    # deltas cleared, search still ≡ scan
+    from searchenginesimple_spark.operators.trigram import _fs
+
+    fs, dbase, _ = _fs(spark, f"{idx_path}/deltas")
+    assert not fs.exists(dbase)
+    got = _rows(trigram_search(current, postings, stats, _needles(spark)))
+    want = _rows(trigram_search_bruteforce(current, _needles(spark)))
+    assert got == want
+
+
+def test_compact_without_deltas_is_noop(spark, idx_path):
+    base_docs = _docs(spark, BASE_DOCS)
+    raw, _ = build_trigram_index(base_docs)
+    write_trigram_index(raw, idx_path)
+    before = _rows(spark.read.parquet(f"{idx_path}/postings"))
+    postings, stats = compact_trigram_index(spark, idx_path)
+    assert _rows(postings) == before
+
+
+def test_replaced_doc_df_exact_after_compact(spark, idx_path):
+    """Open deltas may inflate df (documented); compaction must restore the
+    exact unique-pair df for every trigram of the replaced doc."""
+    _build_base_and_delta(spark, idx_path)
+    _, stats_open = read_trigram_index(spark, idx_path)
+    # 'Bet' occurs in doc 2's old AND new content → df inflated to 2 while open
+    open_df = {r["trigram"]: r["df"] for r in stats_open.collect()}
+    assert open_df["Bet"] == 2
+    _, stats_c = compact_trigram_index(spark, idx_path)
+    compact_df = {r["trigram"]: r["df"] for r in stats_c.collect()}
+    assert compact_df["Bet"] == 1
