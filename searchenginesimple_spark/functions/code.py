@@ -17,7 +17,7 @@ strings, and anchored with ``(?m)^\\s*`` so commented-out definitions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 IDENT = "[A-Za-z_][A-Za-z0-9_]*"
 
@@ -79,3 +79,55 @@ def extract_imports(df: DataFrame, content_col: str = "content") -> DataFrame:
     engine aggregates for reverse-dependency ranking ("most-imported
     module"), impact analysis, and vendored-code detection."""
     return _extract_by_patterns(df, IMPORT_PATTERNS, content_col, "module")
+
+
+def symbol_references(
+    docs: DataFrame,
+    content_col: str = "content",
+    max_uses_per_symbol: int | None = 1000,
+) -> DataFrame:
+    """Find-usages: → (symbol, def_doc_id, use_doc_id, n_uses) — for every
+    defined symbol, the OTHER documents that mention it, ranked by mention
+    count.  The canonical code-search cross-reference (zoekt/livegrep's
+    symbol search joined with its full-text side).
+
+    Shape at scale: definitions are extracted map-side (extract_symbols)
+    and are sparse (a handful per file); usages come from the map-side
+    run-length tf kernel (operators/bm25.py::tf_mapside) — so the ONE
+    shuffle is the defs⋈tf join on the symbol/term key.  Tokens are
+    lowercased by the engine's token spec, so usage matching is
+    case-insensitive (documented decision: ``Handler`` and ``handler``
+    cross-reference — the token index's semantics, same as search).
+
+    ``max_uses_per_symbol`` caps fan-out IN-OPERATOR (top-k use docs by
+    (n_uses desc, use_doc_id asc) per (symbol, def_doc)): a symbol named
+    like a stop-word (``get``, ``main``) would otherwise fan every defining
+    doc out to the whole corpus — the related_terms lesson
+    (operators/cooccur.py), enforced where the skew is created, not
+    deferred to callers.
+    """
+    from searchenginesimple_spark.operators.bm25 import tf_mapside
+
+    defs = (
+        extract_symbols(docs, content_col)
+        .select(F.col("doc_id").alias("def_doc_id"), F.lower("symbol").alias("term"))
+        .distinct()
+    )
+    tf = tf_mapside(docs, text_col=content_col)
+    uses = defs.join(tf, "term").filter(F.col("doc_id") != F.col("def_doc_id"))
+    out = uses.select(
+        F.col("term").alias("symbol"),
+        "def_doc_id",
+        F.col("doc_id").alias("use_doc_id"),
+        F.col("tf").cast("long").alias("n_uses"),
+    )
+    if max_uses_per_symbol is not None:
+        w = Window.partitionBy("symbol", "def_doc_id").orderBy(
+            F.desc("n_uses"), F.asc("use_doc_id")
+        )
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_uses_per_symbol)
+            .drop("__rk")
+        )
+    return out
