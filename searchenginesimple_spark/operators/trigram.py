@@ -61,17 +61,23 @@ def content_trigrams(col: Column) -> Column:
 
 
 def build_trigram_index(
-    docs: DataFrame, content_col: str = "content"
+    docs: DataFrame, content_col: str = "content", case_insensitive: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """→ (postings(trigram, doc_id) — unique pairs, stats(trigram, df)).
 
     ``array_distinct`` runs inside the per-doc projection, so the explode
     already yields unique (trigram, doc_id) pairs with NO distinct shuffle;
     the only shuffle is the df hash-agg (map-side partial count first).
+
+    ``case_insensitive`` indexes trigrams of ``lower(content)`` — the
+    case-folded index code search defaults to (zoekt folds case and keeps
+    case bits; this build keeps two indexes instead — simpler, and the
+    fold shrinks the trigram universe so the ci index is never larger).
+    Search with the SAME flag: a ci query against a cs index (or vice
+    versa) silently misses — the flag pairs are pinned in tests.
     """
-    postings = docs.select(
-        "doc_id", F.explode(content_trigrams(F.col(content_col))).alias("trigram")
-    )
+    c = F.lower(F.col(content_col)) if case_insensitive else F.col(content_col)
+    postings = docs.select("doc_id", F.explode(content_trigrams(c)).alias("trigram"))
     stats = postings.groupBy("trigram").agg(F.count("*").cast("long").alias("df"))
     return postings, stats
 
@@ -80,6 +86,7 @@ def write_trigram_index(
     postings: DataFrame,
     path: str,
     partitions: int | None = None,
+    resume: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Materialize the index CLUSTERED BY trigram and return the readers.
 
@@ -110,9 +117,30 @@ def write_trigram_index(
 
     The df stats aggregate from the materialized clustered postings (one
     re-read of compact parquet) and land beside them.
+
+    ``resume=True`` makes the write a checkpointed pipeline (the build-plan
+    discipline, plans/build.py): each phase is skipped iff its output
+    carries the ``_SUCCESS`` job-commit marker — a crashed run re-executes
+    exactly the phases that did not commit, and a completed index is a
+    no-op re-run (exploding the corpus again is the expensive part this
+    saves).  Off by default: an in-memory one-shot build (tests, bench)
+    should not trust whatever a previous experiment left at ``path``.
     """
     spark = postings.sparkSession
-    postings.write.mode("overwrite").parquet(f"{path}/postings_by_doc")
+
+    def _committed(sub: str) -> bool:
+        if not resume:
+            return False
+        fs, p, _ = _fs(spark, f"{path}/{sub}/_SUCCESS")
+        return bool(fs.exists(p))
+
+    if _committed("postings") and _committed("stats"):
+        return (
+            spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(f"{path}/stats"),
+        )
+    if not _committed("postings_by_doc"):
+        postings.write.mode("overwrite").parquet(f"{path}/postings_by_doc")
     staged = spark.read.parquet(f"{path}/postings_by_doc")
     p = staged.repartitionByRange(
         *([partitions] if partitions else []), F.col("trigram")
@@ -253,10 +281,15 @@ def trigram_search(
     max_df: int | None = None,
     content_col: str = "content",
     pushdown_max_needles: int = 1000,
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """Exact substring search: (needle_id, needle, doc_id, pos) rows for
     every document whose content contains the needle (pos = 1-based first
     occurrence, ``instr`` semantics).
+
+    ``case_insensitive`` requires an index built with the same flag
+    (build_trigram_index); needle trigrams and the verify both fold case,
+    so output ≡ brute-force scan over ``lower(content)``/``lower(needle)``.
 
     ``needles``: (needle_id:long, needle:string).  Needles with at least one
     usable (not hot-dropped) trigram take the index path; the rest — under
@@ -273,8 +306,9 @@ def trigram_search(
     filter is skipped (the IN-list would bloat the plan) and the join
     alone drives the scan.
     """
+    needle_c = F.lower(F.col("needle")) if case_insensitive else F.col("needle")
     ntri = needles.select(
-        "needle_id", F.explode(content_trigrams(F.col("needle"))).alias("trigram")
+        "needle_id", F.explode(content_trigrams(needle_c)).alias("trigram")
     )
     try:
         n_needles = needles.count()
@@ -316,7 +350,11 @@ def trigram_search(
     scan_needles = needles.join(F.broadcast(n_req), "needle_id", "left_anti")
     scanned = docs.join(F.broadcast(scan_needles))
 
-    pos = F.instr(F.col(content_col), F.col("needle")).cast("long")
+    if case_insensitive:
+        pos = F.instr(F.lower(F.col(content_col)), F.lower(F.col("needle")))
+    else:
+        pos = F.instr(F.col(content_col), F.col("needle"))
+    pos = pos.cast("long")
     out_cols = ["needle_id", "needle", "doc_id"]
     return (
         indexed.select(*out_cols, pos.alias("pos"))
@@ -326,12 +364,19 @@ def trigram_search(
 
 
 def trigram_search_bruteforce(
-    docs: DataFrame, needles: DataFrame, content_col: str = "content"
+    docs: DataFrame,
+    needles: DataFrame,
+    content_col: str = "content",
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """The scan twin (what the oracle runs): broadcast every needle over a
     map-only pass.  Used by tests to pin index-path ≡ scan for arbitrary
     needles and knob settings."""
-    pos = F.instr(F.col(content_col), F.col("needle")).cast("long")
+    if case_insensitive:
+        pos = F.instr(F.lower(F.col(content_col)), F.lower(F.col("needle")))
+    else:
+        pos = F.instr(F.col(content_col), F.col("needle"))
+    pos = pos.cast("long")
     return (
         docs.join(F.broadcast(needles))
         .select("needle_id", "needle", "doc_id", pos.alias("pos"))

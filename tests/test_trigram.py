@@ -171,3 +171,72 @@ def test_postings_unique_and_df_consistent(spark, corpus, index):
         .count()
     )
     assert bad == 0
+
+
+CI_DOCS = [
+    (1, "def HttpServer(): RETURN_CODE = OK"),
+    (2, "def httpserver(): return_code = ok"),
+    (3, "nothing relevant here"),
+]
+CI_NEEDLES = [(0, "HTTPServer"), (1, "return_code"), (2, "RETURN_CODE = ok")]
+
+
+def test_case_insensitive_search_equals_ci_scan(spark):
+    docs = spark.createDataFrame(CI_DOCS, "doc_id long, content string")
+    needles = spark.createDataFrame(CI_NEEDLES, "needle_id long, needle string")
+    postings, stats = build_trigram_index(docs, case_insensitive=True)
+    got = sorted(
+        map(tuple, trigram_search(
+            docs, postings, stats, needles, case_insensitive=True
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, trigram_search_bruteforce(
+            docs, needles, case_insensitive=True
+        ).collect())
+    )
+    assert got == want
+    hit_docs = {(r[0], r[2]) for r in got}
+    # every needle matches BOTH case variants through the folded index
+    assert {(0, 1), (0, 2), (1, 1), (1, 2), (2, 1), (2, 2)} <= hit_docs
+
+
+def test_case_sensitive_stays_sensitive(spark):
+    docs = spark.createDataFrame(CI_DOCS, "doc_id long, content string")
+    needles = spark.createDataFrame([(0, "RETURN_CODE")], "needle_id long, needle string")
+    postings, stats = build_trigram_index(docs)
+    got = trigram_search(docs, postings, stats, needles).collect()
+    assert {r["doc_id"] for r in got} == {1}
+
+
+def test_write_resume_skips_committed_phases(spark, tmp_path):
+    import os
+
+    docs = spark.createDataFrame(CI_DOCS, "doc_id long, content string")
+    raw, _ = build_trigram_index(docs)
+    path = str(tmp_path / "idx")
+    from searchenginesimple_spark.operators.trigram import write_trigram_index
+
+    p1, s1 = write_trigram_index(raw, path, resume=True)
+    before = sorted(map(tuple, p1.collect()))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, "postings", f))
+        for f in os.listdir(f"{path}/postings")
+    }
+    # a resumed re-run over a COMMITTED index must not rewrite anything
+    p2, s2 = write_trigram_index(raw, path, resume=True)
+    assert sorted(map(tuple, p2.collect())) == before
+    for f, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, "postings", f)) == t
+    # a crashed final phase (no _SUCCESS) re-runs it without re-staging
+    os.remove(f"{path}/postings/_SUCCESS")
+    stage_mtime = max(
+        os.path.getmtime(os.path.join(path, "postings_by_doc", f))
+        for f in os.listdir(f"{path}/postings_by_doc")
+    )
+    p3, _ = write_trigram_index(raw, path, resume=True)
+    assert sorted(map(tuple, p3.collect())) == before
+    assert max(
+        os.path.getmtime(os.path.join(path, "postings_by_doc", f))
+        for f in os.listdir(f"{path}/postings_by_doc")
+    ) == stage_mtime
