@@ -162,7 +162,11 @@ def _fs(spark, path: str):
 
 
 def append_trigram_delta(
-    delta_docs: DataFrame, path: str, name: str, content_col: str = "content"
+    delta_docs: DataFrame,
+    path: str,
+    name: str,
+    content_col: str = "content",
+    case_insensitive: bool = False,
 ) -> None:
     """LSM-style incremental maintenance: index ONLY the new/changed docs
     into ``{path}/deltas/{name}`` and leave the base untouched.
@@ -181,7 +185,7 @@ def append_trigram_delta(
     replaced docs (they order rarest-first pruning only — never results)
     and stale rows widen the scan until ``compact_trigram_index`` runs.
     """
-    postings, _ = build_trigram_index(delta_docs, content_col)
+    postings, _ = build_trigram_index(delta_docs, content_col, case_insensitive)
     d = f"{path}/deltas/{name}"
     # deltas are small by nature (a day's changed files): one sorted write,
     # no two-phase staging — range-sampling a small delta is cheap.
