@@ -176,34 +176,55 @@ def clone_pairs(
       report score) computed over the post-cap fingerprint sets of both
       documents, rounded to 6 decimals for cross-engine float stability.
     """
-    # df-filter as a window over fp: the hash(fp) partitioning this
-    # introduces is exactly the partitioning the self-join below needs, so
-    # Catalyst reuses it instead of shuffling twice.
+    # NO self-join: max_df bounds every fingerprint's bucket, so pairs are
+    # generated IN-ROW from a collect_list per fp (≤ max_df(max_df−1)/2
+    # combinations per bucket) — the LSH-banding pattern.  A fp-keyed
+    # self-join here is strictly worse: Spark plans each join input as its
+    # own subtree (ReuseExchange does not collapse them — measured: the
+    # distinct+window base executed FOUR times in the naive
+    # join-plus-sizes-joins shape, 9 exchanges vs 5).  The whole operator
+    # is one linear pipeline — each stage computed exactly once
+    # (plan-asserted in tests/test_winnow.py).
     distinct_fps = fps.select("doc_id", "fp").distinct()
-    kept = (
+    sized = (
         distinct_fps.withColumn("df", F.count("*").over(Window.partitionBy("fp")))
         .filter(F.col("df") <= F.lit(max_df))
         .drop("df")
+        # post-cap set size (the similarity denominator; oracle in lockstep)
+        .withColumn("n_fp", F.count("*").over(Window.partitionBy("doc_id")))
     )
-    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-
-    a = kept.select(F.col("doc_id").alias("a_id"), "fp")
-    b = kept.select(F.col("doc_id").alias("b_id"), "fp")
+    buckets = (
+        sized.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_fp"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    # all (i < j) combinations; sort_array ordered by doc_id, so a_id < b_id
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda d, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda e: F.struct(
+                    d["doc_id"].alias("a_id"),
+                    e["doc_id"].alias("b_id"),
+                    d["n_fp"].alias("na"),
+                    e["n_fp"].alias("nb"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "fp")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.a_id", "p.b_id", "p.na", "p.nb")
+        # na/nb are functionally determined by a_id/b_id — grouping on them
+        # adds no groups, and keeps the plan a single aggregation
+        .groupBy("a_id", "b_id", "na", "nb")
         .agg(F.count("*").alias("shared"))
     )
     sim = F.round(
         F.col("shared").cast("double") / F.least(F.col("na"), F.col("nb")), 6
     )
-    return (
-        pairs.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_fp").alias("na")), "a_id")
-        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_fp").alias("nb")), "b_id")
-        .select("a_id", "b_id", "shared", sim.alias("similarity"))
-        .filter(
-            (F.col("shared") >= F.lit(min_shared))
-            & (F.col("similarity") >= F.lit(min_similarity))
-        )
+    return pairs.select("a_id", "b_id", "shared", sim.alias("similarity")).filter(
+        (F.col("shared") >= F.lit(min_shared))
+        & (F.col("similarity") >= F.lit(min_similarity))
     )

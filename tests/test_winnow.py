@@ -179,3 +179,17 @@ def test_fingerprint_plan_is_map_only(spark):
     plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_clone_pairs_plan_single_pipeline(spark):
+    """Scale pin: no join anywhere (pairs come from in-row combinations of
+    max_df-bounded buckets) and at most 5 exchanges, each computed once —
+    the naive self-join shape executed the distinct+window base 4 times."""
+    import re
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g h")], "doc_id long, content string"
+    )
+    plan = clone_pairs(winnow_fingerprints(df))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 5, plan
