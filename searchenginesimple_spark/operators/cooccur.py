@@ -9,12 +9,15 @@ index, and a standard corpus-analysis op for training-data pipelines.
 
 computed over document-level co-occurrence (n_ab = docs containing both).
 
-Physical shape at scale: the pair generation is a self-join of the DISTINCT
-(doc_id, term) table on doc_id — co-partitioned on the join key, so no extra
-shuffle beyond the pair aggregation itself, whose key space is bounded by
-(distinct terms per doc)² per doc.  The ``min_pairs`` support prune drops the
-long tail BEFORE the PMI join, and per-term top-k goes through the same
-map-side WindowGroupLimit as every other rank-filter in this engine.
+Physical shape at scale: pair generation is IN-ROW — the capped per-doc
+term lists are collected (bounded by ``max_terms_per_doc``) and all i<j
+combinations expand via array transforms, so there is no self-join and the
+collect reuses the cap window's doc_id partitioning (zero added exchange;
+a doc_id self-join would plan the tf+window base twice — ReuseExchange
+does not collapse self-join inputs, measured in operators/winnow.py).
+The ``min_pairs`` support prune drops the long tail BEFORE the PMI join,
+and per-term top-k goes through the same map-side WindowGroupLimit as
+every other rank-filter in this engine.
 
 The quadratic bound is enforced IN-OPERATOR (r2 judge finding: deferring it
 "upstream" left one 50k-distinct-term boilerplate doc free to emit 2.5G
@@ -55,11 +58,29 @@ def related_terms(
             .filter(F.col("trk") <= max_terms_per_doc)
             .select("doc_id", "term")
         )
-    a = t.withColumnRenamed("term", "ta")
-    b = t.withColumnRenamed("term", "tb")
+    # in-row pair generation from the max_terms_per_doc-bounded buckets
+    # (the clone_pairs pattern, operators/winnow.py): a doc_id self-join
+    # here plans the tf+cap-window base TWICE (ReuseExchange does not
+    # collapse self-join inputs — measured on clone_pairs), and the
+    # groupBy(doc_id) below reuses the cap window's partitioning, so the
+    # whole pair stage adds no exchange at all.  sort_array gives ta < tb.
+    bucket = (
+        t.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("term")).alias("ts"))
+        .filter(F.size("ts") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda ta, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
+                lambda tb: F.struct(ta.alias("ta"), tb.alias("tb")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("ta") < F.col("tb"))
+        bucket.select(F.explode(pair_arr).alias("p"))
+        .select("p.ta", "p.tb")
         .groupBy("ta", "tb")
         .agg(F.count("*").cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= min_pairs)
