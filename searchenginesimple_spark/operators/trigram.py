@@ -135,6 +135,8 @@ def write_trigram_index(
         return bool(fs.exists(p))
 
     if _committed("postings") and _committed("stats"):
+        if not _committed("metrics"):  # index from a crashed metrics phase
+            write_trigram_metrics(spark, path)
         return (
             spark.read.parquet(f"{path}/postings"),
             spark.read.parquet(f"{path}/stats"),
@@ -149,7 +151,34 @@ def write_trigram_index(
     p_read = spark.read.parquet(f"{path}/postings")
     stats = p_read.groupBy("trigram").agg(F.count("*").cast("long").alias("df"))
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+    write_trigram_metrics(spark, path)
     return p_read, spark.read.parquet(f"{path}/stats")
+
+
+def write_trigram_metrics(spark, path: str) -> DataFrame:
+    """Per-partition build lineage for the clustered index →
+    ``{path}/metrics``: one row per output file with posting/doc/trigram
+    counts and the file's trigram range.  The same per-partition
+    docs/postings discipline the term-index build persists
+    (plans/build.py metrics table, north-rule requirement) — and the
+    min/max columns turn the range-clustering claim into inspectable
+    data: a correctly clustered index has (near-)disjoint per-file
+    trigram ranges, which is exactly what lets row-group pruning confine
+    a needle's scan (tests assert this instead of trusting timings).
+    """
+    m = (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").cast("long").alias("n_postings"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.countDistinct("trigram").cast("long").alias("n_trigrams"),
+            F.min("trigram").alias("min_trigram"),
+            F.max("trigram").alias("max_trigram"),
+        )
+    )
+    m.write.mode("overwrite").parquet(f"{path}/metrics")
+    return spark.read.parquet(f"{path}/metrics")
 
 
 def _fs(spark, path: str):
@@ -269,6 +298,7 @@ def compact_trigram_index(
     p_read.groupBy("trigram").agg(
         F.count("*").cast("long").alias("df")
     ).write.mode("overwrite").parquet(f"{path}/stats")
+    write_trigram_metrics(spark, path)
 
     fs2, staged_path, _ = _fs(spark, f"{path}/compact_staged")
     fs2.delete(staged_path, True)

@@ -156,3 +156,21 @@ def test_replaced_doc_df_exact_after_compact(spark, idx_path):
     _, stats_c = compact_trigram_index(spark, idx_path)
     compact_df = {r["trigram"]: r["df"] for r in stats_c.collect()}
     assert compact_df["Bet"] == 1
+
+
+def test_metrics_pin_range_clustering(spark, idx_path):
+    """The metrics table's per-file trigram ranges must be pairwise
+    DISJOINT after a clustered write — the inspectable form of the
+    range-clustering claim (row-group pruning confines a needle's scan)."""
+    rows = [(i, f"document number {i} with text body_{i} trailing") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    raw, _ = build_trigram_index(docs)
+    write_trigram_index(raw, idx_path, partitions=4)
+    m = spark.read.parquet(f"{idx_path}/metrics").collect()
+    assert len(m) >= 2
+    assert sum(r["n_postings"] for r in m) == spark.read.parquet(
+        f"{idx_path}/postings"
+    ).count()
+    ranges = sorted((r["min_trigram"], r["max_trigram"]) for r in m)
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1!r} > {lo2!r}"
