@@ -228,3 +228,66 @@ def clone_pairs(
         (F.col("shared") >= F.lit(min_shared))
         & (F.col("similarity") >= F.lit(min_similarity))
     )
+
+
+def clone_spans(
+    fps: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    max_gap: int = 12,
+) -> DataFrame:
+    """The MOSS report: WHERE each clone pair matches, not just that it
+    does → (a_id, b_id, side, start_tok, end_tok, n_grams) — maximal
+    matched passages per document side, in token coordinates.
+
+    ``fps`` is winnow_fingerprints output (same k); ``pairs`` is
+    clone_pairs output (or any (a_id, b_id) subset — run span
+    reconstruction only for the pairs that survived scoring, which is what
+    bounds this operator: fps are joined against the FILTERED pair list,
+    never against themselves).  Positions of fingerprints shared by the
+    pair are gap-merged per side: a new span starts where the next matched
+    gram is more than ``max_gap`` positions away (the winnowing guarantee
+    places a fingerprint at least every w positions inside a true shared
+    run, so max_gap ≳ w+k keeps one real passage in one span);
+    ``end_tok`` = last matched gram + k − 1, inclusive.
+    """
+    shared_a = pairs.select("a_id", "b_id").join(
+        fps.select(F.col("doc_id").alias("a_id"), F.col("pos").alias("a_pos"), "fp"),
+        "a_id",
+    )
+    matched = (
+        shared_a.join(
+            fps.select(F.col("doc_id").alias("b_id"), F.col("pos").alias("b_pos"), "fp"),
+            ["b_id", "fp"],
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("a").alias("side"), F.col("a_pos").alias("pos")),
+                    F.struct(F.lit("b").alias("side"), F.col("b_pos").alias("pos")),
+                )
+            ).alias("m"),
+        )
+        .select("a_id", "b_id", "m.side", "m.pos")
+        .distinct()
+    )
+    # gap-merge (the sessionize shape): span breaks where the position gap
+    # exceeds max_gap, span_id = running count of breaks
+    w_ord = Window.partitionBy("a_id", "b_id", "side").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w_ord)
+    spans = (
+        matched.withColumn(
+            "brk", F.when(gap > F.lit(max_gap), 1).otherwise(0)
+        )
+        .withColumn("span_id", F.sum("brk").over(w_ord))
+        .groupBy("a_id", "b_id", "side", "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_tok"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .drop("span_id")
+    )
+    return spans

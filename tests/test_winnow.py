@@ -193,3 +193,49 @@ def test_clone_pairs_plan_single_pipeline(spark):
     plan = clone_pairs(winnow_fingerprints(df))._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 5, plan
+
+
+def test_clone_spans_recover_planted_passage(spark):
+    """A shared 30-token passage planted at different offsets in two docs
+    must come back as ONE span per side, covering (at winnow granularity:
+    boundaries can shave up to w+k−2 tokens) the planted range."""
+    from searchenginesimple_spark.operators.winnow import clone_spans
+
+    k, w = 5, 4
+    run = " ".join(f"shared{i}" for i in range(30))
+    pre_a = " ".join(f"apre{i}" for i in range(10))   # run at tokens 10..39
+    post_a = " ".join(f"apost{i}" for i in range(15))
+    pre_b = " ".join(f"bpre{i}" for i in range(20))   # run at tokens 20..49
+    docs = [(1, f"{pre_a} {run} {post_a}"), (2, f"{pre_b} {run}")]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    fps = winnow_fingerprints(df, k=k, w=w)
+    pairs = clone_pairs(fps, min_shared=2)
+    spans = clone_spans(fps, pairs, k=k).collect()
+    by_side = {}
+    for r in spans:
+        assert (r.a_id, r.b_id) == (1, 2)
+        by_side.setdefault(r.side, []).append((r.start_tok, r.end_tok, r.n_grams))
+    assert len(by_side["a"]) == 1 and len(by_side["b"]) == 1
+    sa, ea, _ = by_side["a"][0]
+    sb, eb, _ = by_side["b"][0]
+    slack = w + k - 2
+    assert 10 <= sa <= 10 + slack and 39 - slack <= ea <= 39
+    assert 20 <= sb <= 20 + slack and 49 - slack <= eb <= 49
+
+
+def test_clone_spans_split_on_gap(spark):
+    """Two separate shared passages in one pair → two spans per side."""
+    from searchenginesimple_spark.operators.winnow import clone_spans
+
+    k, w = 4, 3
+    run1 = " ".join(f"one{i}" for i in range(15))
+    run2 = " ".join(f"two{i}" for i in range(15))
+    mid_a = " ".join(f"amid{i}" for i in range(40))
+    mid_b = " ".join(f"bmid{i}" for i in range(25))
+    docs = [(1, f"{run1} {mid_a} {run2}"), (2, f"{run1} {mid_b} {run2}")]
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    fps = winnow_fingerprints(df, k=k, w=w)
+    pairs = clone_pairs(fps, min_shared=2)
+    spans = clone_spans(fps, pairs, k=k, max_gap=10).collect()
+    for side in ("a", "b"):
+        assert sum(r.side == side for r in spans) == 2, spans
