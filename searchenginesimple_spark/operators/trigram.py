@@ -397,6 +397,55 @@ def trigram_search(
     )
 
 
+def trigram_search_topk(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    needles: DataFrame,
+    k: int = 10,
+    content_col: str = "content",
+    **search_kwargs,
+) -> DataFrame:
+    """Ranked substring search → (needle_id, needle, rank, doc_id,
+    n_occurrences): the results-page form of trigram_search — top-k
+    matching documents per needle, ranked by occurrence count (desc, ties
+    doc_id asc).  zoekt ranks its candidates the same way before its
+    symbol/file boosts; occurrence count is the boost-free core and is
+    exactly SQL-expressible, so the whole ranking stays oracle-checkable:
+
+        n_occurrences = (len(content) − len(replace(content, needle))) / len(needle)
+
+    Scale shape: inherits trigram_search's pruning (only verified matches
+    reach the scoring projection), adds one per-needle top-k window whose
+    input is already candidate-sized — the same map-side WindowGroupLimit
+    as every rank-filter in this engine.
+    """
+    hits = trigram_search(
+        docs, postings, stats, needles, content_col=content_col, **search_kwargs
+    )
+    matched = hits.select("needle_id", "needle", "doc_id").join(
+        docs.select("doc_id", content_col), "doc_id"
+    )
+    c, n = F.col(content_col), F.col("needle")
+    if search_kwargs.get("case_insensitive"):
+        c, n = F.lower(c), F.lower(n)
+    occ = (
+        (F.length(c) - F.length(F.replace(c, n))) / F.length(n)
+    ).cast("long")
+    w = Window.partitionBy("needle_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        matched.withColumn("n_occurrences", occ)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "needle_id", "needle", F.col("rank").cast("int").alias("rank"),
+            "doc_id", "n_occurrences",
+        )
+    )
+
+
 def trigram_search_bruteforce(
     docs: DataFrame,
     needles: DataFrame,

@@ -240,3 +240,58 @@ def test_write_resume_skips_committed_phases(spark, tmp_path):
         os.path.getmtime(os.path.join(path, "postings_by_doc", f))
         for f in os.listdir(f"{path}/postings_by_doc")
     ) == stage_mtime
+
+
+def test_topk_ranked_by_occurrences(spark):
+    from searchenginesimple_spark.operators.trigram import trigram_search_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "needle one"),
+            (2, "needle needle needle three"),
+            (3, "needle needle two"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, content string",
+    )
+    needles = spark.createDataFrame([(0, "needle")], "needle_id long, needle string")
+    postings, stats = build_trigram_index(docs)
+    got = [
+        (r.rank, r.doc_id, r.n_occurrences)
+        for r in trigram_search_topk(docs, postings, stats, needles, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, 2, 3), (2, 3, 2)]
+
+
+def test_topk_matches_python_count(spark):
+    """Occurrence arithmetic ≡ str.count on the synthetic corpus, and the
+    candidate set inherits the verify guarantee (every counted doc is a
+    true match)."""
+    from searchenginesimple_spark.operators.trigram import trigram_search_topk
+    from searchenginesimple_spark.sources.corpus import docs_df, with_doc_ids
+
+    docs = with_doc_ids(docs_df(spark, 120)).select("doc_id", "content")
+    needles = spark.createDataFrame(
+        [(0, "return"), (1, "ident_00"), (2, "zz_absent")],
+        "needle_id long, needle string",
+    )
+    postings, stats = build_trigram_index(docs)
+    got = {
+        (r.needle_id, r.doc_id): r.n_occurrences
+        for r in trigram_search_topk(docs, postings, stats, needles, k=5).collect()
+    }
+    content = {r["doc_id"]: r["content"] for r in docs.collect()}
+    by_needle = {}
+    for (nid, did), n in got.items():
+        needle = ["return", "ident_00", "zz_absent"][nid]
+        assert content[did].count(needle) == n
+        by_needle.setdefault(nid, []).append(n)
+    assert 2 not in by_needle  # absent needle → no rows
+    for nid, counts in by_needle.items():
+        top = sorted(
+            (content[d].count(["return", "ident_00"][nid]) for d in content),
+            reverse=True,
+        )[: len(counts)]
+        assert sorted(counts, reverse=True) == top  # true top-k by count
