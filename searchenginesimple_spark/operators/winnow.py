@@ -28,11 +28,25 @@ fingerprints, selection, and pair scores bit-for-bit.
 Selection rule (made arithmetic so Spark ≡ ANSI SQL without min_by/struct
 comparators): within each window of ``w`` consecutive k-grams pick the
 minimum of ``key = (h mod 2^36)·2^25 + (2^25−1−pos)`` — i.e. minimum
-reduced hash, ties broken toward the RIGHTMOST position (the robust-
-winnowing tie rule, SIGMOD'03 §5; larger pos ⇒ smaller key).  The reduced
-41→36-bit hash only orders the selection; the emitted fingerprint is the
-full 62-bit hash.  Documents are capped at 2^25 k-grams (≈ 33.5M tokens
-per file) and the cap is ENFORCED with raise_error, not assumed.
+reduced hash, ties broken toward the RIGHTMOST position (larger pos ⇒
+smaller key).  The reduced 36-bit hash only orders the selection; the
+emitted fingerprint is the full 62-bit hash.  Documents are capped at
+2^25 k-grams (≈ 33.5M tokens per file) and the cap is ENFORCED with
+raise_error, not assumed.
+
+Documented deviation from SIGMOD'03 §5's FULL robust rule: the paper
+prefers re-selecting the PREVIOUS window's position on ties and falls
+back to rightmost only otherwise.  That preference is inherently
+sequential state (each window's choice depends on the last), which no
+per-row expression or SQL window can express — so this engine uses the
+stateless rightmost rule throughout.  Consequences, by construction:
+every guarantee used here survives (≥1 selection per window, the (k,w)
+locality/match guarantee, engine ≡ oracle); what changes is density on
+degenerate low-entropy documents — a run of IDENTICAL grams (e.g. a
+generated file repeating one line) selects every position (rightmost of
+each window) instead of one per w.  That inflates fingerprint ROWS for
+such docs, not clone results: clone_pairs dedups (doc_id, fp) first, and
+a repeated gram is ONE fp value however many positions carry it.
 """
 
 from __future__ import annotations
