@@ -16,14 +16,18 @@ Spark shape (the 100×-scale story):
   (pure JVM, codegen'd) — the map-only stage a 10¹²-file corpus needs.
   No explode-then-window: a per-doc ``Window.partitionBy(doc_id)`` would
   shuffle every k-gram of every document once before selecting.
-* ``clone_pairs`` is **one shuffle on fingerprint value** whose per-key
-  fan-out is capped by ``max_df`` (boilerplate fingerprints dropped the
-  way the BM25 build drops stop-words — operators/bm25.py) so the
-  self-join is ≤ max_df² rows per key, never quadratic in corpus size.
+* ``clone_pairs`` is **one linear pipeline with no join**: ``max_df``
+  (boilerplate fingerprints dropped the way the BM25 build drops
+  stop-words — operators/bm25.py) bounds every fingerprint's bucket, so
+  pairs are generated in-row from a collect_list per fingerprint —
+  ≤ max_df(max_df−1)/2 combinations per bucket, never quadratic in
+  corpus size.
 
-Every hash is the engine's SQL-reproducible polyhash62
-(functions/text.py:polyhash62_expr), so the DuckDB oracle reproduces
-fingerprints, selection, and pair scores bit-for-bit.
+With ``hash_family="poly"`` every hash is the engine's SQL-reproducible
+polyhash62 (functions/text.py:polyhash62_expr), so the DuckDB oracle
+reproduces fingerprints, selection, and pair scores bit-for-bit; the
+default ``"xx"`` family swaps in native xxhash64 for the production path
+(same selection rule — see the hash_family docstring below).
 
 Selection rule (made arithmetic so Spark ≡ ANSI SQL without min_by/struct
 comparators): within each window of ``w`` consecutive k-grams pick the
@@ -183,9 +187,9 @@ def clone_pairs(
     share winnowed fingerprints.
 
     * ``max_df`` drops fingerprints present in more than max_df documents
-      BEFORE the self-join (boilerplate guard = the scale knob: per-key
-      join fan-out ≤ max_df², so the shuffle is linear in fingerprint
-      volume, never quadratic in corpus size).
+      BEFORE pair generation (boilerplate guard = the scale knob: each
+      bucket emits ≤ max_df(max_df−1)/2 pairs, so total volume is linear
+      in fingerprint count, never quadratic in corpus size).
     * ``similarity`` = shared / min(|fp_a|, |fp_b|) (containment, MOSS
       report score) computed over the post-cap fingerprint sets of both
       documents, rounded to 6 decimals for cross-engine float stability.
