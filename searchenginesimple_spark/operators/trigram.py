@@ -233,26 +233,35 @@ def read_trigram_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     The count==n intersection in trigram_search counts rows per
     (needle_id, doc_id), so a (trigram, doc_id) pair indexed in BOTH base
     and a delta (replaced doc, unchanged trigram) would double-count and
-    could produce nhit > n_req; the union is therefore distinct-ed when
-    deltas are open — the unique-pair invariant the single-shard build
-    gets for free from array_distinct.  Stats are the per-shard sums
-    (approximate while deltas are open: stale base rows inflate df;
-    ordering/pruning-only, never results — see append_trigram_delta).
+    could produce nhit ≠ n_req.  The unique-pair invariant is restored by
+    the SUPERSEDE rule, at base-scan cost ZERO extra shuffle: base rows
+    for doc_ids present in any delta are dropped by a broadcast anti-join
+    (the delta doc-id set is small by nature — recently changed files;
+    when it stops being small, that is the compaction signal), and only
+    the small delta union is distinct-ed (a doc replaced twice sits in
+    two deltas).  A whole-index ``.distinct()`` here would shuffle every
+    posting of a 10¹²-file index on every read.  Stats are the per-shard
+    sums (approximate while deltas are open: superseded base rows inflate
+    df; ordering/pruning-only, never results — see append_trigram_delta).
     """
-    fs, base, _ = _fs(spark, f"{path}/deltas")
-    shards = [f"{path}/postings"]
+    fs, dbase, _ = _fs(spark, f"{path}/deltas")
+    base = spark.read.parquet(f"{path}/postings")
     stat_shards = [f"{path}/stats"]
-    if fs.exists(base):
-        for st in fs.listStatus(base):
+    delta_shards = []
+    if fs.exists(dbase):
+        for st in fs.listStatus(dbase):
             if st.isDirectory():
                 d = st.getPath().toString()
-                shards.append(f"{d}/postings")
+                delta_shards.append(f"{d}/postings")
                 stat_shards.append(f"{d}/stats")
-    postings = spark.read.parquet(*shards)
-    if len(shards) > 1:
-        # a doc present in base AND a delta would double-count in the
-        # count==n intersection; distinct restores the unique-pair invariant
-        postings = postings.distinct()
+    if delta_shards:
+        delta = spark.read.parquet(*delta_shards).distinct()
+        delta_ids = delta.select("doc_id").distinct()
+        postings = base.join(
+            F.broadcast(delta_ids), "doc_id", "left_anti"
+        ).unionByName(delta)
+    else:
+        postings = base
     stats = (
         spark.read.parquet(*stat_shards)
         .groupBy("trigram")

@@ -174,3 +174,22 @@ def test_metrics_pin_range_clustering(spark, idx_path):
     ranges = sorted((r["min_trigram"], r["max_trigram"]) for r in m)
     for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: {hi1!r} > {lo2!r}"
+
+
+def test_read_supersedes_base_without_full_distinct(spark, idx_path):
+    """Open-delta reads drop superseded base rows via a broadcast anti-join
+    (never a whole-index distinct): a replaced doc's postings must equal
+    exactly its NEW content's trigram set, and the plan must show the
+    broadcast anti-join rather than an index-wide dedup aggregation."""
+    _build_base_and_delta(spark, idx_path)
+    postings, _ = read_trigram_index(spark, idx_path)
+    doc2 = {r["trigram"] for r in postings.filter("doc_id = 2").collect()}
+    fresh2, _ = build_trigram_index(_docs(spark, [CURRENT_DOCS[1]]))
+    want2 = {r["trigram"] for r in fresh2.collect()}
+    assert doc2 == want2  # no stale trigrams, no duplicates, nothing missing
+
+    plan = postings._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    # the only aggregation allowed is over the SMALL delta union: no
+    # HashAggregate keyed on the full (trigram, doc_id) base
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
