@@ -290,31 +290,15 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (training-data op), all four specs in one entry:
-    engine-spec total + distinct tokens, plus whitespace and BPE-ish-regex
-    counts (functions/text.py::token_counts).  One row per tokenizable doc."""
-    from searchenginesimple_spark.functions.text import token_counts
-
-    docs = load_documents(spark, sf_dir)
-    cnts = token_counts(F.col("content"))
-    spec = (
-        tokens_of(docs)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.countDistinct("term").cast("long").alias("n_distinct"),
-        )
-    )
-    other = docs.select("doc_id", *[c.alias(n) for n, c in cnts.items()])
-    return spec.join(other, "doc_id", "inner")
-
-
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc text-analysis feature battery, one entry covering four ops
+    """Per-doc text-analysis feature battery, one entry covering FIVE ops
     (all pure JVM column expressions, codegen'd in ONE projection):
     quality scoring, Gopher-style repetition signals, marker-token
-    language-ID, and the rolling-hash fingerprint (functions/text.py).
+    language-ID, the rolling-hash fingerprint, and token counting —
+    spec-tokenizer distinct count plus whitespace / BPE-ish-regex counts
+    (functions/text.py; the r3 slot merge folded the former token_count
+    entry in — ``n_tokens``, already emitted by the quality leg, IS the
+    spec-token total, and ``n_distinct`` is its array_distinct twin).
     ``n_tokens`` appears in both quality and repetition specs with the same
     value; it is emitted once."""
     from searchenginesimple_spark.functions.text import (
@@ -322,7 +306,9 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id,
         quality_features,
         repetition_features,
+        token_counts,
     )
+    from searchenginesimple_spark.functions.tokenize import tokenize_expr
 
     docs = load_documents(spark, sf_dir)
     c = F.col("content")
@@ -330,6 +316,8 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats.update({n: e for n, e in repetition_features(c).items() if n not in feats})
     feats["lang_pred"] = lang_id(c)
     feats["fp"] = fingerprint_expr(c)
+    feats["n_distinct"] = F.size(F.array_distinct(tokenize_expr(c))).cast("long")
+    feats.update(token_counts(c))
     return docs.select("doc_id", *[e.alias(n) for n, e in feats.items()])
 
 
@@ -397,6 +385,64 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_documents(spark, sf_dir)
     return ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the stage after pair mining that the
+    reference never reaches (its simhash dedup stops at pairwise "seen
+    before?" suppression, Page.hpp:121-161): exact n-gram-Jaccard pairs
+    (the same spec as the ngram_jaccard entry) become edges, alternating
+    large-star/small-star connected components (operators/graph.py;
+    Kiveris et al. SoCC'14) groups them, and each member reports
+    (doc_id, cluster_id = min doc_id of its component, cluster_size).
+    The label rule is algorithm-independent, so the DuckDB oracle is a
+    transitive-closure recursive CTE over the identical pair CTE."""
+    from searchenginesimple_spark.operators.dedup import ngram_jaccard_pairs
+    from searchenginesimple_spark.operators.graph import connected_components
+
+    docs = load_documents(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    cc = connected_components(pairs, "a_id", "b_id")
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+def _q_import_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-graph ranking (code-payload op): a deterministic
+    module-import graph synthesized from the corpus (provider of module m
+    = smallest doc_id whose first token is m — the "first definition wins"
+    resolution rule; each doc imports the modules named by its 5th-8th
+    tokens, the code_symbols wrapper's import slots), then fixed-point
+    integer PageRank (operators/graph.py::pagerank_int, 5 iterations).
+    Integer arithmetic makes every rank bit-exact in any engine — the
+    DuckDB oracle unrolls the same recurrence."""
+    from searchenginesimple_spark.operators.graph import pagerank_int
+
+    docs = load_documents(spark, sf_dir)
+
+    def sp(n: int):  # split_part: '' past the end, identical in DuckDB
+        return F.split_part(F.col("content"), F.lit(" "), F.lit(n))
+
+    prov = docs.groupBy(sp(1).alias("tok")).agg(F.min("doc_id").alias("dst"))
+    imp = docs.select(
+        "doc_id", F.explode(F.array(sp(5), sp(6), sp(7), sp(8))).alias("tok")
+    )
+    edges = (
+        imp.join(prov, "tok")
+        .filter(F.col("doc_id") != F.col("dst"))
+        .select(F.col("doc_id").alias("src"), "dst")
+        .distinct()
+    )
+    pr = pagerank_int(
+        edges, nodes=docs.select(F.col("doc_id").alias("node")), iterations=5
+    )
+    return pr.select(F.col("node").alias("doc_id"), "rank")
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,52 +674,57 @@ def _q_rss_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tokenize_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CJK-capable tokenizer mode (reference jieba cut, Page.hpp:288;
-    TOKEN_RE_CJK = identifier runs ∪ single CJK codepoints).  The document is
-    wrapped with CJK-with-linebreaks, the linebreak-join rewrite
-    (Page.hpp:283-287) is applied first — so the rewrite actually FEEDS the
-    tokenizer — then per-doc term frequencies are aggregated."""
+    """BOTH CJK tokenizer modes in one entry (mode column; r3 slot merge —
+    identical schemas made this the natural consolidation).
+
+    mode='unigram': reference jieba-cut approximation (Page.hpp:288;
+    TOKEN_RE_CJK = identifier runs ∪ single CJK codepoints); the document
+    is wrapped with CJK-with-linebreaks and the linebreak-join rewrite
+    (Page.hpp:283-287) is applied first — so the rewrite actually FEEDS
+    the tokenizer.
+
+    mode='fmm': DICTIONARY-based segmentation (reference cppjieba MIX
+    mode, SplitTool.hpp:7-11): forward maximum matching over a broadcast
+    wordlist, Arrow-batched (functions/segment.py); the wrapper exercises
+    every FMM rule — the 4-char word 搜索引擎 must beat its 2-char prefix
+    搜索, the OOV char 的 falls back to a unigram, and 数据库 beats 数据.
+    Multi-char words surviving into postings/phrase search is pinned in
+    tests/test_segment.py.  The DuckDB oracle runs the SAME FMM rule as a
+    recursive CTE over the SAME inlined dictionary."""
     from searchenginesimple_spark.config import TOKEN_RE_CJK
-    from searchenginesimple_spark.functions.tokenize import tokenize_expr
-
-    docs = load_documents(spark, sf_dir)
-    wrapped = F.concat(
-        F.lit("搜索\n引擎\n\n简单 "), F.col("content"), F.lit(" 中文\nabc\n文本")
-    )
-    joined = F.regexp_replace(wrapped, "([一-龥])\\n+([一-龥])", "$1$2")
-    return (
-        docs.select("doc_id", F.explode(tokenize_expr(joined, TOKEN_RE_CJK)).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-
-
-def _q_tokenize_cjk_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DICTIONARY-based CJK segmentation (reference cppjieba MIX mode,
-    Page.hpp:288, SplitTool.hpp:7-11): forward maximum matching over a
-    broadcast wordlist, Arrow-batched (functions/segment.py).  Documents are
-    wrapped with deterministic CJK that exercises every FMM rule — the
-    4-char word 搜索引擎 must beat its 2-char prefix 搜索, the OOV char 的
-    falls back to a unigram, and 数据库 beats 数据.  Output is per-doc term
-    frequencies; multi-char words surviving into postings/phrase search is
-    pinned in tests/test_segment.py.  The DuckDB oracle runs the SAME rule
-    as a recursive CTE over the SAME inlined dictionary."""
     from searchenginesimple_spark.functions.segment import (
         DEFAULT_CJK_WORDS,
         make_fmm_udf,
     )
+    from searchenginesimple_spark.functions.tokenize import tokenize_expr
 
     docs = load_documents(spark, sf_dir)
-    wrapped = F.concat(
+
+    uni_wrapped = F.concat(
+        F.lit("搜索\n引擎\n\n简单 "), F.col("content"), F.lit(" 中文\nabc\n文本")
+    )
+    uni_joined = F.regexp_replace(uni_wrapped, "([一-龥])\\n+([一-龥])", "$1$2")
+    uni = (
+        docs.select(
+            "doc_id", F.explode(tokenize_expr(uni_joined, TOKEN_RE_CJK)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select(F.lit("unigram").alias("mode"), "doc_id", "term", "tf")
+    )
+
+    fmm_wrapped = F.concat(
         F.lit("搜索引擎的简单数据库 "), F.col("content"), F.lit(" 分布式索引中文文本数据")
     )
     bc = spark.sparkContext.broadcast(DEFAULT_CJK_WORDS)
     udf = make_fmm_udf(broadcast=bc)
-    return (
-        docs.select("doc_id", F.explode(udf(wrapped)).alias("term"))
+    fmm = (
+        docs.select("doc_id", F.explode(udf(fmm_wrapped)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
+        .select(F.lit("fmm").alias("mode"), "doc_id", "term", "tf")
     )
+    return uni.unionByName(fmm)
 
 
 def _q_subtoken_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,7 +1093,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r3 swap: the standalone ``df`` entry was subsumed by ``term_idf`` (whose
     output carries the identical df column) to free the slot for
-    ``trigram_search`` — the code-payload substring index."""
+    ``trigram_search`` — the code-payload substring index.
+
+    r3 swap 2: ``tokenize_cjk_dict`` merged into ``tokenize_cjk`` (identical
+    (doc_id, term, tf) schemas, mode column) and ``token_count`` folded into
+    ``text_quality`` (one more per-doc projection leg) — freeing two slots
+    for the graph family: ``dedup_clusters`` (connected components over
+    near-dup pairs) and ``import_rank`` (integer-exact PageRank over a
+    synthesized module-import graph)."""
     return {
         "sessionize": _q_sessionize,
         "json_parse": _q_json_parse,
@@ -1053,8 +1111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict": _q_dict,
         "events_window": _q_events_window,
         "join_topk": _q_join_topk,
-        "tokenize_cjk_dict": _q_tokenize_cjk_dict,
         "trigram_search": _q_trigram_search,
+        "dedup_clusters": _q_dedup_clusters,
+        "import_rank": _q_import_rank,
         "tf": _q_tf,
         "term_idf": _q_term_idf,
         "doc_stats": _q_doc_stats,
@@ -1084,7 +1143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_clones": _q_code_clones,
         "stratified_sample": _q_stratified_sample,
         "domain_cap": _q_domain_cap,
-        "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "pii_scrub": _q_pii_scrub,
         "tokenize_cjk": _q_tokenize_cjk,
@@ -1260,16 +1318,30 @@ SELECT doc_id,
 FROM base
 """
 
-# The four per-doc feature oracles joined on doc_id — mirror of the merged
+# The five per-doc feature oracles joined on doc_id — mirror of the merged
 # text_quality entry (each leg is the unchanged r2 oracle; n_tokens comes
-# from the quality leg, identical by construction to the repetition leg's).
+# from the quality leg, identical by construction to the repetition leg's
+# and to the former token_count entry's spec-token total; the tc leg adds
+# the distinct/whitespace/BPE-ish counts the token_count merge brought in).
+_TOKEN_COUNT_LEG_SQL = f"""
+SELECT doc_id,
+       len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')))::BIGINT
+           AS n_distinct,
+       len(list_filter(regexp_split_to_array(text, '\\s+'),
+                       t -> len(t) > 0))::BIGINT AS n_ws,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))::BIGINT
+           AS n_bpe
+FROM documents
+"""
+
 _TEXT_QUALITY_SQL = f"""
 SELECT q.*, r.distinct_ratio, r.top_token_frac, r.top_bigram_frac,
-       l.lang_pred, f.fp
+       l.lang_pred, f.fp, tc.n_distinct, tc.n_ws, tc.n_bpe
 FROM ({_QUALITY_SQL}) q
 JOIN ({_REPETITION_SQL}) r USING (doc_id)
 JOIN ({_LANG_ID_SQL}) l USING (doc_id)
 JOIN ({_FINGERPRINT_SQL}) f USING (doc_id)
+JOIN ({_TOKEN_COUNT_LEG_SQL}) tc USING (doc_id)
 """
 
 _NGRAM_JACCARD_SQL = f"""
@@ -1397,6 +1469,86 @@ SELECT doc_id, term, count(*) AS tf FROM allt GROUP BY doc_id, term
 
 
 _TOKENIZE_CJK_DICT_SQL = _tokenize_cjk_dict_sql()
+
+
+def _dedup_clusters_sql() -> str:
+    """Mirror of _q_dedup_clusters: the ngram_jaccard pair CTE (threshold
+    0.5, 5-gram shingles — identical text to _NGRAM_JACCARD_SQL's body)
+    as the edge set, then min-label connected components via a
+    transitive-closure recursive CTE (the label rule — smallest reachable
+    id — is algorithm-independent, so closure ≡ the engine's star
+    contraction)."""
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)])) AS sh
+  FROM tok WHERE len(toks) >= 5
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a_id, b_id FROM (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) inter
+  JOIN sizes sa ON a_id = sa.doc_id
+  JOIN sizes sb ON b_id = sb.doc_id
+  WHERE i::double / (sa.n + sb.n - i) >= 0.5
+),
+nodes AS (SELECT a_id AS node FROM pairs UNION SELECT b_id FROM pairs),
+ed AS (SELECT a_id AS a, b_id AS b FROM pairs UNION SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN ed e ON e.a = reach.node
+),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT node AS doc_id, cluster_id, cluster_size FROM comp JOIN sz USING (cluster_id)
+"""
+
+
+_DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+def _import_rank_sql(iterations: int = 5) -> str:
+    """Mirror of _q_import_rank: the synthesized module-import graph and
+    the UNROLLED integer PageRank recurrence
+    r_{{t+1}}(v) = base + Σ (r_t(u)·85) // (100·outdeg(u)) — bigint floor
+    division, so every iteration is bit-exact vs the engine."""
+
+    def sp(n: int) -> str:
+        return f"split_part(text, ' ', {n})"
+
+    steps, prev = [], "pr0"
+    for t in range(1, iterations + 1):
+        steps.append(f""",
+c{t} AS (
+  SELECT e.dst, SUM((p.rank * 85) // (100 * e.outdeg)) AS s
+  FROM ed e JOIN {prev} p ON p.node = e.src GROUP BY e.dst
+),
+pr{t} AS (
+  SELECT n.node, CAST(150000000 + COALESCE(c.s, 0) AS BIGINT) AS rank
+  FROM pr0 n LEFT JOIN c{t} c ON c.dst = n.node
+)""")
+        prev = f"pr{t}"
+    return f"""
+WITH prov AS (SELECT {sp(1)} AS tok, min(doc_id) AS dst FROM documents GROUP BY 1),
+imp AS (SELECT doc_id, unnest([{sp(5)}, {sp(6)}, {sp(7)}, {sp(8)}]) AS tok FROM documents),
+edges AS (
+  SELECT DISTINCT i.doc_id AS src, p.dst FROM imp i JOIN prov p USING (tok)
+  WHERE p.dst <> i.doc_id
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+pr0 AS (SELECT doc_id AS node, CAST(1000000000 AS BIGINT) AS rank FROM documents){''.join(steps)}
+SELECT node AS doc_id, rank FROM {prev}
+"""
+
+
+_IMPORT_RANK_SQL = _import_rank_sql()
 
 
 # html_p_extract ∪ linebreak_join — the two content-extraction transforms of
@@ -2079,8 +2231,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'lsh' AS variant, l.* FROM ({_EMBED_NEARDUP_LSH_SQL}) l""",
         "text_extract": _TEXT_EXTRACT_SQL,
         "code_symbols": _CODE_SYMBOLS_SQL,
-        "tokenize_cjk": _TOKENIZE_CJK_SQL,
-        "tokenize_cjk_dict": _TOKENIZE_CJK_DICT_SQL,
+        "tokenize_cjk": f"""
+SELECT 'unigram' AS mode, * FROM ({_TOKENIZE_CJK_SQL})
+UNION ALL
+SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "import_rank": _IMPORT_RANK_SQL,
         "subtoken_split": r"""
             WITH d AS (
               SELECT doc_id,
@@ -2283,18 +2439,4 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT sha256(text) AS sha256, min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY sha256(text)""",
-        "token_count": f"""WITH {_SQL_TOK},
-            tc AS (
-              SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_distinct
-              FROM tok GROUP BY doc_id
-            ),
-            ws AS (
-              SELECT doc_id,
-                     len(list_filter(regexp_split_to_array(text, '\\s+'),
-                                     t -> len(t) > 0))::BIGINT AS n_ws,
-                     len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+'))::BIGINT AS n_bpe
-              FROM documents
-            )
-            SELECT doc_id, n_tokens, n_distinct, n_ws, n_bpe
-            FROM tc JOIN ws USING (doc_id)""",
     }

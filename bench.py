@@ -380,6 +380,29 @@ def main() -> None:
         t0 = time.time()
         clone_batch()
         queries["clone_mine"] = round(time.time() - t0, 3)
+
+        # --- dedup clustering: connected components over the clone pairs ---
+        # (operators/graph.py): alternating large-star/small-star rounds,
+        # each one groupBy-min + key-reuse join, localCheckpoint per round.
+        # Timed separately from pair mining (pairs pre-materialized) so the
+        # number is the CLUSTERING cost, driver-loop rounds included.
+        from searchenginesimple_spark.operators.graph import connected_components
+
+        pairs = (
+            clone_pairs(
+                winnow_fingerprints(tri_docs, k=5, w=4),
+                min_shared=2,
+                min_similarity=0.5,
+                max_df=64,
+            )
+            .select("a_id", "b_id")
+            .cache()
+        )
+        pairs.count()
+        t0 = time.time()
+        connected_components(pairs, "a_id", "b_id").count()
+        queries["clone_cluster"] = round(time.time() - t0, 3)
+        pairs.unpersist()
         tri_docs.unpersist()
 
         # --- N → 4N scaling (hard-capped subprocesses, same staged input) ---
