@@ -433,12 +433,9 @@ def _q_import_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     imp = docs.select(
         "doc_id", F.explode(F.array(sp(5), sp(6), sp(7), sp(8))).alias("tok")
     )
-    edges = (
-        imp.join(prov, "tok")
-        .filter(F.col("doc_id") != F.col("dst"))
-        .select(F.col("doc_id").alias("src"), "dst")
-        .distinct()
-    )
+    # no .distinct()/self-loop filter here: pagerank_int canonicalizes the
+    # edge set itself (one shuffle, not two)
+    edges = imp.join(prov, "tok").select(F.col("doc_id").alias("src"), "dst")
     pr = pagerank_int(
         edges, nodes=docs.select(F.col("doc_id").alias("node")), iterations=5
     )
@@ -1362,7 +1359,7 @@ SELECT a_id, b_id, round(i::double / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter
 JOIN sizes sa ON a_id = sa.doc_id
 JOIN sizes sb ON b_id = sb.doc_id
-WHERE i::double / (sa.n + sb.n - i) >= 0.5
+WHERE round(i::double / (sa.n + sb.n - i), 6) >= 0.5
 """
 
 _ANN_COSINE_SQL = """
@@ -1495,7 +1492,9 @@ pairs AS (
   ) inter
   JOIN sizes sa ON a_id = sa.doc_id
   JOIN sizes sb ON b_id = sb.doc_id
-  WHERE i::double / (sa.n + sb.n - i) >= 0.5
+  -- round BEFORE comparing, like the engine (dedup.py filters on the
+  -- rounded jaccard) — borderline pairs must flip identically both sides
+  WHERE round(i::double / (sa.n + sb.n - i), 6) >= 0.5
 ),
 nodes AS (SELECT a_id AS node FROM pairs UNION SELECT b_id FROM pairs),
 ed AS (SELECT a_id AS a, b_id AS b FROM pairs UNION SELECT b_id, a_id FROM pairs),

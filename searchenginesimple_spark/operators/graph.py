@@ -93,33 +93,43 @@ def connected_components(
     correct CC produces the identical output, which is what makes the
     entry DuckDB-oracle-able via a transitive-closure recursive CTE).
 
-    Every node appearing in ``edges`` gets a row; roots map to themselves.
+    Every node appearing in ``edges`` gets a row — including nodes whose
+    only edges are self-loops (they form their own singleton component).
     Raises if the star-contraction has not converged after ``max_rounds``
     alternations (2·log₂(n) rounds suffice in theory; real graphs converge
     in a handful)."""
-    spark = edges.sparkSession
-    e = _canon_edges(edges, a, b).localCheckpoint(eager=True)
+    raw = edges.select(
+        F.col(a).cast("long").alias("a"), F.col(b).cast("long").alias("b")
+    )
+    # Node universe from the RAW endpoints, BEFORE the self-loop drop: a
+    # node whose only edge is (x, x) still gets its singleton row.
     nodes = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .unionAll(raw.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e = raw.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
 
-    prev_sig = None
+    prev_e, prev_sig = e, None
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # Order-independent edge-set signature: one tiny aggregate row.
         # XOR-fold (not SUM): no ANSI overflow, and edges are DISTINCT so
-        # the xor over the set is a sound fingerprint alongside the count.
+        # the xor over the set is a strong fingerprint alongside the count.
         sig = e.agg(
             F.count("*").alias("n"),
             F.expr("bit_xor(xxhash64(a, b))").alias("h"),
         ).collect()[0]
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
-            break
-        prev_sig = sig
+            # Signature match is probabilistic (xor of hashes can collide);
+            # confirm with an EXACT set comparison before declaring the
+            # fixpoint.  Runs once per convergence in the common case, on
+            # two already-checkpointed equal-sized frames.
+            if e.exceptAll(prev_e).isEmpty():
+                break
+        prev_e, prev_sig = e, sig
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
 

@@ -37,8 +37,12 @@ def _run_cc(spark, edges):
     from searchenginesimple_spark.operators.graph import connected_components
 
     df = spark.createDataFrame(edges, "a long, b long")
-    got = connected_components(df)
-    return {r["node"]: r["component"] for r in got.collect()}
+    rows = connected_components(df).collect()
+    got = {r["node"]: r["component"] for r in rows}
+    # exactly one row per node — duplicate/conflicting rows must not be
+    # silently masked by the dict collapse
+    assert len(rows) == len(got)
+    return got
 
 
 def test_cc_shapes(spark):
@@ -59,6 +63,12 @@ def test_cc_empty(spark):
 
     e = spark.createDataFrame([], "a long, b long")
     assert connected_components(e).count() == 0
+
+
+def test_cc_self_loop_only_node(spark):
+    """A node whose only edge is a self-loop is a singleton component —
+    it must get a row, not vanish with the self-loop drop."""
+    assert _run_cc(spark, [(7, 7), (1, 2)]) == {7: 7, 1: 1, 2: 1}
 
 
 def test_cc_random_vs_union_find(spark):
@@ -92,9 +102,7 @@ def test_pagerank_matches_integer_oracle(spark):
 
     rng = random.Random(7)
     n = 50
-    edges = list(
-        {(rng.randrange(n), rng.randrange(n)) for _ in range(120)} - set()
-    )
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
     nodes = list(range(n))  # includes dangling + unreferenced nodes
     df_e = spark.createDataFrame(edges, "src long, dst long")
     df_n = spark.createDataFrame([(v,) for v in nodes], "node long")
