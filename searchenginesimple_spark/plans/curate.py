@@ -1,0 +1,180 @@
+"""Training-data curation plan: the production COMPOSITION of the dedup /
+quality / sampling operator families into one resumable pipeline with
+per-stage lineage metrics.
+
+The reference has no such pipeline (its dedup is the inline simhash
+suppression of the index build, ``Page.hpp:121-161``); this is the shape a
+100 TB training-data run actually takes — each stage an already-verified
+operator, chained:
+
+  exact     sha256 exact dedup (operators/dedup.py::exact-dedup rule):
+            keep the smallest doc_id per identical content.  One shuffle
+            on the hash key.
+  neardup   MinHash-LSH candidate pairs (minhash_dup_pairs) →
+            connected-components clustering (operators/graph.py) →
+            keep each cluster's smallest doc_id.  The CC stage is what
+            makes pair output USABLE: pairwise suppression alone is
+            order-dependent and non-transitive; the cluster-min rule is
+            deterministic and layout-invariant.
+  quality   map-side threshold filter over the quality/repetition
+            features (functions/text.py) — no shuffle.
+  sample    deterministic per-language stratified sample (hash-gated
+            map-side filter) and an optional per-source quota cap
+            (map-side WindowGroupLimit) — operators/sample.py.
+
+Scale discipline:
+
+* Stages persist SURVIVOR-ID tables (doc_id only) — never content.  The
+  full content is written exactly once at the end (`curate_kept`), joined
+  back from the input.  At 100 TB, re-writing content per stage would
+  quadruple the pipeline's IO for no information.
+* Each stage is `_SUCCESS`-gated (TableIO.exists(committed=True)) — a
+  crashed run re-executes only uncommitted stages, the build-plan
+  checkpoint discipline (plans/build.py).
+* Metrics (`curate_metrics`: stage, docs_in, docs_out) are recomputed
+  from the committed id tables (cheap doc_id-only counts) and written
+  driver-side with no Spark job (TableIO.overwrite_rows), so resumes are
+  idempotent and the table always reflects the committed state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.sources.io import TableIO
+
+
+@dataclass(frozen=True)
+class CurateConfig:
+    # neardup stage (MinHash-LSH banding)
+    minhash_threshold: float = 0.7
+    minhash_hashes: int = 64
+    minhash_bands: int = 16
+    shingle_n: int = 5
+    # quality stage
+    min_tokens: int = 5
+    min_alpha_ratio: float = 0.2
+    max_top_token_frac: float = 0.5
+    # sample stage (None → stage is a pass-through and writes no table)
+    sample_rates: dict[str, float] | None = None
+    default_sample_rate: float = 0.0
+    per_source_cap: int | None = None
+    lang_col: str = "lang"
+    source_col: str = "source"
+
+
+_STAGES = ("exact", "neardup", "quality", "sample")
+
+
+def _ids(name: str) -> str:
+    return f"curate_{name}_ids"
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    io: TableIO,
+    cfg: CurateConfig = CurateConfig(),
+    text_col: str = "content",
+) -> DataFrame:
+    """Run (or resume) the curation pipeline over ``docs(doc_id, <text_col>,
+    lang, source, …)``; returns the kept documents (also committed to the
+    ``curate_kept`` table).  Every rule is deterministic — same input ⇒ same
+    kept set at any parallelism."""
+    from searchenginesimple_spark.functions.text import (
+        quality_features,
+        repetition_features,
+    )
+    from searchenginesimple_spark.operators.dedup import minhash_dup_pairs
+    from searchenginesimple_spark.operators.graph import connected_components
+    from searchenginesimple_spark.operators.sample import (
+        per_key_cap,
+        stratified_sample,
+    )
+
+    # ---- stage 1: exact dedup (content-hash min-id survivors) -------------
+    if not io.exists(_ids("exact"), committed=True):
+        survivors = (
+            docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("sha256"))
+            .groupBy("sha256")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        io.overwrite(survivors, _ids("exact"))
+    exact_ids = io.read(_ids("exact"))
+
+    # ---- stage 2: near-dup dedup (LSH pairs → CC clusters → cluster min) --
+    if not io.exists(_ids("neardup"), committed=True):
+        d = docs.join(exact_ids, "doc_id", "left_semi")
+        pairs = minhash_dup_pairs(
+            d,
+            n_hashes=cfg.minhash_hashes,
+            bands=cfg.minhash_bands,
+            shingle_n=cfg.shingle_n,
+            threshold=cfg.minhash_threshold,
+            text_col=text_col,
+        )
+        cc = connected_components(pairs, "a_id", "b_id")
+        # clustered non-minimum members are the drops; everything else stays
+        drops = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        io.overwrite(exact_ids.join(drops, "doc_id", "left_anti"), _ids("neardup"))
+    neardup_ids = io.read(_ids("neardup"))
+
+    # ---- stage 3: quality filter (map-side, no shuffle) --------------------
+    if not io.exists(_ids("quality"), committed=True):
+        c = F.col(text_col)
+        q = dict(quality_features(c))
+        r = repetition_features(c)
+        keep = (
+            (q["n_tokens"] >= cfg.min_tokens)
+            & (q["alpha_ratio"] >= cfg.min_alpha_ratio)
+            & (r["top_token_frac"] <= cfg.max_top_token_frac)
+        )
+        kept = (
+            docs.join(neardup_ids, "doc_id", "left_semi")
+            .filter(keep)
+            .select("doc_id")
+        )
+        io.overwrite(kept, _ids("quality"))
+    quality_ids = io.read(_ids("quality"))
+
+    # ---- stage 4: sampling / quota (map-side filters) ----------------------
+    final_ids = quality_ids
+    if cfg.sample_rates is not None or cfg.per_source_cap is not None:
+        if not io.exists(_ids("sample"), committed=True):
+            d = docs.join(quality_ids, "doc_id", "left_semi")
+            if cfg.sample_rates is not None:
+                d = stratified_sample(
+                    d,
+                    cfg.sample_rates,
+                    group_col=cfg.lang_col,
+                    default_rate=cfg.default_sample_rate,
+                )
+            if cfg.per_source_cap is not None:
+                d = per_key_cap(d, cfg.per_source_cap, group_col=cfg.source_col)
+            io.overwrite(d.select("doc_id"), _ids("sample"))
+        final_ids = io.read(_ids("sample"))
+
+    # ---- materialize kept docs ONCE + recompute metrics --------------------
+    if not io.exists("curate_kept", committed=True):
+        io.overwrite(docs.join(final_ids, "doc_id", "left_semi"), "curate_kept")
+
+    n_in = docs.count()
+    counts = {"input": n_in}
+    for s in _STAGES:
+        if s == "sample" and not io.exists(_ids("sample")):
+            counts[s] = counts["quality"]
+            continue
+        counts[s] = io.read(_ids(s)).count()
+    rows, prev = [], n_in
+    for s in _STAGES:
+        rows.append((s, prev, counts[s]))
+        prev = counts[s]
+    io.overwrite_rows(rows, "stage string, docs_in long, docs_out long", "curate_metrics")
+
+    return io.read("curate_kept")

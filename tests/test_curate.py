@@ -1,0 +1,102 @@
+"""Curation plan (plans/curate.py): stage rules, metrics chain, resume."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from searchenginesimple_spark.plans.curate import CurateConfig, curate
+from searchenginesimple_spark.sources.io import TableIO
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+NEAR = "red orange yellow green blue indigo violet black white brown"
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        # 0/1: exact duplicates — exact stage keeps 0
+        (0, BASE + " one", "en", "srcA"),
+        (1, BASE + " one", "en", "srcA"),
+        # 2/3/4: near-duplicate cluster (one trailing token differs;
+        # vocabulary disjoint from BASE so the cluster cannot LSH-link to
+        # docs 0/1) — neardup stage keeps the cluster min (2)
+        (2, NEAR + " " + NEAR + " two", "en", "srcA"),
+        (3, NEAR + " " + NEAR + " three", "en", "srcB"),
+        (4, NEAR + " " + NEAR + " four", "en", "srcB"),
+        # 5: junk — too few tokens, fails quality
+        (5, "x y", "en", "srcB"),
+        # 6: junk — symbol soup, fails alpha_ratio
+        (6, "$$$ %%% ### !!! ??? ;;; ::: @@@ ^^^ &&&", "en", "srcC"),
+        # 7: repetitive — one token dominates, fails top_token_frac
+        (7, "spam spam spam spam spam spam spam spam spam ok", "en", "srcC"),
+        # 8: clean unique doc, different lang
+        (8, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es", "srcC"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, content string, lang string, source string"
+    )
+
+
+def _cfg(**kw):
+    return CurateConfig(
+        minhash_threshold=0.5, minhash_hashes=32, minhash_bands=16, shingle_n=3, **kw
+    )
+
+
+def test_curate_stage_rules(spark, corpus, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    kept = curate(spark, corpus, io, _cfg())
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [0, 2, 8]
+    # full input columns survive to the kept table, content written once
+    assert set(kept.columns) == {"doc_id", "content", "lang", "source"}
+
+    m = {
+        r["stage"]: (r["docs_in"], r["docs_out"])
+        for r in io.read("curate_metrics").collect()
+    }
+    assert m["exact"] == (9, 8)  # doc 1 dropped
+    assert m["neardup"] == (8, 6)  # docs 3, 4 dropped (cluster min = 2 kept)
+    assert m["quality"] == (6, 3)  # docs 5, 6, 7 dropped
+    assert m["sample"] == (3, 3)  # pass-through (no rates, no cap)
+
+
+def test_curate_resume_is_idempotent(spark, corpus, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    first = {r["doc_id"] for r in curate(spark, corpus, io, _cfg()).collect()}
+    # full re-run over committed tables: same kept set, same metrics
+    again = {r["doc_id"] for r in curate(spark, corpus, io, _cfg()).collect()}
+    assert first == again
+    # simulate a crash AFTER stage 2: drop quality + downstream, re-run —
+    # only the uncommitted stages re-execute and converge to the same set
+    import shutil
+
+    for t in ("curate_quality_ids", "curate_kept"):
+        shutil.rmtree(f"{tmp_path}/{t}")
+    third = {r["doc_id"] for r in curate(spark, corpus, io, _cfg()).collect()}
+    assert first == third
+
+
+def test_curate_sampling_and_quota(spark, corpus, tmp_path):
+    io = TableIO(spark, str(tmp_path))
+    # en fully sampled but capped to 1 doc per source; es dropped (rate 0)
+    kept = curate(
+        spark,
+        corpus,
+        io,
+        _cfg(sample_rates={"en": 1.0}, per_source_cap=1),
+    )
+    got = sorted(r["doc_id"] for r in kept.collect())
+    # quality survivors are {0 (srcA), 2 (srcA), 8 (srcC/es)}: es sampled
+    # out, srcA capped to its smallest doc_id
+    assert got == [0]
+    m = {r["stage"]: r["docs_out"] for r in io.read("curate_metrics").collect()}
+    assert m["sample"] == 1
+
+
+def test_curate_deterministic_across_partitioning(spark, corpus, tmp_path):
+    io1 = TableIO(spark, str(tmp_path / "a"))
+    io2 = TableIO(spark, str(tmp_path / "b"))
+    k1 = {r["doc_id"] for r in curate(spark, corpus.repartition(7), io1, _cfg()).collect()}
+    k2 = {r["doc_id"] for r in curate(spark, corpus.coalesce(1), io2, _cfg()).collect()}
+    assert k1 == k2
