@@ -83,7 +83,12 @@ def curate(
     """Run (or resume) the curation pipeline over ``docs(doc_id, <text_col>,
     lang, source, …)``; returns the kept documents (also committed to the
     ``curate_kept`` table).  Every rule is deterministic — same input ⇒ same
-    kept set at any parallelism."""
+    kept set at any parallelism.
+
+    Resume trusts committed stage tables: re-running with a CHANGED config
+    (or changed input) against the same ``io`` root silently keeps the old
+    committed stages — use a fresh root per (input, config), the same
+    contract as plans/build.py's checkpoints."""
     from searchenginesimple_spark.functions.text import (
         quality_features,
         repetition_features,
