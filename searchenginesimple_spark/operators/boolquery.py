@@ -1,0 +1,430 @@
+"""Boolean query search over the trigram index (zoekt's query language core).
+
+Public design: zoekt (github.com/sourcegraph/zoekt) composes substring atoms
+with AND / OR / NOT before touching its trigram shards; Cox 2012 describes
+the same algebra for the regex→trigram compiler (trigram_regex.py implements
+that sibling).  This module gives the SEARCH side of that algebra directly:
+
+    query := term ('OR' term)*
+    term  := factor+                        # juxtaposition = AND (zoekt)
+    factor:= '-' factor | 'NOT' factor | '(' query ')' | atom
+    atom  := bareword | '"' quoted with \\" and \\\\ escapes '"'
+
+Uppercase ``AND`` / ``OR`` / ``NOT`` are keywords; lowercase ``or`` etc.
+stay atoms (they are code tokens).  A leading ``-`` negates the factor.
+
+Field-scoped atoms (zoekt's ``file:`` / ``lang:`` / ``repo:`` filters): a
+BARE word of the form ``path:x`` / ``repo:x`` / ``lang:x`` filters on the
+metadata column instead of content — ``path:``/``repo:`` by substring,
+``lang:`` by case-folded equality.  Quoting suppresses the prefix
+(``"lang:py"`` searches content for that literal), so code atoms with
+colons (``std::vector``) are unaffected.  Field atoms contribute no
+trigrams but never poison indexability — a conjunct is indexable as long
+as its CONTENT atoms carry a usable trigram; a conjunct with only field
+atoms takes the scan path, where the metadata predicate is exactly the
+kind Catalyst pushes into the parquet docs scan (partition/row-group
+pruning on repo/lang layouts).
+
+Execution (index path): the query is converted to DNF — a union of
+conjuncts, each ``(positive atoms, negative atoms)``.  A document matches a
+conjunct iff it contains every positive atom and no negative atom, so the
+conjunct's required-trigram set is the UNION of its positive atoms' trigrams
+(a short atom like ``id`` contributes none, but the conjunct stays indexable
+through its other atoms); negative atoms never touch the index — negation
+only ever *widens* a candidate set, so it is checked in the verify stage,
+on candidate-sized data.  Candidates per conjunct are the usual
+rarest-first count==n intersection (the trigram_search kernel shape),
+unioned across conjuncts, then verified with the FULL boolean expression
+over content — the index only prunes, so output ≡ brute-force scan (the
+oracle) for every query and every knob setting, exactly like
+``trigram_search`` / ``trigram_regex_search``.
+
+Scan fallback (never wrong results, the regex module's rule): a query whose
+DNF explodes past ``MAX_CONJUNCTS``, or that has a conjunct with no usable
+positive trigram (pure negation, all atoms < 3 chars, or everything
+hot-dropped by ``max_df``) evaluates its boolean directly in a map-only
+pass over the doc store — query batches are small, so this is a bounded
+per-query filter, not a join.
+
+Scale story: one postings pass serves the whole batch (driver-side compiled
+atoms → trigram-universe IN-filter pushed into the parquet scan, row-group
+pruning), one hash-agg for the intersections, verify on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_CONJUNCTS = 64
+
+_KEYWORDS = {"AND", "OR", "NOT"}
+
+# field name → docs column (zoekt: file:/lang:/repo:).  path/repo match by
+# substring, lang by case-folded equality (language names are case-blind).
+FIELDS = {"path": "path", "repo": "repo", "lang": "lang"}
+
+
+class _Unsupported(Exception):
+    """DNF explosion — the query routes to the scan path, never errors."""
+
+
+# ---------------------------------------------------------------- parsing
+
+
+def _tokenize(q: str) -> list[tuple[str, str]]:
+    """→ [(kind, text)] with kinds: atom, kw, '(', ')', '-'."""
+    toks: list[tuple[str, str]] = []
+    i, n = 0, len(q)
+    while i < n:
+        ch = q[i]
+        if ch in " \t\r\n":
+            i += 1
+            continue
+        if ch in "()":
+            toks.append((ch, ch))
+            i += 1
+            continue
+        if ch == '"':
+            buf: list[str] = []
+            j = i + 1
+            while j < n and q[j] != '"':
+                if q[j] == "\\" and j + 1 < n and q[j + 1] in '"\\':
+                    buf.append(q[j + 1])
+                    j += 2
+                else:
+                    buf.append(q[j])
+                    j += 1
+            if j >= n:
+                raise ValueError(f"unterminated quote in query: {q!r}")
+            if not buf:
+                raise ValueError(f"empty quoted atom in query: {q!r}")
+            toks.append(("atom", "".join(buf)))
+            i = j + 1
+            continue
+        # bareword: runs to whitespace / paren / quote; a LEADING '-' is
+        # the negation operator, an interior '-' belongs to the word
+        # (kebab-case identifiers are atoms)
+        if ch == "-":
+            toks.append(("-", "-"))
+            i += 1
+            if i >= n or q[i] in ' \t\r\n()"':
+                raise ValueError(f"dangling '-' in query: {q!r}")
+            continue
+        j = i
+        while j < n and q[j] not in ' \t\r\n()"':
+            j += 1
+        word = q[i:j]
+        if word in _KEYWORDS:
+            toks.append(("kw", word))
+        elif ":" in word and word.partition(":")[0] in FIELDS and word.partition(":")[2]:
+            f, _, v = word.partition(":")
+            toks.append(("field", (f, v)))
+        else:
+            toks.append(("atom", word))
+        i = j
+    return toks
+
+
+def parse_query(q: str):
+    """→ AST of nested tuples: ('atom', s) | ('not', node) |
+    ('and', [nodes]) | ('or', [nodes]).  Raises ValueError on bad syntax
+    (user input error — unlike DNF explosion, which is a capacity limit
+    and routes to the scan path)."""
+    toks = _tokenize(q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def expr():
+        nonlocal pos
+        nodes = [term()]
+        while peek() == ("kw", "OR"):
+            pos += 1
+            nodes.append(term())
+        return nodes[0] if len(nodes) == 1 else ("or", nodes)
+
+    def term():
+        nonlocal pos
+        nodes = [factor()]
+        while True:
+            t = peek()
+            if t is None or t == ("kw", "OR") or t == (")", ")"):
+                break
+            if t == ("kw", "AND"):
+                pos += 1
+                t = peek()
+                if t is None or t == ("kw", "OR") or t == (")", ")"):
+                    raise ValueError(f"dangling AND in query: {q!r}")
+            nodes.append(factor())
+        return nodes[0] if len(nodes) == 1 else ("and", nodes)
+
+    def factor():
+        nonlocal pos
+        t = peek()
+        if t is None:
+            raise ValueError(f"expected a term in query: {q!r}")
+        if t == ("-", "-") or t == ("kw", "NOT"):
+            pos += 1
+            return ("not", factor())
+        if t == ("(", "("):
+            pos += 1
+            node = expr()
+            if peek() != (")", ")"):
+                raise ValueError(f"unbalanced '(' in query: {q!r}")
+            pos += 1
+            return node
+        if t[0] == "atom":
+            pos += 1
+            return ("atom", t[1])
+        if t[0] == "field":
+            pos += 1
+            return ("field", t[1][0], t[1][1])
+        raise ValueError(f"unexpected {t[1]!r} in query: {q!r}")
+
+    node = expr()
+    if pos != len(toks):
+        raise ValueError(f"unexpected {toks[pos][1]!r} in query: {q!r}")
+    return node
+
+
+# ------------------------------------------------------------------- DNF
+
+
+def to_dnf(node) -> list[tuple[frozenset[str], frozenset[str]]]:
+    """→ [(positive atoms, negative atoms)] — the union of conjuncts.
+    Contradictory conjuncts (an atom both required and forbidden) are
+    dropped (always false).  Raises _Unsupported past MAX_CONJUNCTS."""
+    kind = node[0]
+    if kind == "atom":
+        return [(frozenset([node[1]]), frozenset())]
+    if kind == "field":  # field atoms ride the sets as (field, value) pairs
+        return [(frozenset([(node[1], node[2])]), frozenset())]
+    if kind == "not":
+        inner = node[1]
+        if inner[0] == "atom":
+            return [(frozenset(), frozenset([inner[1]]))]
+        if inner[0] == "field":
+            return [(frozenset(), frozenset([(inner[1], inner[2])]))]
+        if inner[0] == "not":
+            return to_dnf(inner[1])
+        children = [("not", c) for c in inner[1]]
+        flipped = "or" if inner[0] == "and" else "and"  # De Morgan
+        return to_dnf((flipped, children))
+    if kind == "or":
+        out: list[tuple[frozenset, frozenset]] = []
+        for c in node[1]:
+            out.extend(to_dnf(c))
+            if len(out) > MAX_CONJUNCTS:
+                raise _Unsupported("conjunct explosion")
+        return out
+    assert kind == "and"
+    out = [(frozenset(), frozenset())]
+    for c in node[1]:
+        cd = to_dnf(c)
+        out = [(p1 | p2, n1 | n2) for p1, n1 in out for p2, n2 in cd]
+        if len(out) > MAX_CONJUNCTS:
+            raise _Unsupported("conjunct explosion")
+    return [(p, n) for p, n in out if not (p & n)]
+
+
+def _ast_column(node, content: Column, case_insensitive: bool) -> Column:
+    """The exact-verify expression: the query's boolean over content."""
+    kind = node[0]
+    if kind == "atom":
+        atom = node[1].lower() if case_insensitive else node[1]
+        return F.instr(content, F.lit(atom)) > 0
+    if kind == "field":
+        f, v = node[1], node[2]
+        col = F.col(FIELDS[f])
+        if f == "lang":
+            return F.lower(col) == v.lower()
+        if case_insensitive:
+            return F.instr(F.lower(col), F.lit(v.lower())) > 0
+        return F.instr(col, F.lit(v)) > 0
+    if kind == "not":
+        return ~_ast_column(node[1], content, case_insensitive)
+    op = Column.__and__ if kind == "and" else Column.__or__
+    cols = [_ast_column(c, content, case_insensitive) for c in node[1]]
+    out = cols[0]
+    for c in cols[1:]:
+        out = op(out, c)
+    return out
+
+
+def _trigrams(s: str) -> set[str]:
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+def _fields_used(node) -> set[str]:
+    if node[0] == "field":
+        return {node[1]}
+    if node[0] == "atom":
+        return set()
+    if node[0] == "not":
+        return _fields_used(node[1])
+    return set().union(*(_fields_used(c) for c in node[1]))
+
+
+# ---------------------------------------------------------------- search
+
+
+def boolean_search(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[int, str]],
+    max_trigrams: int = 8,
+    max_df: int | None = None,
+    content_col: str = "content",
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """→ (query_id, query, doc_id) for every doc whose content satisfies
+    the boolean query.  ``queries``: small (query_id, query-string) list,
+    parsed driver-side (query compilation is serving-side work).  Raises
+    ValueError on malformed query syntax; every PARSEABLE query returns
+    scan-exact results regardless of knobs.  ``case_insensitive`` pairs
+    with an index built with the same flag (build_trigram_index)."""
+    spark = docs.sparkSession
+    asts = {qid: parse_query(qs) for qid, qs in queries}
+
+    hot = (
+        {r["trigram"] for r in stats.filter(F.col("df") > max_df).collect()}
+        if max_df is not None
+        else set()
+    )
+    req_rows: list[tuple[int, int, str]] = []  # (query_id, conjunct, trigram)
+    scan_qids: list[int] = []
+    empty_qids: list[int] = []
+    for qid, _ in queries:
+        try:
+            conjuncts = to_dnf(asts[qid])
+        except _Unsupported:
+            scan_qids.append(qid)
+            continue
+        if not conjuncts:  # contradiction: matches nothing, touch nothing
+            empty_qids.append(qid)
+            continue
+        rows: list[tuple[int, int, str]] = []
+        indexable = True
+        for ci, (pos_atoms, _neg) in enumerate(conjuncts):
+            tris: set[str] = set()
+            for a in pos_atoms:
+                if isinstance(a, str):  # field atoms carry no trigrams
+                    tris |= _trigrams(a.lower() if case_insensitive else a)
+            tris -= hot
+            if not tris:  # pure negation / short / all-hot poisons the union
+                indexable = False
+                break
+            rows.extend((qid, ci, t) for t in sorted(tris))
+        if indexable:
+            req_rows.extend(rows)
+        else:
+            scan_qids.append(qid)
+
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    content = (
+        F.lower(F.col(content_col)) if case_insensitive else F.col(content_col)
+    )
+    results: list[DataFrame] = []
+
+    if req_rows:
+        # atoms are compiled driver-side → push the trigram universe into
+        # the postings/stats scans (parquet row-group pruning; the wand.py
+        # term-IN discipline)
+        universe = sorted({t for _, _, t in req_rows})
+        postings = postings.filter(F.col("trigram").isin(universe))
+        stats = stats.filter(F.col("trigram").isin(universe))
+        req = spark.createDataFrame(
+            req_rows, "query_id long, conjunct int, trigram string"
+        )
+        req = req.join(stats, "trigram", "left").withColumn(
+            "df", F.coalesce("df", F.lit(0).cast("long"))
+        )
+        w = Window.partitionBy("query_id", "conjunct").orderBy(
+            F.asc("df"), F.asc("trigram")
+        )
+        req = (
+            req.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= max_trigrams)
+            .select("query_id", "conjunct", "trigram")
+        )
+        n_req = req.groupBy("query_id", "conjunct").agg(
+            F.count("*").cast("int").alias("n_req")
+        )
+        cand = (
+            postings.join(F.broadcast(req), "trigram")
+            .groupBy("query_id", "conjunct", "doc_id")
+            .agg(F.count("*").cast("int").alias("nhit"))
+            .join(F.broadcast(n_req), ["query_id", "conjunct"])
+            .filter(F.col("nhit") == F.col("n_req"))
+            .select("query_id", "doc_id")
+            .distinct()  # union over conjuncts
+        )
+        # exact verify: the FULL boolean (positives AND negatives) per
+        # query, as one chained-when over the small driver-side batch —
+        # candidates only, so negation costs candidate-sized work
+        verify = F.lit(False)
+        for qid, _ in queries:
+            if qid in asts and any(r[0] == qid for r in req_rows):
+                verify = F.when(
+                    F.col("query_id") == qid,
+                    _ast_column(asts[qid], content, case_insensitive),
+                ).otherwise(verify)
+        idx_qids = {r[0] for r in req_rows}
+        extra = sorted(
+            {FIELDS[f] for q in idx_qids for f in _fields_used(asts[q])}
+        )
+        indexed = (
+            cand.join(docs.select("doc_id", content_col, *extra), "doc_id")
+            .filter(verify)
+            .join(F.broadcast(qdf), "query_id")
+            .select("query_id", "query", "doc_id")
+        )
+        results.append(indexed)
+
+    for qid in scan_qids:  # map-only per-query filter, no join
+        results.append(
+            docs.filter(_ast_column(asts[qid], content, case_insensitive))
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(dict(queries)[qid]).alias("query"),
+                "doc_id",
+            )
+        )
+
+    if not results:
+        return qdf.limit(0).withColumn("doc_id", F.lit(0).cast("long"))
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def boolean_search_bruteforce(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    content_col: str = "content",
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """Scan twin (what the oracle runs): evaluate every query's boolean
+    over every doc.  Tests pin index path ≡ this for all knob settings."""
+    content = (
+        F.lower(F.col(content_col)) if case_insensitive else F.col(content_col)
+    )
+    out = None
+    for qid, qs in queries:
+        r = docs.filter(
+            _ast_column(parse_query(qs), content, case_insensitive)
+        ).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.lit(qs).alias("query"),
+            "doc_id",
+        )
+        out = r if out is None else out.unionByName(r)
+    if out is None:
+        return docs.sparkSession.createDataFrame(
+            [], "query_id long, query string, doc_id long"
+        )
+    return out

@@ -1,0 +1,236 @@
+"""Boolean query search (operators/boolquery.py).
+
+Contract: output ≡ brute-force boolean scan for EVERY parseable query and
+EVERY knob setting (the index only prunes; verify is exact) — the same
+oracle rule as trigram_search / trigram_regex_search.  Parser and DNF get
+direct unit pins; the search battery runs index path, hot-drop routing,
+scan fallback, and case folding against ``boolean_search_bruteforce`` on
+the deterministic synthetic code corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.operators.boolquery import (
+    MAX_CONJUNCTS,
+    _Unsupported,
+    boolean_search,
+    boolean_search_bruteforce,
+    parse_query,
+    to_dnf,
+)
+from searchenginesimple_spark.operators.trigram import build_trigram_index
+from searchenginesimple_spark.sources.corpus import docs_df, with_doc_ids
+
+N_DOCS = 300
+
+QUERIES = [
+    (0, "return ident"),                     # juxtaposition = AND
+    (1, "return OR absent_zzz_needle"),      # OR, one empty side
+    (2, "return -loc_7_"),                   # AND NOT
+    (3, '"return ident" OR "x = 1"'),        # quoted multi-word atoms
+    (4, "-return"),                          # pure negation → scan path
+    (5, "(return OR ident) -def"),           # parens + distribution
+    (6, "id return"),                        # short atom carried by a long one
+    (7, "NOT (return AND ident)"),           # De Morgan
+    (8, "id"),                               # all atoms < 3 chars → scan
+    (9, "return -return"),                   # contradiction → empty
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = with_doc_ids(docs_df(spark, N_DOCS)).select("doc_id", "content")
+    docs = docs.cache()
+    docs.count()
+    return docs
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    postings, stats = build_trigram_index(corpus)
+    postings, stats = postings.cache(), stats.cache()
+    postings.count(), stats.count()
+    return postings, stats
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parse_precedence():
+    # juxtaposition (AND) binds tighter than OR
+    assert parse_query("a b OR c") == (
+        "or",
+        [("and", [("atom", "a"), ("atom", "b")]), ("atom", "c")],
+    )
+    # explicit AND ≡ juxtaposition
+    assert parse_query("a AND b") == parse_query("a b")
+    # NOT ≡ leading '-'
+    assert parse_query("NOT a") == parse_query("-a") == ("not", ("atom", "a"))
+    # parens override
+    assert parse_query("a (b OR c)") == (
+        "and",
+        [("atom", "a"), ("or", [("atom", "b"), ("atom", "c")])],
+    )
+
+
+def test_parse_atoms():
+    # lowercase keywords are atoms (code tokens), interior '-' is literal
+    assert parse_query("or") == ("atom", "or")
+    assert parse_query("foo-bar") == ("atom", "foo-bar")
+    # quoted atoms keep spaces, parens, dashes; escapes unescape
+    assert parse_query('"a (b" c') == ("and", [("atom", "a (b"), ("atom", "c")])
+    assert parse_query(r'"a\"b\\c"') == ("atom", 'a"b\\c')
+    # double negation parses (DNF cancels it)
+    assert to_dnf(parse_query("--a")) == [(frozenset({"a"}), frozenset())]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ['"unterminated', '""', "a OR", "(a b", "a)", "- a", "a AND", "", "AND a"],
+)
+def test_parse_errors(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+def test_dnf_shapes():
+    assert to_dnf(parse_query("a -b")) == [(frozenset({"a"}), frozenset({"b"}))]
+    # distribution: (a OR b) c → two conjuncts
+    assert sorted(to_dnf(parse_query("(a OR b) c"))) == sorted(
+        [
+            (frozenset({"a", "c"}), frozenset()),
+            (frozenset({"b", "c"}), frozenset()),
+        ]
+    )
+    # De Morgan: NOT (a b) → -a OR -b
+    assert sorted(to_dnf(parse_query("NOT (a b)"))) == sorted(
+        [(frozenset(), frozenset({"a"})), (frozenset(), frozenset({"b"}))]
+    )
+    # contradiction dropped
+    assert to_dnf(parse_query("a -a")) == []
+
+
+def test_dnf_explosion_raises():
+    # 2^7 = 128 conjuncts > MAX_CONJUNCTS
+    q = " ".join(f"(w{i}a OR w{i}b)" for i in range(7))
+    assert 2**7 > MAX_CONJUNCTS
+    with pytest.raises(_Unsupported):
+        to_dnf(parse_query(q))
+
+
+# ---------------------------------------------------------------- search
+
+
+def test_boolean_search_matches_bruteforce(spark, corpus, index):
+    postings, stats = index
+    got = boolean_search(corpus, postings, stats, QUERIES)
+    want = boolean_search_bruteforce(corpus, QUERIES)
+    assert _rows(got) == _rows(want)
+    by_qid = {
+        r["query_id"]: r["n"]
+        for r in got.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    # the battery must exercise real rows: AND/OR/NOT queries match docs,
+    # the contradiction matches nothing
+    assert by_qid.get(0, 0) > 0 and by_qid.get(5, 0) > 0
+    assert 9 not in by_qid
+
+
+def test_pure_negation_is_complement(spark, corpus, index):
+    postings, stats = index
+    neg = boolean_search(corpus, postings, stats, [(0, "-return")])
+    pos = boolean_search(corpus, postings, stats, [(0, "return")])
+    assert neg.count() + pos.count() == N_DOCS
+    assert (
+        neg.select("doc_id").intersect(pos.select("doc_id")).count() == 0
+    )
+
+
+def test_hot_drop_routing_is_invisible(spark, corpus, index):
+    """max_df small enough to hot-drop common trigrams must not change
+    results — conjuncts that lose every trigram take the scan path."""
+    postings, stats = index
+    got = boolean_search(corpus, postings, stats, QUERIES, max_df=5)
+    want = boolean_search_bruteforce(corpus, QUERIES)
+    assert _rows(got) == _rows(want)
+
+
+def test_max_trigrams_knob_is_invisible(spark, corpus, index):
+    postings, stats = index
+    got = boolean_search(corpus, postings, stats, QUERIES, max_trigrams=1)
+    want = boolean_search_bruteforce(corpus, QUERIES)
+    assert _rows(got) == _rows(want)
+
+
+def test_case_insensitive_pair(spark, corpus):
+    ci_postings, ci_stats = build_trigram_index(corpus, case_insensitive=True)
+    queries = [(0, "RETURN -LOC_7_"), (1, '"RETURN IDENT"')]
+    got = boolean_search(
+        corpus, ci_postings, ci_stats, queries, case_insensitive=True
+    )
+    want = boolean_search_bruteforce(corpus, queries, case_insensitive=True)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0  # folding actually matched lowercase content
+
+
+def test_field_atoms_parse():
+    assert parse_query("lang:py return") == (
+        "and",
+        [("field", "lang", "py"), ("atom", "return")],
+    )
+    assert parse_query("-path:vendor") == ("not", ("field", "path", "vendor"))
+    # quoting suppresses the prefix; non-field prefixes and bare colons stay atoms
+    assert parse_query('"lang:py"') == ("atom", "lang:py")
+    assert parse_query("std::vector") == ("atom", "std::vector")
+    assert parse_query("lang:") == ("atom", "lang:")
+    assert to_dnf(parse_query("lang:py -path:vendor"))[0] == (
+        frozenset({("lang", "py")}),
+        frozenset({("path", "vendor")}),
+    )
+
+
+def test_field_atoms_search(spark):
+    docs = with_doc_ids(docs_df(spark, N_DOCS))  # keeps repo/path/lang cols
+    docs = docs.cache()
+    postings, stats = build_trigram_index(docs)
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    lang = sorted(langs)[0]
+    queries = [
+        (0, f"lang:{lang} return"),         # metadata ∧ content (index path)
+        (1, f"lang:{lang.upper()}"),        # field-only conjunct → scan path
+        (2, "return -path:7"),              # negated field on candidates
+        (3, f"path:0 OR lang:{lang}"),      # field-only OR branch → scan
+    ]
+    got = boolean_search(docs, postings, stats, queries)
+    want = boolean_search_bruteforce(docs, queries)
+    assert _rows(got) == _rows(want)
+    by_qid = {r[0] for r in got.select("query_id").distinct().collect()}
+    assert {0, 1, 2, 3} <= by_qid  # every routing produced rows
+    # lang: equality is case-folded even in a case-sensitive search
+    n0 = got.filter(F.col("query_id") == 1).count()
+    assert n0 == docs.filter(F.lower("lang") == lang.lower()).count()
+
+
+def test_bad_syntax_raises(spark, corpus, index):
+    postings, stats = index
+    with pytest.raises(ValueError):
+        boolean_search(corpus, postings, stats, [(0, "a OR")])
+
+
+def test_index_path_plan_shape(spark, corpus, index):
+    """The 100×-scale claims: needle trigrams broadcast (no shuffle of the
+    postings side onto a query key), no cartesian product anywhere on the
+    index path, and the trigram IN-filter reaches the postings scan."""
+    postings, stats = index
+    plan = boolean_search(
+        corpus, postings, stats, [(0, "return ident -def")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
