@@ -455,6 +455,92 @@ def trigram_search_topk(
     )
 
 
+def trigram_search_topk_ranked(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    needles: DataFrame,
+    k: int = 10,
+    content_col: str = "content",
+    path_col: str = "path",
+    **search_kwargs,
+) -> DataFrame:
+    """zoekt-ordered results → (needle_id, needle, rank, doc_id,
+    symbol_match, path_match, n_occurrences): top-k per needle ordered by
+    symbol-definition match > file-path match > occurrence count (ties
+    doc_id asc) — zoekt's boost ladder (a hit on a definition site
+    outranks prose hits; a hit in the filename outranks body hits) over
+    trigram_search_topk's boost-free core.
+
+    ``symbol_match``: the needle occurs inside a symbol DEFINED in the doc
+    (functions/code.py::extract_symbols, the ctags-style definition rows);
+    ``path_match``: the needle occurs in ``path_col``.  Both are plain
+    string arithmetic over driver-visible rules, so a test twin reproduces
+    the full ordering independently.
+
+    Scale shape: boosts are computed on VERIFIED MATCHES only —
+    extract_symbols runs over the distinct matched docs (candidate-sized,
+    never the corpus), and the symbol join is one hash join on doc_id
+    whose output collapses straight back to a (needle, doc) flag; the
+    final per-needle top-k is the usual map-side WindowGroupLimit.
+    """
+    from searchenginesimple_spark.functions.code import extract_symbols
+
+    ci = bool(search_kwargs.get("case_insensitive"))
+    hits = trigram_search(
+        docs, postings, stats, needles, content_col=content_col, **search_kwargs
+    )
+    matched = hits.select("needle_id", "needle", "doc_id").join(
+        docs.select("doc_id", content_col, path_col), "doc_id"
+    )
+
+    def fold(col: Column) -> Column:
+        return F.lower(col) if ci else col
+
+    c, n, p = fold(F.col(content_col)), fold(F.col("needle")), fold(F.col(path_col))
+    occ = ((F.length(c) - F.length(F.replace(c, n))) / F.length(n)).cast("long")
+    base = matched.select(
+        "needle_id",
+        "needle",
+        "doc_id",
+        (F.instr(p, n) > 0).cast("int").alias("path_match"),
+        occ.alias("n_occurrences"),
+    )
+
+    mdocs = matched.select("doc_id", content_col).distinct()
+    defs = extract_symbols(mdocs, content_col).select("doc_id", "symbol")
+    sym = (
+        matched.select("needle_id", "doc_id", "needle")
+        .join(defs, "doc_id")
+        .filter(F.instr(fold(F.col("symbol")), n) > 0)
+        .select("needle_id", "doc_id")
+        .distinct()
+        .withColumn("symbol_match", F.lit(1))
+    )
+    ranked = base.join(sym, ["needle_id", "doc_id"], "left").withColumn(
+        "symbol_match", F.coalesce("symbol_match", F.lit(0)).cast("int")
+    )
+    w = Window.partitionBy("needle_id").orderBy(
+        F.desc("symbol_match"),
+        F.desc("path_match"),
+        F.desc("n_occurrences"),
+        F.asc("doc_id"),
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "needle_id",
+            "needle",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "symbol_match",
+            "path_match",
+            "n_occurrences",
+        )
+    )
+
+
 def trigram_search_bruteforce(
     docs: DataFrame,
     needles: DataFrame,
