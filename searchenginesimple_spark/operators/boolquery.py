@@ -106,9 +106,11 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
         # the negation operator, an interior '-' belongs to the word
         # (kebab-case identifiers are atoms)
         if ch == "-":
+            # negation may precede a bareword, a '(' group, or a quoted
+            # atom; only whitespace / ')' / end-of-query is dangling
             toks.append(("-", "-"))
             i += 1
-            if i >= n or q[i] in ' \t\r\n()"':
+            if i >= n or q[i] in " \t\r\n)":
                 raise ValueError(f"dangling '-' in query: {q!r}")
             continue
         j = i

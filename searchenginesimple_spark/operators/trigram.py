@@ -541,6 +541,66 @@ def trigram_search_topk_ranked(
     )
 
 
+def trigram_search_lines(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    needles: DataFrame,
+    max_lines_per_doc: int | None = None,
+    content_col: str = "content",
+    **search_kwargs,
+) -> DataFrame:
+    """grep-style result rows → (needle_id, needle, doc_id, line_no, line):
+    one row per LINE containing the needle, 1-based line numbers — the
+    form livegrep/zoekt return to the results page (zoekt's LineMatch).
+
+    A needle containing ``\\n`` spans lines and so matches no single line:
+    it yields doc-level hits in trigram_search but no rows here (grep
+    semantics — documented, and pinned in tests).  ``max_lines_per_doc``
+    caps rows per (needle, doc) in line order (``grep -m``).
+
+    Scale shape: the line explode runs over the DISTINCT matched docs
+    (candidate-sized — the index+verify already pruned the corpus), ONCE
+    per doc regardless of how many needles hit it; needles then join the
+    exploded lines on doc_id and filter per-line, so a k-needle batch
+    never re-explodes content k times.
+    """
+    ci = bool(search_kwargs.get("case_insensitive"))
+    hits = trigram_search(
+        docs, postings, stats, needles, content_col=content_col, **search_kwargs
+    ).select("needle_id", "needle", "doc_id")
+
+    def fold(col: Column) -> Column:
+        return F.lower(col) if ci else col
+
+    mdocs = hits.select("doc_id").distinct().join(
+        docs.select("doc_id", content_col), "doc_id"
+    )
+    lines = mdocs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(content_col), "\n", -1)).alias("ln0", "line"),
+    )
+    out = (
+        hits.join(lines, "doc_id")
+        .filter(F.instr(fold(F.col("line")), fold(F.col("needle"))) > 0)
+        .select(
+            "needle_id",
+            "needle",
+            "doc_id",
+            (F.col("ln0") + 1).cast("long").alias("line_no"),
+            "line",
+        )
+    )
+    if max_lines_per_doc is not None:
+        w = Window.partitionBy("needle_id", "doc_id").orderBy(F.asc("line_no"))
+        out = (
+            out.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= max_lines_per_doc)
+            .drop("rk")
+        )
+    return out
+
+
 def trigram_search_bruteforce(
     docs: DataFrame,
     needles: DataFrame,

@@ -224,6 +224,28 @@ def test_bad_syntax_raises(spark, corpus, index):
         boolean_search(corpus, postings, stats, [(0, "a OR")])
 
 
+def test_atom_trigram_pushdown_reaches_parquet_scan(spark, corpus, index, tmp_path):
+    """Scale pin: with the index materialized as parquet, the driver-side
+    atom-trigram universe must reach the postings scan as an IN-filter
+    (row-group pruning) — one batch reads only its atoms' index slice."""
+    import re as _re
+
+    from searchenginesimple_spark.operators.trigram import write_trigram_index
+
+    postings, stats = index
+    p, s = write_trigram_index(postings, str(tmp_path / "idx"))
+    plan = (
+        boolean_search(corpus, p, s, [(0, "return -ident"), (1, "def OR class")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert _re.findall(r"PushedFilters: \[[^\]]*In\(trigram", plan)
+    # equivalence must survive the parquet round-trip + pushdown
+    got = boolean_search(corpus, p, s, QUERIES)
+    assert _rows(got) == _rows(boolean_search_bruteforce(corpus, QUERIES))
+
+
 def test_index_path_plan_shape(spark, corpus, index):
     """The 100×-scale claims: needle trigrams broadcast (no shuffle of the
     postings side onto a query key), no cartesian product anywhere on the
