@@ -14,6 +14,10 @@ tests/test_cli.py::test_spark_submit_py_files_ships.  Or locally:
     python -m searchenginesimple_spark.cli build  --input /path/docs_parquet --index /path/idx
     python -m searchenginesimple_spark.cli query  --index /path/idx --query "spark window" [--mode or]
     python -m searchenginesimple_spark.cli suggest --index-docs /path/docs_parquet --word spakr
+    python -m searchenginesimple_spark.cli grep   --input /path/docs_parquet --index /path/tri \\
+                                                  --query 'lang:py crypto -vendor' [--ci]
+    python -m searchenginesimple_spark.cli chunk  --input /path/docs_parquet --output /path/chunks \\
+                                                  [--chunk-tokens 512] [--overlap-lines 4]
 
 Replaces the reference's three binaries + HTTP servers (``src/page.cc``,
 ``src/keyWord.cc``, ``src/Server/*``) with batch jobs over tables.
@@ -45,6 +49,18 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("suggest", help="levenshtein suggestions from a docs corpus")
     s.add_argument("--input", required=True)
     s.add_argument("--word", action="append", required=True)
+
+    g = sub.add_parser("grep", help="boolean substring search (zoekt query algebra)")
+    g.add_argument("--input", required=True, help="parquet dir of docs")
+    g.add_argument("--index", required=True, help="trigram index root (built/resumed on demand)")
+    g.add_argument("--query", action="append", required=True, help="repeatable boolean query")
+    g.add_argument("--ci", action="store_true", help="case-insensitive (index folds with it)")
+
+    c = sub.add_parser("chunk", help="context-window packing into training chunks")
+    c.add_argument("--input", required=True, help="parquet dir of docs")
+    c.add_argument("--output", required=True, help="output parquet dir of chunks")
+    c.add_argument("--chunk-tokens", type=int, default=512)
+    c.add_argument("--overlap-lines", type=int, default=0)
 
     args = p.parse_args(argv)
 
@@ -92,6 +108,47 @@ def main(argv: list[str] | None = None) -> int:
         qdf = spark.createDataFrame([(w,) for w in args.word], "word string")
         for r in suggest_topk(d, ci, qdf).collect():
             print(json.dumps({"query_word": r["query_word"], "rank": r["rank"], "word": r["word"], "dist": r["dist"]}))
+        return 0
+
+    if args.cmd == "grep":
+        from searchenginesimple_spark.operators.boolquery import boolean_search
+        from searchenginesimple_spark.operators.trigram import (
+            build_trigram_index,
+            write_trigram_index,
+        )
+
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns:
+            from searchenginesimple_spark.sources.corpus import with_doc_ids
+
+            docs = with_doc_ids(docs)
+        # resume=True: first run materializes the clustered index at
+        # --index, later runs skip straight to the committed parquet
+        raw, _ = build_trigram_index(docs, case_insensitive=args.ci)
+        postings, stats = write_trigram_index(raw, args.index, resume=True)
+        queries = [(int(i), q) for i, q in enumerate(args.query)]
+        out = boolean_search(
+            docs, postings, stats, queries, case_insensitive=args.ci
+        )
+        for r in out.orderBy("query_id", "doc_id").collect():
+            print(json.dumps({"query": r["query"], "doc_id": int(r["doc_id"])}))
+        return 0
+
+    if args.cmd == "chunk":
+        from searchenginesimple_spark.operators.chunk import chunk_documents
+
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns:
+            from searchenginesimple_spark.sources.corpus import with_doc_ids
+
+            docs = with_doc_ids(docs)
+        chunk_documents(
+            docs,
+            chunk_tokens=args.chunk_tokens,
+            overlap_lines=args.overlap_lines,
+        ).write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"chunks": n, "output": args.output}))
         return 0
 
     return 1

@@ -26,6 +26,44 @@ def test_cli_build_and_query(spark, tmp_path, capsys):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_cli_grep_and_chunk(spark, tmp_path, capsys):
+    import searchenginesimple_spark.cli as cli
+    from searchenginesimple_spark.sources.corpus import docs_df
+
+    corpus, tri, chunks = tmp_path / "corpus", tmp_path / "tri", tmp_path / "chunks"
+    docs_df(spark, 150).write.mode("overwrite").parquet(str(corpus))
+
+    rc = cli.main(
+        ["grep", "--input", str(corpus), "--index", str(tri),
+         "--query", "return ident", "--query", "zzz_absent OR loc_7_"]
+    )
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(set(r) == {"query", "doc_id"} for r in rows)
+    assert {r["query"] for r in rows} == {"return ident", "zzz_absent OR loc_7_"}
+
+    # second run resumes the committed index (no rebuild) — same answers
+    rc = cli.main(
+        ["grep", "--input", str(corpus), "--index", str(tri),
+         "--query", "return ident", "--query", "zzz_absent OR loc_7_"]
+    )
+    assert rc == 0
+    rows2 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert sorted(map(tuple, (r.items() for r in rows2))) == sorted(
+        map(tuple, (r.items() for r in rows))
+    )
+
+    rc = cli.main(
+        ["chunk", "--input", str(corpus), "--output", str(chunks),
+         "--chunk-tokens", "32", "--overlap-lines", "2"]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["chunks"] > 150  # budget 32 splits the corpus docs
+    out = spark.read.parquet(str(chunks))
+    assert set(out.columns) == {"doc_id", "chunk_id", "n_chunks", "n_tokens", "chunk"}
+
+
 def test_spark_submit_py_files_ships(spark, tmp_path):
     """The literal north-rule ship mechanism: zip the package, launch a real
     ``spark-submit --py-files engine.zip driver.py`` subprocess from a cwd
