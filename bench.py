@@ -359,6 +359,27 @@ def main() -> None:
         tri_batch()
         queries["trigram_query"] = round(time.time() - t0, 3)
 
+        # --- boolean query search over the same trigram index ---------------
+        # (operators/boolquery.py — zoekt algebra: DNF onto the index,
+        # negation verify-side).  Mixed batch: AND+NOT, OR of a quoted
+        # phrase, a De-Morgan group, and a hot-positive/hot-negative pair.
+        from searchenginesimple_spark.operators.boolquery import boolean_search
+
+        bool_queries = [
+            (0, "return ident -loc_42_7"),
+            (1, '"return ident" OR loc_42_7'),
+            (2, "ident_00 -(return OR zz_absent_zz)"),
+            (3, "return -ident_00"),
+        ]
+
+        def bool_batch():
+            boolean_search(tri_docs, tri_post, tri_stats, bool_queries).count()
+
+        bool_batch()  # warmup
+        t0 = time.time()
+        bool_batch()
+        queries["bool_search"] = round(time.time() - t0, 3)
+
         # --- winnowing clone mining (operators/winnow.py) -------------------
         # fingerprints are shuffle-free array HOFs; pair join shuffles on
         # fingerprint with max_df capping per-key fan-out.  One timed pass =
