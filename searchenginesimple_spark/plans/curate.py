@@ -64,6 +64,10 @@ class CurateConfig:
     per_source_cap: int | None = None
     lang_col: str = "lang"
     source_col: str = "source"
+    # chunk stage (None → no curate_chunks table): context-window packing
+    # of the kept docs into training chunks (operators/chunk.py)
+    chunk_tokens: int | None = None
+    chunk_overlap_lines: int = 0
 
 
 _STAGES = ("exact", "neardup", "quality", "sample")
@@ -169,6 +173,24 @@ def curate(
     if not io.exists("curate_kept", committed=True):
         io.overwrite(docs.join(final_ids, "doc_id", "left_semi"), "curate_kept")
 
+    # ---- optional stage 5: context-window packing (operators/chunk.py) ----
+    # reads the COMMITTED kept table (compact parquet, content read once) —
+    # the chunk projection is map-side, so this stage adds zero shuffles
+    if cfg.chunk_tokens is not None and not io.exists(
+        "curate_chunks", committed=True
+    ):
+        from searchenginesimple_spark.operators.chunk import chunk_documents
+
+        io.overwrite(
+            chunk_documents(
+                io.read("curate_kept"),
+                chunk_tokens=cfg.chunk_tokens,
+                overlap_lines=cfg.chunk_overlap_lines,
+                content_col=text_col,
+            ),
+            "curate_chunks",
+        )
+
     n_in = docs.count()
     counts = {"input": n_in}
     for s in _STAGES:
@@ -180,6 +202,8 @@ def curate(
     for s in _STAGES:
         rows.append((s, prev, counts[s]))
         prev = counts[s]
+    if cfg.chunk_tokens is not None:
+        rows.append(("chunk", prev, io.read("curate_chunks").count()))
     io.overwrite_rows(rows, "stage string, docs_in long, docs_out long", "curate_metrics")
 
     return io.read("curate_kept")

@@ -61,6 +61,34 @@ def test_curate_stage_rules(spark, corpus, tmp_path):
     assert m["sample"] == (3, 3)  # pass-through (no rates, no cap)
 
 
+def test_curate_chunk_stage(spark, corpus, tmp_path):
+    from searchenginesimple_spark.operators.chunk import chunk_documents_py
+
+    io = TableIO(spark, str(tmp_path))
+    kept = curate(spark, corpus, io, _cfg(chunk_tokens=6, chunk_overlap_lines=0))
+    chunks = io.read("curate_chunks")
+    assert set(chunks.columns) == {"doc_id", "chunk_id", "n_chunks", "n_tokens", "chunk"}
+    # chunks cover exactly the kept docs, and match the greedy twin
+    got = sorted(map(tuple, chunks.collect()))
+    rows = [(r["doc_id"], r["content"]) for r in kept.collect()]
+    assert got == chunk_documents_py(rows, chunk_tokens=6)
+    assert {r[0] for r in got} == {0, 2, 8}
+    # these docs are single-line: an over-budget line is its own chunk,
+    # never split (the splitting behavior itself is pinned in test_chunk.py)
+    assert all(r[2] == 1 and r[4] == dict(rows)[r[0]] for r in got)
+
+    m = {
+        r["stage"]: (r["docs_in"], r["docs_out"])
+        for r in io.read("curate_metrics").collect()
+    }
+    assert m["chunk"] == (3, 3)
+
+    # resume: chunk table committed → re-run rewrites nothing, same rows
+    again = curate(spark, corpus, io, _cfg(chunk_tokens=6, chunk_overlap_lines=0))
+    assert sorted(map(tuple, io.read("curate_chunks").collect())) == got
+    assert {r["doc_id"] for r in again.collect()} == {0, 2, 8}
+
+
 def test_curate_resume_is_idempotent(spark, corpus, tmp_path):
     io = TableIO(spark, str(tmp_path))
     first = {r["doc_id"] for r in curate(spark, corpus, io, _cfg()).collect()}
