@@ -25,6 +25,20 @@ atoms takes the scan path, where the metadata predicate is exactly the
 kind Catalyst pushes into the parquet docs scan (partition/row-group
 pruning on repo/lang layouts).
 
+Regex atoms (zoekt regex queries inside the algebra): ``re:pattern`` (or
+``re:"pat"`` — required when the pattern contains spaces, quotes, or
+parentheses, which are query syntax) matches content by ``regexp_like``.  A POSITIVE
+regex atom inside the supported subset (trigram_regex.py's Java≡RE2-safe
+grammar) contributes per-branch required trigrams — the conjunct is
+expanded one-per-branch for INDEX purposes only (verify always runs the
+original boolean).  Outside the subset (or negated) the atom contributes
+no trigrams but stays exact through the verify; if sibling atoms carry a
+trigram the query STILL takes the index path — only a conjunct with no
+usable trigram at all routes the query to the scan.  Under
+``case_insensitive`` the verify runs patterns against the FOLDED content:
+write lowercase patterns (branch trigrams are folded to match the folded
+index, which can only widen candidates, never lose them).
+
 Execution (index path): the query is converted to DNF — a union of
 conjuncts, each ``(positive atoms, negative atoms)``.  A document matches a
 conjunct iff it contains every positive atom and no negative atom, so the
@@ -56,6 +70,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from searchenginesimple_spark.operators.trigram_regex import compile_branches
+
 MAX_CONJUNCTS = 64
 
 _KEYWORDS = {"AND", "OR", "NOT"}
@@ -72,6 +88,25 @@ class _Unsupported(Exception):
 # ---------------------------------------------------------------- parsing
 
 
+def _scan_quoted(q: str, i: int) -> tuple[str, int]:
+    """Scan a double-quoted literal starting at q[i] == '\"' → (text, next)."""
+    buf: list[str] = []
+    j = i + 1
+    n = len(q)
+    while j < n and q[j] != '"':
+        if q[j] == "\\" and j + 1 < n and q[j + 1] in '"\\':
+            buf.append(q[j + 1])
+            j += 2
+        else:
+            buf.append(q[j])
+            j += 1
+    if j >= n:
+        raise ValueError(f"unterminated quote in query: {q!r}")
+    if not buf:
+        raise ValueError(f"empty quoted atom in query: {q!r}")
+    return "".join(buf), j + 1
+
+
 def _tokenize(q: str) -> list[tuple[str, str]]:
     """→ [(kind, text)] with kinds: atom, kw, '(', ')', '-'."""
     toks: list[tuple[str, str]] = []
@@ -86,21 +121,8 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
             i += 1
             continue
         if ch == '"':
-            buf: list[str] = []
-            j = i + 1
-            while j < n and q[j] != '"':
-                if q[j] == "\\" and j + 1 < n and q[j + 1] in '"\\':
-                    buf.append(q[j + 1])
-                    j += 2
-                else:
-                    buf.append(q[j])
-                    j += 1
-            if j >= n:
-                raise ValueError(f"unterminated quote in query: {q!r}")
-            if not buf:
-                raise ValueError(f"empty quoted atom in query: {q!r}")
-            toks.append(("atom", "".join(buf)))
-            i = j + 1
+            s, i = _scan_quoted(q, i)
+            toks.append(("atom", s))
             continue
         # bareword: runs to whitespace / paren / quote; a LEADING '-' is
         # the negation operator, an interior '-' belongs to the word
@@ -119,6 +141,17 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
         word = q[i:j]
         if word in _KEYWORDS:
             toks.append(("kw", word))
+        elif word == "re:" and j < n and q[j] == '"':
+            pat, j = _scan_quoted(q, j)
+            toks.append(("regex", pat))
+        elif word == "re:" and j < n and q[j] == "(":
+            # '(' ends a bareword (it is query syntax), so an unquoted
+            # parenthesized pattern would silently misparse — demand quotes
+            raise ValueError(
+                f'parenthesized regex must use the quoted form re:"..." in query: {q!r}'
+            )
+        elif word.startswith("re:") and len(word) > 3:
+            toks.append(("regex", word[3:]))
         elif ":" in word and word.partition(":")[0] in FIELDS and word.partition(":")[2]:
             f, _, v = word.partition(":")
             toks.append(("field", (f, v)))
@@ -183,6 +216,9 @@ def parse_query(q: str):
         if t[0] == "field":
             pos += 1
             return ("field", t[1][0], t[1][1])
+        if t[0] == "regex":
+            pos += 1
+            return ("regex", t[1])
         raise ValueError(f"unexpected {t[1]!r} in query: {q!r}")
 
     node = expr()
@@ -203,12 +239,16 @@ def to_dnf(node) -> list[tuple[frozenset[str], frozenset[str]]]:
         return [(frozenset([node[1]]), frozenset())]
     if kind == "field":  # field atoms ride the sets as (field, value) pairs
         return [(frozenset([(node[1], node[2])]), frozenset())]
+    if kind == "regex":  # regex atoms as ("re", pattern) pairs
+        return [(frozenset([("re", node[1])]), frozenset())]
     if kind == "not":
         inner = node[1]
         if inner[0] == "atom":
             return [(frozenset(), frozenset([inner[1]]))]
         if inner[0] == "field":
             return [(frozenset(), frozenset([(inner[1], inner[2])]))]
+        if inner[0] == "regex":
+            return [(frozenset(), frozenset([("re", inner[1])]))]
         if inner[0] == "not":
             return to_dnf(inner[1])
         children = [("not", c) for c in inner[1]]
@@ -245,6 +285,8 @@ def _ast_column(node, content: Column, case_insensitive: bool) -> Column:
         if case_insensitive:
             return F.instr(F.lower(col), F.lit(v.lower())) > 0
         return F.instr(col, F.lit(v)) > 0
+    if kind == "regex":  # under ci the content arg is already folded
+        return F.regexp_like(content, F.lit(node[1]))
     if kind == "not":
         return ~_ast_column(node[1], content, case_insensitive)
     op = Column.__and__ if kind == "and" else Column.__or__
@@ -262,7 +304,7 @@ def _trigrams(s: str) -> set[str]:
 def _fields_used(node) -> set[str]:
     if node[0] == "field":
         return {node[1]}
-    if node[0] == "atom":
+    if node[0] in ("atom", "regex"):
         return set()
     if node[0] == "not":
         return _fields_used(node[1])
@@ -310,16 +352,37 @@ def boolean_search(
             continue
         rows: list[tuple[int, int, str]] = []
         indexable = True
-        for ci, (pos_atoms, _neg) in enumerate(conjuncts):
-            tris: set[str] = set()
+        cix = 0  # expanded-conjunct counter (regex atoms expand per branch)
+        for pos_atoms, _neg in conjuncts:
+            base: set[str] = set()
+            branch_sets: list[set[str]] = [set()]
             for a in pos_atoms:
-                if isinstance(a, str):  # field atoms carry no trigrams
-                    tris |= _trigrams(a.lower() if case_insensitive else a)
-            tris -= hot
-            if not tris:  # pure negation / short / all-hot poisons the union
+                if isinstance(a, str):  # content atom: all its trigrams
+                    base |= _trigrams(a.lower() if case_insensitive else a)
+                elif a[0] == "re":  # regex atom: one trigram set PER branch
+                    branches = compile_branches(a[1])
+                    if branches:
+                        if case_insensitive:
+                            branches = [{t.lower() for t in b} for b in branches]
+                        branch_sets = [
+                            bs | bt for bs in branch_sets for bt in branches
+                        ]
+                        if len(branch_sets) > MAX_CONJUNCTS:
+                            indexable = False
+                            break
+                # field atoms / out-of-subset regexes carry no trigrams
+            if not indexable:
+                break
+            for bs in branch_sets:
+                tris = (base | bs) - hot
+                if not tris:  # a no-trigram expansion poisons the union
+                    indexable = False
+                    break
+                rows.extend((qid, cix, t) for t in sorted(tris))
+                cix += 1
+            if not indexable or cix > MAX_CONJUNCTS:
                 indexable = False
                 break
-            rows.extend((qid, ci, t) for t in sorted(tris))
         if indexable:
             req_rows.extend(rows)
         else:

@@ -218,6 +218,54 @@ def test_field_atoms_search(spark):
     assert n0 == docs.filter(F.lower("lang") == lang.lower()).count()
 
 
+def test_regex_atoms_parse():
+    assert parse_query("re:foo.*bar") == ("regex", "foo.*bar")
+    assert parse_query('re:"a b(c|d)"') == ("regex", "a b(c|d)")
+    assert parse_query("-re:foo lang:py") == (
+        "and",
+        [("not", ("regex", "foo")), ("field", "lang", "py")],
+    )
+    # quoting suppresses the prefix; bare 're:' is a content atom
+    assert parse_query('"re:x"') == ("atom", "re:x")
+    assert parse_query("re:") == ("atom", "re:")
+    # unquoted parenthesized pattern would misparse ('(' is query syntax)
+    with pytest.raises(ValueError):
+        parse_query("re:(a|b) c")
+    assert to_dnf(parse_query("re:foo -re:bar"))[0] == (
+        frozenset({("re", "foo")}),
+        frozenset({("re", "bar")}),
+    )
+
+
+def test_regex_atoms_search(spark, corpus, index):
+    postings, stats = index
+    queries = [
+        (0, "re:return.ident"),                 # in-subset: own branch trigrams
+        (1, 're:"(ident_001|ident_002)" return'),  # branch expansion × content atom
+        (2, "re:ident+ return"),                # OUT of subset: sibling indexes it
+        (3, "return -re:loc_7_"),               # negated regex, verify-side
+        (4, "re:zzz_absent+"),                  # out-of-subset alone → scan path
+        (5, 're:"return ident"'),               # quoted pattern with a space
+    ]
+    got = boolean_search(corpus, postings, stats, queries)
+    want = boolean_search_bruteforce(corpus, queries)
+    assert _rows(got) == _rows(want)
+    by_qid = {r[0] for r in got.select("query_id").distinct().collect()}
+    assert {0, 1, 2, 3, 5} <= by_qid and 4 not in by_qid
+
+
+def test_regex_atoms_case_insensitive(spark, corpus):
+    ci_postings, ci_stats = build_trigram_index(corpus, case_insensitive=True)
+    # under ci the verify runs against folded content: lowercase patterns
+    queries = [(0, "re:return.ident LOC_7_")]
+    got = boolean_search(
+        corpus, ci_postings, ci_stats, queries, case_insensitive=True
+    )
+    want = boolean_search_bruteforce(corpus, queries, case_insensitive=True)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
 def test_bad_syntax_raises(spark, corpus, index):
     postings, stats = index
     with pytest.raises(ValueError):
