@@ -39,6 +39,18 @@ usable trigram at all routes the query to the scan.  Under
 write lowercase patterns (branch trigrams are folded to match the folded
 index, which can only widen candidates, never lose them).
 
+Symbol atoms (zoekt's ``sym:`` filter): ``sym:name`` matches documents
+that DEFINE a symbol whose name contains ``name`` — the definition-site
+extraction is functions/code.py's ctags-style ``SYMBOL_PATTERNS``
+(`extract_symbols`), evaluated in-row as one flatten-of-regexp_extract_all
+expression, so verify/scan stay pure-JVM map-side.  A defined symbol's
+name appears LITERALLY in the content, so a positive ``sym:`` atom
+contributes the name's trigrams to its conjunct exactly like a content
+atom (the index prunes to docs that even contain the spelling; verify
+then demands a definition site) — zoekt evaluates ``sym:`` the same way:
+trigram candidates first, symbol-boundary check after.  Quoting suppresses
+the prefix; negated ``sym:`` atoms are verify-side like all negations.
+
 Execution (index path): the query is converted to DNF — a union of
 conjuncts, each ``(positive atoms, negative atoms)``.  A document matches a
 conjunct iff it contains every positive atom and no negative atom, so the
@@ -70,6 +82,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from searchenginesimple_spark.functions.code import SYMBOL_PATTERNS
 from searchenginesimple_spark.operators.trigram_regex import compile_branches
 
 MAX_CONJUNCTS = 64
@@ -152,6 +165,8 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
             )
         elif word.startswith("re:") and len(word) > 3:
             toks.append(("regex", word[3:]))
+        elif word.startswith("sym:") and len(word) > 4:
+            toks.append(("sym", word[4:]))
         elif ":" in word and word.partition(":")[0] in FIELDS and word.partition(":")[2]:
             f, _, v = word.partition(":")
             toks.append(("field", (f, v)))
@@ -219,6 +234,9 @@ def parse_query(q: str):
         if t[0] == "regex":
             pos += 1
             return ("regex", t[1])
+        if t[0] == "sym":
+            pos += 1
+            return ("sym", t[1])
         raise ValueError(f"unexpected {t[1]!r} in query: {q!r}")
 
     node = expr()
@@ -241,6 +259,8 @@ def to_dnf(node) -> list[tuple[frozenset[str], frozenset[str]]]:
         return [(frozenset([(node[1], node[2])]), frozenset())]
     if kind == "regex":  # regex atoms as ("re", pattern) pairs
         return [(frozenset([("re", node[1])]), frozenset())]
+    if kind == "sym":  # symbol atoms as ("sym", name) pairs
+        return [(frozenset([("sym", node[1])]), frozenset())]
     if kind == "not":
         inner = node[1]
         if inner[0] == "atom":
@@ -249,6 +269,8 @@ def to_dnf(node) -> list[tuple[frozenset[str], frozenset[str]]]:
             return [(frozenset(), frozenset([(inner[1], inner[2])]))]
         if inner[0] == "regex":
             return [(frozenset(), frozenset([("re", inner[1])]))]
+        if inner[0] == "sym":
+            return [(frozenset(), frozenset([("sym", inner[1])]))]
         if inner[0] == "not":
             return to_dnf(inner[1])
         children = [("not", c) for c in inner[1]]
@@ -287,6 +309,20 @@ def _ast_column(node, content: Column, case_insensitive: bool) -> Column:
         return F.instr(col, F.lit(v)) > 0
     if kind == "regex":  # under ci the content arg is already folded
         return F.regexp_like(content, F.lit(node[1]))
+    if kind == "sym":
+        # definition-site names extracted in-row (functions/code.py's
+        # ctags patterns), matched by substring — under ci the content arg
+        # is folded, so names come out folded and the value folds to match
+        v = node[1].lower() if case_insensitive else node[1]
+        names = F.flatten(
+            F.array(
+                *[
+                    F.regexp_extract_all(content, F.lit(p), F.lit(1))
+                    for p in SYMBOL_PATTERNS.values()
+                ]
+            )
+        )
+        return F.exists(names, lambda s: F.instr(s, F.lit(v)) > 0)
     if kind == "not":
         return ~_ast_column(node[1], content, case_insensitive)
     op = Column.__and__ if kind == "and" else Column.__or__
@@ -304,7 +340,7 @@ def _trigrams(s: str) -> set[str]:
 def _fields_used(node) -> set[str]:
     if node[0] == "field":
         return {node[1]}
-    if node[0] in ("atom", "regex"):
+    if node[0] in ("atom", "regex", "sym"):
         return set()
     if node[0] == "not":
         return _fields_used(node[1])
@@ -359,6 +395,8 @@ def boolean_search(
             for a in pos_atoms:
                 if isinstance(a, str):  # content atom: all its trigrams
                     base |= _trigrams(a.lower() if case_insensitive else a)
+                elif a[0] == "sym":  # defined names appear literally in content
+                    base |= _trigrams(a[1].lower() if case_insensitive else a[1])
                 elif a[0] == "re":  # regex atom: one trigram set PER branch
                     branches = compile_branches(a[1])
                     if branches:
@@ -464,6 +502,129 @@ def boolean_search(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    return out
+
+
+def _positive_leaves(node, neg: bool = False, out: set | None = None) -> set:
+    """Leaves that occur at positive polarity (under an even number of
+    NOTs) — the atoms whose occurrences zoekt highlights.  Field atoms are
+    metadata, not line content, so they never produce line matches."""
+    if out is None:
+        out = set()
+    kind = node[0]
+    if kind == "atom":
+        if not neg:
+            out.add(("atom", node[1]))
+    elif kind in ("regex", "sym"):
+        if not neg:
+            out.add((kind, node[1]))
+    elif kind == "field":
+        pass
+    elif kind == "not":
+        _positive_leaves(node[1], not neg, out)
+    else:
+        for c in node[1]:
+            _positive_leaves(c, neg, out)
+    return out
+
+
+def _leaf_line_column(leaf, line: Column, case_insensitive: bool) -> Column:
+    """Does this LINE contain the leaf?  ``line`` is already folded under
+    ci.  A multi-line content atom matches no single line (grep
+    semantics, same as trigram_search_lines)."""
+    kind, v = leaf
+    if kind == "atom":
+        if "\n" in v:
+            return F.lit(False)
+        return F.instr(line, F.lit(v.lower() if case_insensitive else v)) > 0
+    if kind == "regex":
+        return F.regexp_like(line, F.lit(v))
+    names = F.flatten(
+        F.array(
+            *[
+                F.regexp_extract_all(line, F.lit(p), F.lit(1))
+                for p in SYMBOL_PATTERNS.values()
+            ]
+        )
+    )
+    val = v.lower() if case_insensitive else v
+    return F.exists(names, lambda s: F.instr(s, F.lit(val)) > 0)
+
+
+def boolean_search_lines(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[int, str]],
+    max_lines_per_doc: int | None = None,
+    content_col: str = "content",
+    case_insensitive: bool = False,
+    **search_kwargs,
+) -> DataFrame:
+    """grep-style rows → (query_id, query, doc_id, line_no, line): for
+    every doc satisfying the boolean query, the 1-based lines that contain
+    at least one POSITIVE leaf of that query (zoekt's LineMatch rule —
+    negated atoms and metadata field atoms are match conditions, not
+    highlights).  A matching doc whose positive leaves are all multi-line
+    atoms (or a query with no positive content/regex/sym leaf at all, e.g.
+    pure negation or field-only) yields doc hits in ``boolean_search`` but
+    no line rows here — documented grep semantics.
+
+    ``max_lines_per_doc`` caps rows per (query, doc) in line order
+    (``grep -m``).  Scale shape: the line explode runs over the DISTINCT
+    matched docs once (candidate-sized — boolean_search already pruned and
+    verified), the per-query line predicate is one driver-compiled
+    chained-when, so a k-query batch never re-explodes content k times.
+    """
+    asts = {qid: parse_query(qs) for qid, qs in queries}
+    hits = boolean_search(
+        docs,
+        postings,
+        stats,
+        queries,
+        content_col=content_col,
+        case_insensitive=case_insensitive,
+        **search_kwargs,
+    ).select("query_id", "query", "doc_id")
+
+    mdocs = hits.select("doc_id").distinct().join(
+        docs.select("doc_id", content_col), "doc_id"
+    )
+    raw_line = F.col("__line")
+    lines = mdocs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(content_col), "\n", -1)).alias(
+            "__ln0", "__line"
+        ),
+    )
+    folded = F.lower(raw_line) if case_insensitive else raw_line
+    pred = F.lit(False)
+    for qid, _ in queries:
+        leaves = sorted(_positive_leaves(asts[qid]))
+        if not leaves:
+            continue
+        q_pred = F.lit(False)
+        for leaf in leaves:
+            q_pred = q_pred | _leaf_line_column(leaf, folded, case_insensitive)
+        pred = F.when(F.col("query_id") == qid, q_pred).otherwise(pred)
+    out = (
+        hits.join(lines, "doc_id")
+        .filter(pred)
+        .select(
+            "query_id",
+            "query",
+            "doc_id",
+            (F.col("__ln0") + 1).cast("long").alias("line_no"),
+            raw_line.alias("line"),
+        )
+    )
+    if max_lines_per_doc is not None:
+        w = Window.partitionBy("query_id", "doc_id").orderBy(F.asc("line_no"))
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_lines_per_doc)
+            .drop("__rk")
+        )
     return out
 
 

@@ -18,6 +18,7 @@ from searchenginesimple_spark.operators.boolquery import (
     _Unsupported,
     boolean_search,
     boolean_search_bruteforce,
+    boolean_search_lines,
     parse_query,
     to_dnf,
 )
@@ -264,6 +265,169 @@ def test_regex_atoms_case_insensitive(spark, corpus):
     want = boolean_search_bruteforce(corpus, queries, case_insensitive=True)
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_sym_atoms_parse():
+    assert parse_query("sym:handler") == ("sym", "handler")
+    assert parse_query("-sym:main lang:py") == (
+        "and",
+        [("not", ("sym", "main")), ("field", "lang", "py")],
+    )
+    # quoting suppresses the prefix; bare 'sym:' is a content atom
+    assert parse_query('"sym:x"') == ("atom", "sym:x")
+    assert parse_query("sym:") == ("atom", "sym:")
+    assert to_dnf(parse_query("sym:foo -sym:bar"))[0] == (
+        frozenset({("sym", "foo")}),
+        frozenset({("sym", "bar")}),
+    )
+
+
+@pytest.fixture(scope="module")
+def sym_corpus(spark):
+    """Small code corpus with definition sites AND plain usages, so the
+    tests can pin that ``sym:`` demands a DEFINITION, not a mention."""
+    rows = []
+    for i in range(40):
+        lines = [f"ident_{i:03d} return loc_{i}_0", f"y = handler_{i % 5}(1)"]
+        if i % 4 == 0:
+            lines.append(f"def handler_{i % 5}(x):")
+            lines.append("    return x + 1")
+        if i % 6 == 0:
+            lines.append(f"class Widget{i % 3}:")
+        rows.append((i, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, content string").cache()
+    docs.count()
+    return docs
+
+
+@pytest.fixture(scope="module")
+def sym_index(spark, sym_corpus):
+    postings, stats = build_trigram_index(sym_corpus)
+    postings, stats = postings.cache(), stats.cache()
+    postings.count(), stats.count()
+    return postings, stats
+
+
+def test_sym_atoms_search(spark, sym_corpus, sym_index):
+    postings, stats = sym_index
+    queries = [
+        (0, "sym:handler_1"),            # exact defined name
+        (1, "sym:handler"),              # substring over defined names
+        (2, "sym:Widget return"),        # AND with a content atom
+        (3, "return -sym:handler_0"),    # negated sym, verify-side
+        (4, "sym:absent_zzz"),           # defined nowhere
+        (5, "handler_1"),                # content atom twin of query 0
+    ]
+    got = boolean_search(sym_corpus, postings, stats, queries)
+    want = boolean_search_bruteforce(sym_corpus, queries)
+    assert _rows(got) == _rows(want)
+    by_qid = {r[0] for r in got.select("query_id").distinct().collect()}
+    assert {0, 1, 2, 3, 5} <= by_qid and 4 not in by_qid
+    # definition vs mention: i%5==1 docs all MENTION handler_1 (call
+    # sites), but only the i%4==0 ∧ i%5==1 ones also DEFINE it
+    n_def = got.filter(F.col("query_id") == 0).count()
+    n_mention = got.filter(F.col("query_id") == 5).count()
+    assert n_def == sum(1 for i in range(40) if i % 4 == 0 and i % 5 == 1)
+    assert n_mention > n_def
+
+
+def test_sym_atoms_case_insensitive(spark, sym_corpus):
+    ci_postings, ci_stats = build_trigram_index(sym_corpus, case_insensitive=True)
+    queries = [(0, "sym:WIDGET0"), (1, "sym:widget0")]
+    got = boolean_search(
+        sym_corpus, ci_postings, ci_stats, queries, case_insensitive=True
+    )
+    want = boolean_search_bruteforce(sym_corpus, queries, case_insensitive=True)
+    assert _rows(got) == _rows(want)
+    a = _rows(got.filter(F.col("query_id") == 0).select("doc_id"))
+    b = _rows(got.filter(F.col("query_id") == 1).select("doc_id"))
+    assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------- line reporting
+
+
+def _py_eval(node, content: str, symbols: list[str]) -> bool:
+    """Independent pure-Python evaluation of the boolean AST."""
+    import re as _re
+
+    kind = node[0]
+    if kind == "atom":
+        return node[1] in content
+    if kind == "regex":
+        return _re.search(node[1], content) is not None
+    if kind == "sym":
+        return any(node[1] in s for s in symbols)
+    if kind == "field":
+        raise AssertionError("field atoms not used in the line-test queries")
+    if kind == "not":
+        return not _py_eval(node[1], content, symbols)
+    sub = (_py_eval(c, content, symbols) for c in node[1])
+    return all(sub) if kind == "and" else any(sub)
+
+
+def _py_symbols(text: str) -> list[str]:
+    import re as _re
+
+    from searchenginesimple_spark.functions.code import SYMBOL_PATTERNS
+
+    out: list[str] = []
+    for p in SYMBOL_PATTERNS.values():
+        out.extend(m.group(1) for m in _re.finditer(p, text))
+    return out
+
+
+def _py_lines_oracle(rows, queries):
+    """(query_id, query, doc_id, line_no, line) per python re — the
+    independent twin of boolean_search_lines."""
+    from searchenginesimple_spark.operators.boolquery import _positive_leaves
+
+    want = []
+    for qid, qs in queries:
+        ast = parse_query(qs)
+        leaves = sorted(_positive_leaves(ast))
+        for doc_id, content in rows:
+            if not _py_eval(ast, content, _py_symbols(content)):
+                continue
+            for ln0, line in enumerate(content.split("\n")):
+                hit = False
+                for kind, v in leaves:
+                    if kind == "atom":
+                        hit = "\n" not in v and v in line
+                    elif kind == "regex":
+                        import re as _re
+
+                        hit = _re.search(v, line) is not None
+                    else:
+                        hit = any(v in s for s in _py_symbols(line))
+                    if hit:
+                        break
+                if hit:
+                    want.append((qid, qs, doc_id, ln0 + 1, line))
+    return sorted(want)
+
+
+def test_boolean_search_lines(spark, sym_corpus, sym_index):
+    postings, stats = sym_index
+    queries = [
+        (0, "return -sym:handler_0"),     # positive leaf: 'return' only
+        (1, "sym:Widget OR handler_2"),   # sym + content leaves highlight
+        (2, "re:handler_[13] return"),    # regex leaf lines + atom lines
+        (3, "-return"),                   # no positive leaf → no line rows
+    ]
+    got = boolean_search_lines(sym_corpus, postings, stats, queries)
+    rows = [(r["doc_id"], r["content"]) for r in sym_corpus.collect()]
+    assert sorted(map(tuple, got.collect())) == _py_lines_oracle(rows, queries)
+    qids = {r[0] for r in got.select("query_id").distinct().collect()}
+    assert {0, 1, 2} <= qids and 3 not in qids
+    # grep -m: the cap keeps the FIRST lines per (query, doc)
+    capped = boolean_search_lines(
+        sym_corpus, postings, stats, queries, max_lines_per_doc=1
+    )
+    full = {}
+    for r in _py_lines_oracle(rows, queries):
+        full.setdefault((r[0], r[2]), r)  # first line per (qid, doc)
+    assert sorted(map(tuple, capped.collect())) == sorted(full.values())
 
 
 def test_bad_syntax_raises(spark, corpus, index):

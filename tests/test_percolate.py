@@ -34,6 +34,8 @@ QUERIES = [
     (1, "lang:py crypto"),
     (2, "return OR pass"),
     (3, "absent_zzz"),
+    (4, "re:def.crypto"),   # regex atoms ride the standing algebra
+    (5, "sym:crypto"),      # ...and symbol atoms (definition sites)
 ]
 
 
@@ -81,7 +83,7 @@ def test_percolate_matches_batch_search(spark, dirs):
     want = _rows(boolean_search(docs, postings, stats, QUERIES))
     assert got == want
     by_qid = {r[0] for r in got}
-    assert {0, 1, 2} <= by_qid and 3 not in by_qid
+    assert {0, 1, 2, 4, 5} <= by_qid and 3 not in by_qid
     # the negation actually pruned: doc 2 (vendor_crypto) not under query 0
     assert (0, QUERIES[0][1], 2) not in got
 
