@@ -55,6 +55,18 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--index", required=True, help="trigram index root (built/resumed on demand)")
     g.add_argument("--query", action="append", required=True, help="repeatable boolean query")
     g.add_argument("--ci", action="store_true", help="case-insensitive (index folds with it)")
+    g.add_argument(
+        "--lines",
+        action="store_true",
+        help="grep-style per-line matches (positive-leaf highlights)",
+    )
+    g.add_argument(
+        "-m",
+        "--max-lines-per-doc",
+        type=int,
+        default=None,
+        help="with --lines: cap matched lines per (query, doc), grep -m",
+    )
 
     c = sub.add_parser("chunk", help="context-window packing into training chunks")
     c.add_argument("--input", required=True, help="parquet dir of docs")
@@ -111,7 +123,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "grep":
-        from searchenginesimple_spark.operators.boolquery import boolean_search
+        from searchenginesimple_spark.operators.boolquery import (
+            boolean_search,
+            boolean_search_lines,
+        )
         from searchenginesimple_spark.operators.trigram import (
             build_trigram_index,
             write_trigram_index,
@@ -127,6 +142,27 @@ def main(argv: list[str] | None = None) -> int:
         raw, _ = build_trigram_index(docs, case_insensitive=args.ci)
         postings, stats = write_trigram_index(raw, args.index, resume=True)
         queries = [(int(i), q) for i, q in enumerate(args.query)]
+        if args.lines:
+            out = boolean_search_lines(
+                docs,
+                postings,
+                stats,
+                queries,
+                max_lines_per_doc=args.max_lines_per_doc,
+                case_insensitive=args.ci,
+            )
+            for r in out.orderBy("query_id", "doc_id", "line_no").collect():
+                print(
+                    json.dumps(
+                        {
+                            "query": r["query"],
+                            "doc_id": int(r["doc_id"]),
+                            "line_no": int(r["line_no"]),
+                            "line": r["line"],
+                        }
+                    )
+                )
+            return 0
         out = boolean_search(
             docs, postings, stats, queries, case_insensitive=args.ci
         )

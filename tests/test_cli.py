@@ -53,6 +53,24 @@ def test_cli_grep_and_chunk(spark, tmp_path, capsys):
         map(tuple, (r.items() for r in rows))
     )
 
+    # --lines: grep-style per-line rows, -m 1 caps to the first line per doc
+    rc = cli.main(
+        ["grep", "--input", str(corpus), "--index", str(tri),
+         "--query", "return ident", "--lines", "-m", "1"]
+    )
+    assert rc == 0
+    lrows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lrows and all(
+        set(r) == {"query", "doc_id", "line_no", "line"} for r in lrows
+    )
+    assert {r["doc_id"] for r in lrows} == {
+        r["doc_id"] for r in rows if r["query"] == "return ident"
+    }
+    assert len(lrows) == len({r["doc_id"] for r in lrows})  # -m 1
+    assert all(
+        "return" in r["line"] or "ident" in r["line"] for r in lrows
+    )
+
     rc = cli.main(
         ["chunk", "--input", str(corpus), "--output", str(chunks),
          "--chunk-tokens", "32", "--overlap-lines", "2"]
