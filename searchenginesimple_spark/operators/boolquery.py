@@ -628,6 +628,174 @@ def boolean_search_lines(
     return out
 
 
+def boolean_search_topk_ranked(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    content_col: str = "content",
+    path_col: str = "path",
+    case_insensitive: bool = False,
+    **search_kwargs,
+) -> DataFrame:
+    """zoekt-ordered boolean results → (query_id, query, rank, doc_id,
+    symbol_match, path_match, n_occurrences): top-k matching docs per
+    boolean query, ordered by symbol-definition match > file-path match >
+    occurrence count (ties doc_id asc) — trigram_search_topk_ranked's
+    boost ladder lifted to the full query algebra.  Boost signals come
+    from the query's POSITIVE leaves (the same highlight set as
+    boolean_search_lines; negations and field atoms are match conditions,
+    not boosts):
+
+    * ``n_occurrences``: Σ over positive content atoms of their substring
+      occurrence counts (replace-arithmetic) + Σ over positive regex
+      leaves of ``regexp_count``;
+    * ``path_match``: any positive content atom occurs in ``path_col``,
+      or any positive regex leaf matches it;
+    * ``symbol_match``: any positive leaf hits a symbol DEFINED in the doc
+      (atoms and ``sym:`` values by substring over the extracted name,
+      regex leaves by ``regexp_like``); extraction runs over the folded
+      content under ci, matching the ``sym:`` atom's semantics.
+
+    Scale shape: boosts are computed on VERIFIED MATCHES only (the join
+    and extract_symbols run over candidate-sized data); the per-query
+    top-k is the usual map-side WindowGroupLimit.
+    """
+    from searchenginesimple_spark.functions.code import extract_symbols
+
+    ci = case_insensitive
+    asts = {qid: parse_query(qs) for qid, qs in queries}
+    leaves_by_qid = {qid: sorted(_positive_leaves(asts[qid])) for qid, _ in queries}
+
+    hits = boolean_search(
+        docs,
+        postings,
+        stats,
+        queries,
+        content_col=content_col,
+        case_insensitive=ci,
+        **search_kwargs,
+    ).select("query_id", "query", "doc_id")
+    matched = hits.join(docs.select("doc_id", content_col, path_col), "doc_id")
+
+    def fold(col: Column) -> Column:
+        return F.lower(col) if ci else col
+
+    c, p = fold(F.col(content_col)), fold(F.col(path_col))
+    occ_expr = F.lit(0).cast("long")
+    path_expr = F.lit(False)
+    for qid, _ in queries:
+        q_occ = F.lit(0).cast("long")
+        q_path = F.lit(False)
+        for kind, v in leaves_by_qid[qid]:
+            if kind == "atom":
+                a = F.lit(v.lower() if ci else v)
+                q_occ = q_occ + (
+                    (F.length(c) - F.length(F.replace(c, a))) / F.length(a)
+                ).cast("long")
+                q_path = q_path | (F.instr(p, a) > 0)
+            elif kind == "regex":
+                q_occ = q_occ + F.regexp_count(c, F.lit(v)).cast("long")
+                q_path = q_path | F.regexp_like(p, F.lit(v))
+            # sym leaves boost via symbol_match only
+        occ_expr = F.when(F.col("query_id") == qid, q_occ).otherwise(occ_expr)
+        path_expr = F.when(F.col("query_id") == qid, q_path).otherwise(path_expr)
+    base = matched.select(
+        "query_id",
+        "query",
+        "doc_id",
+        path_expr.cast("int").alias("path_match"),
+        occ_expr.alias("n_occurrences"),
+    )
+
+    mdocs = matched.select(
+        "doc_id", fold(F.col(content_col)).alias("__content")
+    ).distinct()
+    defs = extract_symbols(mdocs, "__content").select("doc_id", "symbol")
+    symp = F.lit(False)
+    for qid, _ in queries:
+        q_sym = F.lit(False)
+        for kind, v in leaves_by_qid[qid]:
+            if kind == "regex":
+                q_sym = q_sym | F.regexp_like(F.col("symbol"), F.lit(v))
+            else:
+                vv = F.lit(v.lower() if ci else v)
+                q_sym = q_sym | (F.instr(F.col("symbol"), vv) > 0)
+        symp = F.when(F.col("query_id") == qid, q_sym).otherwise(symp)
+    sym = (
+        hits.select("query_id", "doc_id")
+        .join(defs, "doc_id")
+        .filter(symp)
+        .select("query_id", "doc_id")
+        .distinct()
+        .withColumn("symbol_match", F.lit(1))
+    )
+
+    ranked = base.join(sym, ["query_id", "doc_id"], "left").withColumn(
+        "symbol_match", F.coalesce("symbol_match", F.lit(0)).cast("int")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("symbol_match"),
+        F.desc("path_match"),
+        F.desc("n_occurrences"),
+        F.asc("doc_id"),
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "symbol_match",
+            "path_match",
+            "n_occurrences",
+        )
+    )
+
+
+def boolean_search_facets(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[int, str]],
+    by: tuple[str, ...] = ("repo", "lang"),
+    content_col: str = "content",
+    **search_kwargs,
+) -> DataFrame:
+    """Result facets → (query_id, query, facet, value, n_docs): per query,
+    matching-document counts grouped by each metadata column in ``by`` —
+    the sidebar aggregation of every code-search UI (zoekt's RepoStats /
+    per-repository match counts, Hound's repo buckets).
+
+    Scale shape: one boolean_search pass (already pruned + verified), one
+    candidate-sized join to the metadata columns, then ONE hash-agg per
+    facet column (map-side partials; the unpivot to (facet, value) rows is
+    a map-side stack over the agg output, so adding facet columns never
+    adds passes over content)."""
+    hits = boolean_search(
+        docs, postings, stats, queries, content_col=content_col, **search_kwargs
+    ).select("query_id", "query", "doc_id")
+    meta = hits.join(docs.select("doc_id", *by), "doc_id")
+    out = None
+    for col in by:
+        f = (
+            meta.groupBy("query_id", "query", F.col(col).cast("string").alias("value"))
+            .agg(F.count("*").alias("n_docs"))
+            .select(
+                "query_id",
+                "query",
+                F.lit(col).alias("facet"),
+                "value",
+                "n_docs",
+            )
+        )
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
 def boolean_search_bruteforce(
     docs: DataFrame,
     queries: list[tuple[int, str]],

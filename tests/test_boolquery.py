@@ -19,6 +19,7 @@ from searchenginesimple_spark.operators.boolquery import (
     boolean_search,
     boolean_search_bruteforce,
     boolean_search_lines,
+    boolean_search_topk_ranked,
     parse_query,
     to_dnf,
 )
@@ -428,6 +429,120 @@ def test_boolean_search_lines(spark, sym_corpus, sym_index):
     for r in _py_lines_oracle(rows, queries):
         full.setdefault((r[0], r[2]), r)  # first line per (qid, doc)
     assert sorted(map(tuple, capped.collect())) == sorted(full.values())
+
+
+# ------------------------------------------------------------ boost ladder
+
+
+@pytest.fixture(scope="module")
+def ranked_corpus(spark):
+    """(doc_id, path, content): definition sites, call-site usages, and
+    paths that sometimes carry the handler name — every boost signal of
+    the ladder is planted."""
+    rows = []
+    for i in range(50):
+        lines = [
+            f"ident_{i:03d} return loc_{i}_0",
+            f"y = handler_{i % 5}(1)",
+            "return done",
+        ]
+        if i % 4 == 0:
+            lines += [f"def handler_{i % 5}(x):", "    return x + 1"]
+        path = (
+            f"src/handler_{i % 5}/f{i}.py" if i % 7 == 0 else f"src/core/f{i}.py"
+        )
+        rows.append((i, path, "\n".join(lines)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, path string, content string"
+    ).cache()
+    docs.count()
+    return rows, docs
+
+
+def _py_ranked_oracle(rows, queries, k):
+    """Independent python-re twin of boolean_search_topk_ranked (ci=False)."""
+    import re as _re
+
+    from searchenginesimple_spark.operators.boolquery import _positive_leaves
+
+    out = []
+    for qid, qs in queries:
+        ast = parse_query(qs)
+        leaves = sorted(_positive_leaves(ast))
+        scored = []
+        for doc_id, path, content in rows:
+            syms = _py_symbols(content)
+            if not _py_eval(ast, content, syms):
+                continue
+            occ, pm, sm = 0, 0, 0
+            for kind, v in leaves:
+                if kind == "atom":
+                    occ += content.count(v)
+                    pm |= int(v in path)
+                    sm |= int(any(v in s for s in syms))
+                elif kind == "regex":
+                    occ += len(_re.findall(v, content))
+                    pm |= int(_re.search(v, path) is not None)
+                    sm |= int(any(_re.search(v, s) for s in syms))
+                else:  # sym
+                    sm |= int(any(v in s for s in syms))
+            scored.append((sm, pm, occ, doc_id))
+        scored.sort(key=lambda t: (-t[0], -t[1], -t[2], t[3]))
+        for rank, (sm, pm, occ, doc_id) in enumerate(scored[:k], 1):
+            out.append((qid, qs, rank, doc_id, sm, pm, occ))
+    return sorted(out)
+
+
+def test_boolean_topk_ranked(spark, ranked_corpus):
+    rows, docs = ranked_corpus
+    postings, stats = build_trigram_index(docs)
+    queries = [
+        (0, "handler_1"),                  # atom: all three boosts live
+        (1, "re:handler_[12] return"),     # regex occurrences + atom occurrences
+        (2, "sym:handler_2 OR handler_3"), # sym leaf boosts symbol_match only
+        (3, "return -handler_1"),          # negation: no boost from the negated atom
+    ]
+    for k in (5, 100):
+        got = sorted(
+            map(tuple, boolean_search_topk_ranked(docs, postings, stats, queries, k=k).collect())
+        )
+        assert got == _py_ranked_oracle(rows, queries, k)
+    # the ladder actually bites: for query 0 the top hit defines handler_1
+    top = (
+        boolean_search_topk_ranked(docs, postings, stats, queries, k=1)
+        .filter(F.col("query_id") == 0)
+        .collect()[0]
+    )
+    assert top["symbol_match"] == 1
+
+
+def test_boolean_facets(spark):
+    from collections import Counter
+
+    from searchenginesimple_spark.operators.boolquery import boolean_search_facets
+
+    docs = (
+        with_doc_ids(docs_df(spark, 200))
+        .select("doc_id", "repo", "lang", "content")
+        .cache()
+    )
+    postings, stats = build_trigram_index(docs)
+    queries = [(0, "return ident"), (1, "lang:py return"), (2, "zzz_absent")]
+    got = sorted(
+        map(tuple, boolean_search_facets(docs, postings, stats, queries).collect())
+    )
+    hits = boolean_search_bruteforce(docs, queries).join(
+        docs.select("doc_id", "repo", "lang"), "doc_id"
+    )
+    cnt: Counter = Counter()
+    for r in hits.select("query_id", "query", "repo", "lang").collect():
+        cnt[(r["query_id"], r["query"], "repo", r["repo"])] += 1
+        cnt[(r["query_id"], r["query"], "lang", r["lang"])] += 1
+    want = sorted((q, s, f, v, n) for (q, s, f, v), n in cnt.items())
+    assert got == want
+    assert {r[0] for r in got} == {0, 1}  # the absent query contributes no rows
+    # the field-filtered query facets to a single lang bucket
+    assert {r[3] for r in got if r[0] == 1 and r[2] == "lang"} == {"py"}
 
 
 def test_bad_syntax_raises(spark, corpus, index):

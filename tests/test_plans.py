@@ -211,3 +211,66 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bk_tf")
         spark.sql("DROP TABLE IF EXISTS bk_stats")
+
+
+@pytest.fixture(scope="module")
+def bool_setup(spark, tmp_path_factory):
+    from searchenginesimple_spark.operators.trigram import (
+        build_trigram_index,
+        write_trigram_index,
+    )
+    from searchenginesimple_spark.sources.corpus import docs_df, with_doc_ids
+
+    docs = with_doc_ids(docs_df(spark, 120)).select(
+        "doc_id", "repo", "lang", "path", "content"
+    )
+    raw, _ = build_trigram_index(docs)
+    # the deployed shape: a materialized parquet index, not an inline build
+    postings, stats = write_trigram_index(
+        raw, str(tmp_path_factory.mktemp("tri_plans"))
+    )
+    return docs, postings, stats
+
+
+def test_boolean_lines_explodes_content_once(spark, bool_setup):
+    """boolean_search_lines' claim: a k-query batch explodes the matched
+    docs' content into lines ONCE (over the distinct matched docs), never
+    once per query — at results-page scale the explode output dominates,
+    so k would multiply it."""
+    from searchenginesimple_spark.operators.boolquery import boolean_search_lines
+
+    docs, postings, stats = bool_setup
+    df = boolean_search_lines(
+        docs, postings, stats,
+        [(0, "return ident"), (1, "return -def"), (2, "loc_7_ OR ident_001")],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1, plan
+
+
+def test_boolean_facets_aggregate_is_partial(spark, bool_setup):
+    """boolean_search_facets' claim: the per-facet count is a hash-agg with
+    map-side partials (partial_count) — no raw hit rows cross the shuffle
+    un-combined."""
+    from searchenginesimple_spark.operators.boolquery import boolean_search_facets
+
+    docs, postings, stats = bool_setup
+    df = boolean_search_facets(docs, postings, stats, [(0, "return ident")])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
+
+
+def test_boolean_ranked_topk_is_window_group_limit(spark, bool_setup):
+    """boolean_search_topk_ranked's claim: the per-query top-k rank filter
+    runs as WindowGroupLimit (map-side partial limit before the shuffle),
+    the same guarantee every rank-filter in this engine pins."""
+    from searchenginesimple_spark.operators.boolquery import (
+        boolean_search_topk_ranked,
+    )
+
+    docs, postings, stats = bool_setup
+    df = boolean_search_topk_ranked(
+        docs, postings, stats, [(0, "return ident")], k=5
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
