@@ -18,6 +18,8 @@ tests/test_cli.py::test_spark_submit_py_files_ships.  Or locally:
                                                   --query 'lang:py crypto -vendor' [--ci]
     python -m searchenginesimple_spark.cli chunk  --input /path/docs_parquet --output /path/chunks \\
                                                   [--chunk-tokens 512] [--overlap-lines 4]
+    python -m searchenginesimple_spark.cli watch  --input /path/incoming --output /path/matches \\
+                                                  --query 'lang:py crypto -vendor' [--ci]
 
 Replaces the reference's three binaries + HTTP servers (``src/page.cc``,
 ``src/keyWord.cc``, ``src/Server/*``) with batch jobs over tables.
@@ -67,6 +69,15 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="with --lines: cap matched lines per (query, doc), grep -m",
     )
+
+    w = sub.add_parser(
+        "watch", help="percolation: standing boolean queries over an incoming dir"
+    )
+    w.add_argument("--input", required=True, help="incoming parquet dir of docs (must carry doc_id)")
+    w.add_argument("--output", required=True, help="matches root (per-batch subdirs)")
+    w.add_argument("--checkpoint", default=None, help="stream checkpoint (default <output>/_checkpoint)")
+    w.add_argument("--query", action="append", required=True, help="repeatable standing query")
+    w.add_argument("--ci", action="store_true")
 
     c = sub.add_parser("chunk", help="context-window packing into training chunks")
     c.add_argument("--input", required=True, help="parquet dir of docs")
@@ -168,6 +179,40 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in out.orderBy("query_id", "doc_id").collect():
             print(json.dumps({"query": r["query"], "doc_id": int(r["doc_id"])}))
+        return 0
+
+    if args.cmd == "watch":
+        from searchenginesimple_spark.streaming.percolate import (
+            read_percolated,
+            stream_percolate,
+        )
+
+        schema = spark.read.parquet(args.input).schema
+        if "doc_id" not in schema.names:
+            # ids must be stable ACROSS micro-batches, so per-batch
+            # assignment is not an option — fail loudly at the seam
+            print(
+                json.dumps({"error": "watch input must carry a doc_id column"}),
+                file=sys.stderr,
+            )
+            return 2
+        stream = spark.readStream.schema(schema).parquet(args.input)
+        queries = [(int(i), q) for i, q in enumerate(args.query)]
+        q = stream_percolate(
+            stream,
+            queries,
+            args.output,
+            args.checkpoint or f"{args.output}/_checkpoint",
+            case_insensitive=args.ci,
+            available_now=True,
+        )
+        q.awaitTermination()
+        import glob as _glob
+
+        if _glob.glob(f"{args.output}/batch=*"):  # no batch matched → no dirs
+            out = read_percolated(spark, args.output)
+            for r in out.orderBy("query_id", "doc_id").collect():
+                print(json.dumps({"query": r["query"], "doc_id": int(r["doc_id"])}))
         return 0
 
     if args.cmd == "chunk":

@@ -82,6 +82,45 @@ def test_cli_grep_and_chunk(spark, tmp_path, capsys):
     assert set(out.columns) == {"doc_id", "chunk_id", "n_chunks", "n_tokens", "chunk"}
 
 
+def test_cli_watch(spark, tmp_path, capsys):
+    import searchenginesimple_spark.cli as cli
+
+    incoming, matches = tmp_path / "incoming", tmp_path / "matches"
+    docs = [
+        (1, "py", "def crypto_sign(): return seal"),
+        (2, "py", "def vendor_crypto(): pass"),
+        (3, "js", "function crypto() { return 1 }"),
+    ]
+    for row in docs:
+        spark.createDataFrame(
+            [row], "doc_id long, lang string, content string"
+        ).coalesce(1).write.mode("append").parquet(str(incoming))
+
+    argv = ["watch", "--input", str(incoming), "--output", str(matches),
+            "--query", "crypto -vendor", "--query", "sym:crypto lang:py"]
+    rc = cli.main(argv)
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    got = {(r["query"], r["doc_id"]) for r in rows}
+    assert got == {
+        ("crypto -vendor", 1), ("crypto -vendor", 3),
+        ("sym:crypto lang:py", 1), ("sym:crypto lang:py", 2),
+    }
+
+    # a drained re-run on the same checkpoint reports the same matches
+    rc = cli.main(argv)
+    assert rc == 0
+    rows2 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {(r["query"], r["doc_id"]) for r in rows2} == got
+
+    # a doc_id-less input fails loudly at the seam
+    bad = tmp_path / "bad"
+    spark.createDataFrame([("x",)], "content string").write.parquet(str(bad))
+    rc = cli.main(["watch", "--input", str(bad), "--output", str(tmp_path / "m2"),
+                   "--query", "x"])
+    assert rc == 2
+
+
 def test_spark_submit_py_files_ships(spark, tmp_path):
     """The literal north-rule ship mechanism: zip the package, launch a real
     ``spark-submit --py-files engine.zip driver.py`` subprocess from a cwd
