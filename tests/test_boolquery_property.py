@@ -26,6 +26,22 @@ from searchenginesimple_spark.operators.boolquery import (
 
 _WORDS = st.text(alphabet="abcxz_0( )\"-:", min_size=1, max_size=6)
 _FIELD_VALS = st.text(alphabet="abcxz0.", min_size=1, max_size=4)
+# regex patterns: literal-ish chars plus '.', '|' — always valid in both
+# Python re and Java; rendered in the quoted re:"..." form
+_RE_PATS = st.text(alphabet="abcx0_.| ()", min_size=1, max_size=6).filter(
+    lambda p: _valid_re(p)
+)
+_SYM_VALS = st.text(alphabet="abcx_0", min_size=1, max_size=5)
+
+
+def _valid_re(p: str) -> bool:
+    import re as _re
+
+    try:
+        _re.compile(p)
+        return True
+    except _re.error:
+        return False
 
 
 def _atom():
@@ -35,7 +51,9 @@ def _atom():
         st.sampled_from(sorted(FIELDS)),
         _FIELD_VALS,
     )
-    return st.one_of(content, field)
+    regex = st.builds(lambda p: ("regex", p), _RE_PATS)
+    sym = st.builds(lambda v: ("sym", v), _SYM_VALS)
+    return st.one_of(content, field, regex, sym)
 
 
 def _ast():
@@ -73,16 +91,37 @@ def _render(node) -> str:
         return s
     if kind == "field":
         return f"{node[1]}:{node[2]}"
+    if kind == "regex":
+        return 're:"' + node[1].replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if kind == "sym":
+        return "sym:" + node[1]
     if kind == "not":
         return "-(" + _render(node[1]) + ")"
     sep = " " if kind == "and" else " OR "
     return sep.join("(" + _render(c) + ")" for c in node[1])
 
 
+def _symbols(content: str) -> list[str]:
+    import re as _re
+
+    from searchenginesimple_spark.functions.code import SYMBOL_PATTERNS
+
+    out: list[str] = []
+    for p in SYMBOL_PATTERNS.values():
+        out.extend(m.group(1) for m in _re.finditer(p, content))
+    return out
+
+
 def _eval_ast(node, doc: dict) -> bool:
+    import re as _re
+
     kind = node[0]
     if kind == "atom":
         return node[1] in doc["content"]
+    if kind == "regex":
+        return _re.search(node[1], doc["content"]) is not None
+    if kind == "sym":
+        return any(node[1] in s for s in _symbols(doc["content"]))
     if kind == "field":
         f, v = node[1], node[2]
         if f == "lang":
@@ -95,9 +134,15 @@ def _eval_ast(node, doc: dict) -> bool:
 
 
 def _eval_atom(a, doc: dict) -> bool:
+    import re as _re
+
     if isinstance(a, str):
         return a in doc["content"]
     f, v = a
+    if f == "re":
+        return _re.search(v, doc["content"]) is not None
+    if f == "sym":
+        return any(v in s for s in _symbols(doc["content"]))
     if f == "lang":
         return v.lower() == doc["lang"].lower()
     return v in doc[f]
@@ -113,7 +158,12 @@ def _eval_dnf(conjuncts, doc: dict) -> bool:
 
 _DOC = st.fixed_dictionaries(
     {
-        "content": st.text(alphabet="abcxz_0 (\"-:\n", max_size=40),
+        # optional planted definition suffix so sym atoms can be True
+        "content": st.builds(
+            lambda t, d: t + d,
+            st.text(alphabet="abcxz_0 (\"-:\n", max_size=40),
+            st.sampled_from(["", "\ndef abcx(x):", "\nclass ab_c0:", "\nfunction ba("]),
+        ),
         "path": st.text(alphabet="abcxz0./", max_size=12),
         "repo": st.text(alphabet="abcxz0", max_size=8),
         "lang": st.sampled_from(["py", "js", "cc", "go"]),
