@@ -48,3 +48,51 @@ def test_index_invariant_under_input_partitioning(spark, tmp_path):
         a = _canon(outs[0].read(name).toPandas(), key)
         b = _canon(outs[1].read(name).toPandas(), key)
         pd.testing.assert_frame_equal(a, b, check_like=True)
+
+
+def test_boolean_family_invariant_under_partitioning(spark):
+    """The query-algebra results (matches, ranked ladder, line hits) must be
+    identical regardless of input partitioning — rank ties and line caps all
+    break on deterministic keys, never on partition layout."""
+    from searchenginesimple_spark.operators.boolquery import (
+        boolean_search,
+        boolean_search_lines,
+        boolean_search_topk_ranked,
+    )
+    from searchenginesimple_spark.operators.trigram import build_trigram_index
+    from searchenginesimple_spark.sources.corpus import with_doc_ids
+
+    pdf = generate_docs_pdf(200)
+    queries = [
+        (0, "return ident"),
+        (1, "re:loc_7_. OR ident_001"),
+        (2, "return -ident_002"),
+    ]
+    outs = []
+    for parts in (3, 17):
+        docs = with_doc_ids(spark.createDataFrame(pdf).repartition(parts)).select(
+            "doc_id", "path", "content"
+        )
+        postings, stats = build_trigram_index(docs)
+        outs.append(
+            (
+                sorted(map(tuple, boolean_search(docs, postings, stats, queries).collect())),
+                sorted(
+                    map(
+                        tuple,
+                        boolean_search_topk_ranked(
+                            docs, postings, stats, queries, k=10
+                        ).collect(),
+                    )
+                ),
+                sorted(
+                    map(
+                        tuple,
+                        boolean_search_lines(
+                            docs, postings, stats, queries, max_lines_per_doc=2
+                        ).collect(),
+                    )
+                ),
+            )
+        )
+    assert outs[0] == outs[1]
