@@ -193,3 +193,36 @@ def test_read_supersedes_base_without_full_distinct(spark, idx_path):
     # the only aggregation allowed is over the SMALL delta union: no
     # HashAggregate keyed on the full (trigram, doc_id) base
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_boolean_search_over_shards_equals_scan(spark, idx_path):
+    """The query algebra composes with the LSM shards through the same
+    (postings, stats) seam: boolean_search over base ∪ delta ≡ boolean
+    scan over the CURRENT docstore, including negation against stale
+    content and a conjunct satisfied only by delta postings."""
+    from searchenginesimple_spark.operators.boolquery import (
+        boolean_search,
+        boolean_search_bruteforce,
+    )
+
+    _build_base_and_delta(spark, idx_path)
+    current = _docs(spark, CURRENT_DOCS)
+    postings, stats = read_trigram_index(spark, idx_path)
+    queries = [
+        (0, "BetaServer fresh_needle_new"),   # replaced doc: new content only
+        (1, "return -stale_needle_gone"),     # negation vs stale content
+        (2, "stale_needle_gone OR doomed_document"),  # both unreachable → empty
+        (3, "appended_marker OR unique_marker_one"),  # delta ∪ base union
+        (4, "sym:delta_only_doc"),            # symbol defined only in the delta doc
+    ]
+    got = _rows(boolean_search(current, postings, stats, queries))
+    want = _rows(boolean_search_bruteforce(current, queries))
+    assert got == want
+    by_qid = {}
+    for qid, _, doc_id in want:
+        by_qid.setdefault(qid, set()).add(doc_id)
+    assert by_qid.get(0) == {2}
+    assert by_qid.get(1) == {1, 3, 5}  # the current docs containing 'return'
+    assert 2 not in by_qid
+    assert by_qid.get(3) == {1, 5}
+    assert by_qid.get(4) == {5}
