@@ -68,9 +68,11 @@ oracle) for every query and every knob setting, exactly like
 Scan fallback (never wrong results, the regex module's rule): a query whose
 DNF explodes past ``MAX_CONJUNCTS``, or that has a conjunct with no usable
 positive trigram (pure negation, all atoms < 3 chars, or everything
-hot-dropped by ``max_df``) evaluates its boolean directly in a map-only
-pass over the doc store — query batches are small, so this is a bounded
-per-query filter, not a join.
+hot-dropped by ``max_df``) evaluates its boolean directly over the doc
+store — ALL scan-routed queries of a batch share ONE map-only pass (each
+row evaluates every scan query into an array of matched query_ids, one
+explode), so fallback cost is a single corpus scan per batch, never one
+per query.
 
 Scale story: one postings pass serves the whole batch (driver-side compiled
 atoms → trigram-universe IN-filter pushed into the parquet scan, row-group
@@ -487,14 +489,26 @@ def boolean_search(
         )
         results.append(indexed)
 
-    for qid in scan_qids:  # map-only per-query filter, no join
-        results.append(
-            docs.filter(_ast_column(asts[qid], content, case_insensitive))
-            .select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.lit(dict(queries)[qid]).alias("query"),
-                "doc_id",
+    if scan_qids:
+        # ONE shared map-only pass for the whole scan batch: each doc row
+        # evaluates every scan query's boolean into an array of matched
+        # query_ids, exploded to rows — s fallback queries must never cost
+        # s corpus scans
+        matched = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        _ast_column(asts[qid], content, case_insensitive),
+                        F.lit(qid).cast("long"),
+                    )
+                    for qid in scan_qids
+                ]
             )
+        )
+        results.append(
+            docs.select("doc_id", F.explode(matched).alias("query_id"))
+            .join(F.broadcast(qdf), "query_id")
+            .select("query_id", "query", "doc_id")
         )
 
     if not results:

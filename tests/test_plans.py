@@ -274,3 +274,21 @@ def test_boolean_ranked_topk_is_window_group_limit(spark, bool_setup):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_boolean_scan_fallback_is_single_pass(spark, bool_setup, tmp_path):
+    """boolean_search's claim: every scan-routed query of a batch shares
+    ONE pass over the doc store — three pure-negation/short-atom queries
+    must produce exactly one parquet scan of docs, not three."""
+    from searchenginesimple_spark.operators.boolquery import boolean_search
+
+    docs, postings, stats = bool_setup
+    d = str(tmp_path / "docs_pq")
+    docs.write.parquet(d)
+    pq_docs = spark.read.parquet(d)
+    df = boolean_search(
+        pq_docs, postings, stats,
+        [(0, "-return"), (1, "id"), (2, "-ident OR id")],  # all scan-path
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
