@@ -167,6 +167,9 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
             )
         elif word.startswith("re:") and len(word) > 3:
             toks.append(("regex", word[3:]))
+        elif word == "sym:" and j < n and q[j] == '"':
+            name, j = _scan_quoted(q, j)
+            toks.append(("sym", name))
         elif word.startswith("sym:") and len(word) > 4:
             toks.append(("sym", word[4:]))
         elif ":" in word and word.partition(":")[0] in FIELDS and word.partition(":")[2]:

@@ -277,6 +277,8 @@ def test_sym_atoms_parse():
     # quoting suppresses the prefix; bare 'sym:' is a content atom
     assert parse_query('"sym:x"') == ("atom", "sym:x")
     assert parse_query("sym:") == ("atom", "sym:")
+    # quoted value form, mirroring re:"..."
+    assert parse_query('sym:"abc"') == ("sym", "abc")
     assert to_dnf(parse_query("sym:foo -sym:bar"))[0] == (
         frozenset({("sym", "foo")}),
         frozenset({("sym", "bar")}),
