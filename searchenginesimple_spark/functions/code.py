@@ -131,3 +131,85 @@ def symbol_references(
             .drop("__rk")
         )
     return out
+
+
+# ---------------------------------------------------------------- curation
+
+
+# license kind → detection pattern over the document HEAD, in PRIORITY
+# order (first hit wins — a dual-licensed header reports the first listed).
+# Patterns are RE2-safe and case-folded by the caller, matching the
+# canonical phrases the SPDX license texts actually contain (the same
+# phrase-matching shortcut github-linguist/licensee and the BigCode
+# pipeline use before full-text scoring).
+LICENSE_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("apache-2.0", r"licensed under the apache license,? version 2\.0|apache license\s*\n?\s*version 2\.0"),
+    ("mit", r"permission is hereby granted, free of charge|mit license"),
+    ("lgpl", r"gnu lesser general public license"),
+    ("gpl", r"gnu general public license"),
+    ("bsd", r"redistribution and use in source and binary forms"),
+    ("mpl-2.0", r"mozilla public license,? ?v?\.? ?2\.0"),
+    ("unlicense", r"this is free and unencumbered software released into the public domain"),
+)
+
+# vendored-path fragments (github-linguist's vendor.yml core set) and
+# generated-content markers (linguist generated.rb + the Go convention).
+VENDOR_PATH_RE = (
+    r"(^|/)(vendor|vendors|node_modules|third[_-]party|thirdparty|external|"
+    r"extern|deps|bower_components)/|\.min\.(js|css)$"
+)
+GENERATED_RE = (
+    r"do not edit|@generated|code generated by|auto-?generated|"
+    r"automatically generated"
+)
+# a single source line this long is minified/packed output, not hand-written
+MINIFIED_LINE_CHARS = 1000
+
+
+def detect_license(
+    df: DataFrame, content_col: str = "content", head_chars: int = 2048
+) -> DataFrame:
+    """Add a ``license`` column: the first LICENSE_PATTERNS kind whose
+    phrase appears in the case-folded first ``head_chars`` characters,
+    else ``'unknown'``.  License headers live at the top of the file, so
+    bounding the scan keeps the expression cheap on big files AND avoids
+    false hits on license text QUOTED deep inside documentation.
+
+    Pure map-side column expression (chained when over regexp_like) —
+    composes as a pre-filter for plans/curate.py:
+    ``detect_license(docs).filter(F.col('license').isin(allowed))``."""
+    head = F.lower(F.substring(F.col(content_col), 1, head_chars))
+    out = F.lit("unknown")
+    for kind, pat in reversed(LICENSE_PATTERNS):
+        out = F.when(F.regexp_like(head, F.lit(pat)), F.lit(kind)).otherwise(out)
+    return df.withColumn("license", out)
+
+
+def flag_autogenerated(
+    df: DataFrame,
+    content_col: str = "content",
+    path_col: str | None = "path",
+    head_chars: int = 2048,
+) -> DataFrame:
+    """Add ``is_vendored`` / ``is_generated`` / ``is_minified`` flags — the
+    three standard "not human-authored first-party code" exclusions of a
+    code-LLM corpus (github-linguist's vendored+generated rules; minified =
+    any single line ≥ MINIFIED_LINE_CHARS chars).
+
+    ``is_vendored`` needs ``path_col`` (pass None for path-less tables —
+    the flag is then always false).  All three are map-side expressions;
+    ``is_generated`` scans only the head (markers are header comments)."""
+    head = F.lower(F.substring(F.col(content_col), 1, head_chars))
+    vend = (
+        F.regexp_like(F.lower(F.col(path_col)), F.lit(VENDOR_PATH_RE))
+        if path_col is not None
+        else F.lit(False)
+    )
+    minified = F.regexp_like(
+        F.col(content_col), F.lit(rf"[^\n]{{{MINIFIED_LINE_CHARS},}}")
+    )
+    return (
+        df.withColumn("is_vendored", vend)
+        .withColumn("is_generated", F.regexp_like(head, F.lit(GENERATED_RE)))
+        .withColumn("is_minified", minified)
+    )

@@ -68,9 +68,19 @@ class CurateConfig:
     # of the kept docs into training chunks (operators/chunk.py)
     chunk_tokens: int | None = None
     chunk_overlap_lines: int = 0
+    # prefilter stage (all defaults off → stage is a pass-through and
+    # writes no table): the "not first-party human code" exclusions of
+    # functions/code.py — license allow-list, vendored paths, generated
+    # markers, minified lines.  All map-side, run BEFORE dedup so excluded
+    # files never cost a shingle.
+    allowed_licenses: tuple[str, ...] | None = None
+    drop_vendored: bool = False
+    drop_generated: bool = False
+    drop_minified: bool = False
+    path_col: str = "path"
 
 
-_STAGES = ("exact", "neardup", "quality", "sample")
+_STAGES = ("prefilter", "exact", "neardup", "quality", "sample")
 
 
 def _ids(name: str) -> str:
@@ -104,10 +114,49 @@ def curate(
         stratified_sample,
     )
 
+    # ---- stage 0 (optional): license / vendored / generated prefilter -----
+    d0 = docs
+    prefilter_on = (
+        cfg.allowed_licenses is not None
+        or cfg.drop_vendored
+        or cfg.drop_generated
+        or cfg.drop_minified
+    )
+    if prefilter_on:
+        if not io.exists(_ids("prefilter"), committed=True):
+            from searchenginesimple_spark.functions.code import (
+                detect_license,
+                flag_autogenerated,
+            )
+
+            if cfg.drop_vendored and cfg.path_col not in docs.columns:
+                raise ValueError(
+                    f"drop_vendored needs column {cfg.path_col!r} in docs"
+                )
+            d = docs
+            keep = F.lit(True)
+            if cfg.allowed_licenses is not None:
+                d = detect_license(d, content_col=text_col)
+                keep = keep & F.col("license").isin(list(cfg.allowed_licenses))
+            if cfg.drop_vendored or cfg.drop_generated or cfg.drop_minified:
+                d = flag_autogenerated(
+                    d,
+                    content_col=text_col,
+                    path_col=cfg.path_col if cfg.path_col in docs.columns else None,
+                )
+                if cfg.drop_vendored:
+                    keep = keep & ~F.col("is_vendored")
+                if cfg.drop_generated:
+                    keep = keep & ~F.col("is_generated")
+                if cfg.drop_minified:
+                    keep = keep & ~F.col("is_minified")
+            io.overwrite(d.filter(keep).select("doc_id"), _ids("prefilter"))
+        d0 = docs.join(io.read(_ids("prefilter")), "doc_id", "left_semi")
+
     # ---- stage 1: exact dedup (content-hash min-id survivors) -------------
     if not io.exists(_ids("exact"), committed=True):
         survivors = (
-            docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("sha256"))
+            d0.select("doc_id", F.sha2(F.col(text_col), 256).alias("sha256"))
             .groupBy("sha256")
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
@@ -192,16 +241,12 @@ def curate(
         )
 
     n_in = docs.count()
-    counts = {"input": n_in}
-    for s in _STAGES:
-        if s == "sample" and not io.exists(_ids("sample")):
-            counts[s] = counts["quality"]
-            continue
-        counts[s] = io.read(_ids(s)).count()
     rows, prev = [], n_in
     for s in _STAGES:
-        rows.append((s, prev, counts[s]))
-        prev = counts[s]
+        # skipped optional stages (prefilter/sample) are pass-throughs
+        n = io.read(_ids(s)).count() if io.exists(_ids(s)) else prev
+        rows.append((s, prev, n))
+        prev = n
     if cfg.chunk_tokens is not None:
         rows.append(("chunk", prev, io.read("curate_chunks").count()))
     io.overwrite_rows(rows, "stage string, docs_in long, docs_out long", "curate_metrics")

@@ -122,3 +122,85 @@ def test_symbol_references_fanout_cap(spark):
     assert len(got) == 5
     # top-k by n_uses desc: the heaviest users survive
     assert sorted(r.use_doc_id for r in got) == [16, 17, 18, 19, 20]
+
+
+# ---------------------------------------------------------------- curation
+
+
+MIT_TEXT = "MIT License\n\nPermission is hereby granted, free of charge, to any person"
+APACHE_TEXT = "Licensed under the Apache License, Version 2.0 (the \"License\");"
+GPL_TEXT = "under the terms of the GNU General Public License as published"
+LGPL_TEXT = "under the terms of the GNU Lesser General Public License"
+BSD_TEXT = "Redistribution and use in source and binary forms, with or without"
+
+
+def test_detect_license(spark):
+    from searchenginesimple_spark.functions.code import detect_license
+
+    rows = [
+        (0, f"# {MIT_TEXT}\ndef f(): pass"),
+        (1, f"/* {APACHE_TEXT} */\nint main() {{}}"),
+        (2, f"// {GPL_TEXT}\n"),
+        (3, f"// {LGPL_TEXT}\n"),          # LGPL must NOT report plain gpl
+        (4, f"/* {BSD_TEXT} */"),
+        (5, "This is free and unencumbered software released into the public domain."),
+        (6, "def plain(): return 1"),       # no header → unknown
+        (7, f"# {APACHE_TEXT}\n# {MIT_TEXT}"),  # dual: first in priority wins
+        (8, "x" * 3000 + MIT_TEXT),        # beyond head_chars → unknown
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: r["license"] for r in detect_license(df).collect()}
+    assert got == {
+        0: "mit", 1: "apache-2.0", 2: "gpl", 3: "lgpl", 4: "bsd",
+        5: "unlicense", 6: "unknown", 7: "apache-2.0", 8: "unknown",
+    }
+
+
+def test_flag_autogenerated(spark):
+    from searchenginesimple_spark.functions.code import flag_autogenerated
+
+    rows = [
+        (0, "src/app/main.py", "def f(): pass"),
+        (1, "vendor/lib/x.py", "def f(): pass"),
+        (2, "web/node_modules/a/b.js", "var x"),
+        (3, "assets/app.min.js", "var x"),
+        (4, "src/gen/pb.go", "// Code generated by protoc-gen-go. DO NOT EDIT.\npackage pb"),
+        (5, "src/big.js", "short\n" + "y" * 1500 + "\nend"),
+        (6, "src/ok/vendorish.py", "x = 1"),  # 'vendorish' dir must NOT flag
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, path string, content string")
+    got = {
+        r["doc_id"]: (r["is_vendored"], r["is_generated"], r["is_minified"])
+        for r in flag_autogenerated(df).collect()
+    }
+    assert got == {
+        0: (False, False, False),
+        1: (True, False, False),
+        2: (True, False, False),
+        3: (True, False, False),
+        4: (False, True, False),
+        5: (False, False, True),
+        6: (False, False, False),
+    }
+    # path-less tables: vendored is constant-false, others still computed
+    df2 = spark.createDataFrame(
+        [(0, "// DO NOT EDIT\nx")], "doc_id long, content string"
+    )
+    r = flag_autogenerated(df2, path_col=None).collect()[0]
+    assert (r["is_vendored"], r["is_generated"]) == (False, True)
+
+
+def test_curation_flags_are_mapside(spark):
+    """Both curation projections must stay shuffle-free (pre-filters for
+    plans/curate.py run over the full 100-TB corpus)."""
+    from searchenginesimple_spark.functions.code import (
+        detect_license,
+        flag_autogenerated,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "p", "c")], "doc_id long, path string, content string"
+    )
+    for out in (detect_license(df), flag_autogenerated(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan

@@ -128,3 +128,67 @@ def test_curate_deterministic_across_partitioning(spark, corpus, tmp_path):
     k1 = {r["doc_id"] for r in curate(spark, corpus.repartition(7), io1, _cfg()).collect()}
     k2 = {r["doc_id"] for r in curate(spark, corpus.coalesce(1), io2, _cfg()).collect()}
     assert k1 == k2
+
+
+def test_curate_prefilter_stage(spark, corpus, tmp_path):
+    """Stage-0 prefilter: license allow-list + vendored/generated drops run
+    BEFORE dedup, the metrics chain gains the prefilter row, and a
+    default-config run leaves the stage as a table-less pass-through."""
+    rows = [
+        # vendored path — dropped by drop_vendored
+        (20, "vendor/lib/util.py",
+         "alpha beta gamma delta epsilon zeta eta theta iota kappa v"),
+        # generated marker — dropped by drop_generated
+        (21, "src/gen/pb.py",
+         "# Code generated by protoc. DO NOT EDIT.\n"
+         "alpha beta gamma delta epsilon zeta eta theta iota kappa g"),
+        # GPL header — dropped by the allow-list
+        (22, "src/gpl.py",
+         "# under the terms of the GNU General Public License\n"
+         "alpha2 beta2 gamma2 delta2 epsilon2 zeta2 eta2 theta2 iota2 kappa2"),
+        # MIT header — kept
+        (23, "src/mit.py",
+         "# MIT License\n"
+         "uno2 dos2 tres2 cuatro2 cinco2 seis2 siete2 ocho2 nueve2 diez2"),
+        # no header — kept ('unknown' allowed)
+        (24, "src/plain.py",
+         "one3 two3 three3 four3 five3 six3 seven3 eight3 nine3 ten3"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, path string, content string"
+    ).withColumn("lang", F.lit("py")).withColumn("source", F.lit("srcZ"))
+
+    io = TableIO(spark, str(tmp_path / "pre"))
+    cfg = _cfg(
+        allowed_licenses=("mit", "unknown"),
+        drop_vendored=True,
+        drop_generated=True,
+        drop_minified=True,
+    )
+    kept = curate(spark, docs, io, cfg)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [23, 24]
+    m = {
+        r["stage"]: (r["docs_in"], r["docs_out"])
+        for r in io.read("curate_metrics").collect()
+    }
+    assert m["prefilter"] == (5, 2)
+    assert m["exact"][0] == 2  # dedup never saw the excluded docs
+
+    # default config: no prefilter table, stage is a metrics pass-through
+    io2 = TableIO(spark, str(tmp_path / "nopre"))
+    curate(spark, docs, io2, _cfg())
+    m2 = {
+        r["stage"]: (r["docs_in"], r["docs_out"])
+        for r in io2.read("curate_metrics").collect()
+    }
+    assert m2["prefilter"] == (5, 5)
+    assert not io2.exists("curate_prefilter_ids")
+
+    # drop_vendored without a path column fails loudly
+    with pytest.raises(ValueError):
+        curate(
+            spark,
+            docs.drop("path"),
+            TableIO(spark, str(tmp_path / "bad")),
+            _cfg(drop_vendored=True),
+        )
