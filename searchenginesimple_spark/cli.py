@@ -20,6 +20,10 @@ tests/test_cli.py::test_spark_submit_py_files_ships.  Or locally:
                                                   [--chunk-tokens 512] [--overlap-lines 4]
     python -m searchenginesimple_spark.cli watch  --input /path/incoming --output /path/matches \\
                                                   --query 'lang:py crypto -vendor' [--ci]
+    python -m searchenginesimple_spark.cli curate --input /path/docs_parquet --output /path/curated \\
+                                                  [--allowed-licenses mit,apache-2.0,unknown] \\
+                                                  [--drop-vendored] [--drop-generated] [--drop-minified] \\
+                                                  [--per-source-cap N] [--chunk-tokens 512]
 
 Replaces the reference's three binaries + HTTP servers (``src/page.cc``,
 ``src/keyWord.cc``, ``src/Server/*``) with batch jobs over tables.
@@ -84,6 +88,21 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--output", required=True, help="output parquet dir of chunks")
     c.add_argument("--chunk-tokens", type=int, default=512)
     c.add_argument("--overlap-lines", type=int, default=0)
+
+    u = sub.add_parser(
+        "curate", help="training-data curation pipeline (resumable, per-stage metrics)"
+    )
+    u.add_argument("--input", required=True, help="parquet dir of docs")
+    u.add_argument("--output", required=True, help="curation root (stage tables + curate_kept)")
+    u.add_argument("--allowed-licenses", default=None,
+                   help="comma-separated allow-list (e.g. mit,apache-2.0,unknown)")
+    u.add_argument("--drop-vendored", action="store_true")
+    u.add_argument("--drop-generated", action="store_true")
+    u.add_argument("--drop-minified", action="store_true")
+    u.add_argument("--per-source-cap", type=int, default=None)
+    u.add_argument("--source-col", default="repo",
+                   help="grouping column for --per-source-cap (default: repo)")
+    u.add_argument("--chunk-tokens", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -213,6 +232,37 @@ def main(argv: list[str] | None = None) -> int:
             out = read_percolated(spark, args.output)
             for r in out.orderBy("query_id", "doc_id").collect():
                 print(json.dumps({"query": r["query"], "doc_id": int(r["doc_id"])}))
+        return 0
+
+    if args.cmd == "curate":
+        from searchenginesimple_spark.plans.curate import CurateConfig, curate
+        from searchenginesimple_spark.sources.io import TableIO
+
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns:
+            from searchenginesimple_spark.sources.corpus import with_doc_ids
+
+            docs = with_doc_ids(docs)
+        cfg = CurateConfig(
+            allowed_licenses=(
+                tuple(args.allowed_licenses.split(","))
+                if args.allowed_licenses
+                else None
+            ),
+            drop_vendored=args.drop_vendored,
+            drop_generated=args.drop_generated,
+            drop_minified=args.drop_minified,
+            per_source_cap=args.per_source_cap,
+            source_col=args.source_col,
+            chunk_tokens=args.chunk_tokens,
+        )
+        io = TableIO(spark, args.output)
+        kept = curate(spark, docs, io, cfg)
+        metrics = {
+            r["stage"]: [r["docs_in"], r["docs_out"]]
+            for r in io.read("curate_metrics").collect()
+        }
+        print(json.dumps({"kept": kept.count(), "stages": metrics}))
         return 0
 
     if args.cmd == "chunk":

@@ -193,3 +193,36 @@ def test_spark_submit_py_files_ships(spark, tmp_path):
     rows = [json.loads(l) for l in query_out]
     assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     assert all(set(r) == {"query", "rank", "docID", "score"} for r in rows)
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    import searchenginesimple_spark.cli as cli
+    from searchenginesimple_spark.sources.corpus import docs_df
+
+    corpus, out = tmp_path / "corpus", tmp_path / "curated"
+    docs_df(spark, 120).write.mode("overwrite").parquet(str(corpus))
+
+    rc = cli.main(
+        ["curate", "--input", str(corpus), "--output", str(out),
+         "--allowed-licenses", "unknown", "--drop-minified",
+         "--per-source-cap", "3", "--chunk-tokens", "64"]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < res["kept"] <= 120
+    assert set(res["stages"]) == {
+        "prefilter", "exact", "neardup", "quality", "sample", "chunk"
+    }
+    # the metrics chain is monotone non-increasing through the doc stages
+    chain = [res["stages"][s] for s in
+             ("prefilter", "exact", "neardup", "quality", "sample")]
+    assert all(a[1] <= a[0] for a in chain)
+    # quota bites: ≤3 docs per repo among kept
+    kept = spark.read.parquet(str(out / "curate_kept"))
+    mx = kept.groupBy("repo").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 3
+    # chunks exist for the kept docs
+    chunks = spark.read.parquet(str(out / "curate_chunks"))
+    assert chunks.count() >= res["kept"]
