@@ -73,6 +73,17 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="with --lines: cap matched lines per (query, doc), grep -m",
     )
+    g.add_argument(
+        "--ranked",
+        action="store_true",
+        help="top-k results per query by the symbol > path > occurrence ladder",
+    )
+    g.add_argument("-k", "--topk", type=int, default=10, help="with --ranked: k")
+    g.add_argument(
+        "--facets",
+        action="store_true",
+        help="per-repo/lang matching-doc counts instead of hit rows",
+    )
 
     w = sub.add_parser(
         "watch", help="percolation: standing boolean queries over an incoming dir"
@@ -155,7 +166,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "grep":
         from searchenginesimple_spark.operators.boolquery import (
             boolean_search,
+            boolean_search_facets,
             boolean_search_lines,
+            boolean_search_topk_ranked,
         )
         from searchenginesimple_spark.operators.trigram import (
             build_trigram_index,
@@ -172,6 +185,41 @@ def main(argv: list[str] | None = None) -> int:
         raw, _ = build_trigram_index(docs, case_insensitive=args.ci)
         postings, stats = write_trigram_index(raw, args.index, resume=True)
         queries = [(int(i), q) for i, q in enumerate(args.query)]
+        if args.facets:
+            by = tuple(c for c in ("repo", "lang") if c in docs.columns)
+            out = boolean_search_facets(
+                docs, postings, stats, queries, by=by, case_insensitive=args.ci
+            )
+            for r in out.orderBy("query_id", "facet", "value").collect():
+                print(
+                    json.dumps(
+                        {
+                            "query": r["query"],
+                            "facet": r["facet"],
+                            "value": r["value"],
+                            "n_docs": int(r["n_docs"]),
+                        }
+                    )
+                )
+            return 0
+        if args.ranked:
+            out = boolean_search_topk_ranked(
+                docs, postings, stats, queries, k=args.topk, case_insensitive=args.ci
+            )
+            for r in out.orderBy("query_id", "rank").collect():
+                print(
+                    json.dumps(
+                        {
+                            "query": r["query"],
+                            "rank": int(r["rank"]),
+                            "doc_id": int(r["doc_id"]),
+                            "symbol_match": int(r["symbol_match"]),
+                            "path_match": int(r["path_match"]),
+                            "n_occurrences": int(r["n_occurrences"]),
+                        }
+                    )
+                )
+            return 0
         if args.lines:
             out = boolean_search_lines(
                 docs,

@@ -71,6 +71,29 @@ def test_cli_grep_and_chunk(spark, tmp_path, capsys):
         "return" in r["line"] or "ident" in r["line"] for r in lrows
     )
 
+    # --ranked: ladder-ordered top-k rows per query
+    rc = cli.main(
+        ["grep", "--input", str(corpus), "--index", str(tri),
+         "--query", "return ident", "--ranked", "-k", "5"]
+    )
+    assert rc == 0
+    rrows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["rank"] for r in rrows] == list(range(1, len(rrows) + 1))
+    assert 0 < len(rrows) <= 5
+    occ = [(r["symbol_match"], r["path_match"], r["n_occurrences"]) for r in rrows]
+    assert occ == sorted(occ, reverse=True)  # the ladder is the sort key
+
+    # --facets: per-repo/lang match counts; totals equal the hit rows
+    rc = cli.main(
+        ["grep", "--input", str(corpus), "--index", str(tri),
+         "--query", "return ident", "--facets"]
+    )
+    assert rc == 0
+    frows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    n_hits = len({r["doc_id"] for r in rows if r["query"] == "return ident"})
+    for facet in ("repo", "lang"):
+        assert sum(r["n_docs"] for r in frows if r["facet"] == facet) == n_hits
+
     rc = cli.main(
         ["chunk", "--input", str(corpus), "--output", str(chunks),
          "--chunk-tokens", "32", "--overlap-lines", "2"]
