@@ -91,9 +91,20 @@ MAX_CONJUNCTS = 64
 
 _KEYWORDS = {"AND", "OR", "NOT"}
 
-# field name → docs column (zoekt: file:/lang:/repo:).  path/repo match by
-# substring, lang by case-folded equality (language names are case-blind).
-FIELDS = {"path": "path", "repo": "repo", "lang": "lang"}
+# field name → docs column (zoekt: file:/lang:/repo: plus its short forms
+# f:/r:/l:).  path/file match by substring, repo by substring, lang by
+# case-folded equality (language names are case-blind).  Quoting suppresses
+# the prefix, so code atoms that happen to look like `l:x` are reachable
+# as `"l:x"` — the same trade zoekt makes.
+FIELDS = {
+    "path": "path",
+    "file": "path",
+    "f": "path",
+    "repo": "repo",
+    "r": "repo",
+    "lang": "lang",
+    "l": "lang",
+}
 
 
 class _Unsupported(Exception):
@@ -307,7 +318,7 @@ def _ast_column(node, content: Column, case_insensitive: bool) -> Column:
     if kind == "field":
         f, v = node[1], node[2]
         col = F.col(FIELDS[f])
-        if f == "lang":
+        if FIELDS[f] == "lang":
             return F.lower(col) == v.lower()
         if case_insensitive:
             return F.instr(F.lower(col), F.lit(v.lower())) > 0

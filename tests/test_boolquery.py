@@ -268,6 +268,28 @@ def test_regex_atoms_case_insensitive(spark, corpus):
     assert got.count() > 0
 
 
+def test_field_alias_atoms(spark):
+    # zoekt's short forms: f:/file: ≡ path:, r: ≡ repo:, l: ≡ lang:
+    assert parse_query("f:src/x")[0] == "field" and parse_query("f:src/x")[1] == "f"
+    docs = (
+        with_doc_ids(docs_df(spark, 80))
+        .select("doc_id", "repo", "path", "lang", "content")
+        .cache()
+    )
+    postings, stats = build_trigram_index(docs)
+    lang = docs.select("lang").first()["lang"]
+    pairs = [
+        (f"lang:{lang} return", f"l:{lang} return"),
+        ("path:src return", "file:src return"),
+        ("path:src return", "f:src return"),
+        ("repo:org0 return", "r:org0 return"),
+    ]
+    for long_q, short_q in pairs:
+        a = boolean_search(docs, postings, stats, [(0, long_q)]).select("doc_id")
+        b = boolean_search(docs, postings, stats, [(0, short_q)]).select("doc_id")
+        assert _rows(a) == _rows(b) and a.count() > 0
+
+
 def test_sym_atoms_parse():
     assert parse_query("sym:handler") == ("sym", "handler")
     assert parse_query("-sym:main lang:py") == (

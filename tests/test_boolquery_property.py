@@ -123,10 +123,10 @@ def _eval_ast(node, doc: dict) -> bool:
     if kind == "sym":
         return any(node[1] in s for s in _symbols(doc["content"]))
     if kind == "field":
-        f, v = node[1], node[2]
-        if f == "lang":
+        col, v = FIELDS[node[1]], node[2]
+        if col == "lang":
             return v.lower() == doc["lang"].lower()
-        return v in doc[f]
+        return v in doc[col]
     if kind == "not":
         return not _eval_ast(node[1], doc)
     vals = [_eval_ast(c, doc) for c in node[1]]
@@ -143,9 +143,10 @@ def _eval_atom(a, doc: dict) -> bool:
         return _re.search(v, doc["content"]) is not None
     if f == "sym":
         return any(v in s for s in _symbols(doc["content"]))
-    if f == "lang":
+    col = FIELDS[f]
+    if col == "lang":
         return v.lower() == doc["lang"].lower()
-    return v in doc[f]
+    return v in doc[col]
 
 
 def _eval_dnf(conjuncts, doc: dict) -> bool:
