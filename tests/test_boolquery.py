@@ -607,3 +607,50 @@ def test_index_path_plan_shape(spark, corpus, index):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_randomized_queries_index_equals_scan(spark):
+    """Seeded random walk over the FULL grammar (atoms, fields incl.
+    aliases, regex, sym, NOT/AND/OR nesting): one 30-query batch, index
+    path ≡ brute-force scan at the default and a hot-dropping max_df —
+    the end-to-end twin of the pure-Python DNF property test."""
+    import random
+
+    from test_boolquery_property import _render
+
+    rng = random.Random(42)
+    WORDS = ["return", "ident", "loc_7_", "id", "zz_absent", "ident_001", "def"]
+    REGEXES = ["return.ident", "ident_00[0-9]", "loc_[0-9]+_", "zz+x?"]
+    SYMS = ["handler", "f", "zzz"]
+
+    def rand_ast(depth=0):
+        r = rng.random()
+        if depth >= 3 or r < 0.45:
+            k = rng.random()
+            if k < 0.55:
+                return ("atom", rng.choice(WORDS))
+            if k < 0.7:
+                return ("field", rng.choice(["lang", "l"]), rng.choice(["py", "js"]))
+            if k < 0.88:
+                return ("regex", rng.choice(REGEXES))
+            return ("sym", rng.choice(SYMS))
+        if r < 0.6:
+            return ("not", rand_ast(depth + 1))
+        kids = [rand_ast(depth + 1) for _ in range(rng.randint(2, 3))]
+        return (rng.choice(["and", "or"]), kids)
+
+    docs = (
+        with_doc_ids(docs_df(spark, 150))
+        .select("doc_id", "lang", "content")
+        .cache()
+    )
+    postings, stats = build_trigram_index(docs)
+    queries = [(i, _render(rand_ast())) for i in range(30)]
+    for q in queries:
+        parse_query(q[1])  # every rendered query must be legal syntax
+    want = _rows(boolean_search_bruteforce(docs, queries))
+    for max_df in (None, 50):
+        got = _rows(
+            boolean_search(docs, postings, stats, queries, max_df=max_df)
+        )
+        assert got == want, f"max_df={max_df}"
