@@ -80,9 +80,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     g.add_argument("-k", "--topk", type=int, default=10, help="with --ranked: k")
     g.add_argument(
+        "--priority",
+        default=None,
+        help="with --ranked: parquet of (doc_id, rank) importance — e.g. an "
+        "import_rank output — tie-breaks quality ties toward high-rank docs",
+    )
+    g.add_argument(
         "--facets",
         action="store_true",
         help="per-repo/lang matching-doc counts instead of hit rows",
+    )
+    g.add_argument(
+        "--explain",
+        action="store_true",
+        help="report each query's route (index/scan/empty) and index "
+        "selectivity instead of executing it — touches stats only",
     )
 
     w = sub.add_parser(
@@ -169,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
             boolean_search_facets,
             boolean_search_lines,
             boolean_search_topk_ranked,
+            explain_search,
         )
         from searchenginesimple_spark.operators.trigram import (
             build_trigram_index,
@@ -185,6 +198,21 @@ def main(argv: list[str] | None = None) -> int:
         raw, _ = build_trigram_index(docs, case_insensitive=args.ci)
         postings, stats = write_trigram_index(raw, args.index, resume=True)
         queries = [(int(i), q) for i, q in enumerate(args.query)]
+        if args.explain:
+            out = explain_search(stats, queries, case_insensitive=args.ci)
+            for r in out.orderBy("query_id").collect():
+                print(
+                    json.dumps(
+                        {
+                            "query": r["query"],
+                            "path": r["path"],
+                            "n_conjuncts": r["n_conjuncts"],
+                            "n_trigrams": r["n_trigrams"],
+                            "est_candidates": r["est_candidates"],
+                        }
+                    )
+                )
+            return 0
         if args.facets:
             by = tuple(c for c in ("repo", "lang") if c in docs.columns)
             out = boolean_search_facets(
@@ -203,22 +231,28 @@ def main(argv: list[str] | None = None) -> int:
                 )
             return 0
         if args.ranked:
+            prio = spark.read.parquet(args.priority) if args.priority else None
             out = boolean_search_topk_ranked(
-                docs, postings, stats, queries, k=args.topk, case_insensitive=args.ci
+                docs,
+                postings,
+                stats,
+                queries,
+                k=args.topk,
+                case_insensitive=args.ci,
+                priority=prio,
             )
             for r in out.orderBy("query_id", "rank").collect():
-                print(
-                    json.dumps(
-                        {
-                            "query": r["query"],
-                            "rank": int(r["rank"]),
-                            "doc_id": int(r["doc_id"]),
-                            "symbol_match": int(r["symbol_match"]),
-                            "path_match": int(r["path_match"]),
-                            "n_occurrences": int(r["n_occurrences"]),
-                        }
-                    )
-                )
+                rec = {
+                    "query": r["query"],
+                    "rank": int(r["rank"]),
+                    "doc_id": int(r["doc_id"]),
+                    "symbol_match": int(r["symbol_match"]),
+                    "path_match": int(r["path_match"]),
+                    "n_occurrences": int(r["n_occurrences"]),
+                }
+                if prio is not None:
+                    rec["priority"] = int(r["priority"])
+                print(json.dumps(rec))
             return 0
         if args.lines:
             out = boolean_search_lines(

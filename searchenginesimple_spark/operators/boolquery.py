@@ -366,31 +366,16 @@ def _fields_used(node) -> set[str]:
 # ---------------------------------------------------------------- search
 
 
-def boolean_search(
-    docs: DataFrame,
-    postings: DataFrame,
-    stats: DataFrame,
-    queries: list[tuple[int, str]],
-    max_trigrams: int = 8,
-    max_df: int | None = None,
-    content_col: str = "content",
-    case_insensitive: bool = False,
-) -> DataFrame:
-    """→ (query_id, query, doc_id) for every doc whose content satisfies
-    the boolean query.  ``queries``: small (query_id, query-string) list,
-    parsed driver-side (query compilation is serving-side work).  Raises
-    ValueError on malformed query syntax; every PARSEABLE query returns
-    scan-exact results regardless of knobs.  ``case_insensitive`` pairs
-    with an index built with the same flag (build_trigram_index)."""
-    spark = docs.sparkSession
-    asts = {qid: parse_query(qs) for qid, qs in queries}
-
-    hot = (
-        {r["trigram"] for r in stats.filter(F.col("df") > max_df).collect()}
-        if max_df is not None
-        else set()
-    )
-    req_rows: list[tuple[int, int, str]] = []  # (query_id, conjunct, trigram)
+def _compile_batch(
+    asts: dict, queries: list[tuple[int, str]], hot: set[str], case_insensitive: bool
+) -> tuple[list[tuple[int, int, str]], list[int], list[int]]:
+    """Driver-side routing: every query of the batch compiles to required-
+    trigram rows (index path), a scan route, or nothing (contradiction).
+    → (req_rows [(query_id, conjunct, trigram)], scan_qids, empty_qids).
+    Shared by ``boolean_search`` (which executes the routes) and
+    ``explain_search`` (which reports them) so the explanation can never
+    drift from the execution."""
+    req_rows: list[tuple[int, int, str]] = []
     scan_qids: list[int] = []
     empty_qids: list[int] = []
     for qid, _ in queries:
@@ -441,6 +426,116 @@ def boolean_search(
             req_rows.extend(rows)
         else:
             scan_qids.append(qid)
+    return req_rows, scan_qids, empty_qids
+
+
+def explain_search(
+    stats: DataFrame,
+    queries: list[tuple[int, str]],
+    max_trigrams: int = 8,
+    max_df: int | None = None,
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """EXPLAIN for the boolean query batch → (query_id, query, path,
+    n_conjuncts, n_trigrams, est_candidates): which route each query takes
+    and how selective the index will be, WITHOUT touching the corpus —
+    the serving-side answer to Spark's own ``.explain`` discipline, for
+    the layer Catalyst cannot see (driver-compiled trigram routing).
+
+    * ``path``: ``index`` (trigram-pruned + verify), ``scan`` (DNF
+      explosion / no usable trigram — the shared corpus pass), or
+      ``empty`` (contradiction: matches nothing, touches nothing).
+    * ``n_conjuncts``: expanded conjunct count on the index path (regex
+      atoms expand per branch); null otherwise.
+    * ``n_trigrams``: distinct trigrams the batch will push into the
+      postings scan for this query, after the per-conjunct rarest-first
+      ``max_trigrams`` cap; null off the index path.
+    * ``est_candidates``: Σ over conjuncts of the rarest required
+      trigram's df — an UPPER BOUND on the candidate set the verify stage
+      will see (each conjunct's intersection ⊆ its rarest posting list;
+      a required trigram absent from the index bounds its conjunct at 0).
+      Tests pin ``n_matches ≤ est_candidates`` for every indexable query.
+
+    Routing is computed by the same ``_compile_batch`` the executor uses,
+    so the report cannot drift from what ``boolean_search`` actually does.
+    Cost: one stats lookup filtered to the batch's trigram universe (tiny,
+    driver-collected) — no postings or docs access."""
+    spark = stats.sparkSession
+    asts = {qid: parse_query(qs) for qid, qs in queries}
+    hot = (
+        {r["trigram"] for r in stats.filter(F.col("df") > max_df).collect()}
+        if max_df is not None
+        else set()
+    )
+    req_rows, scan_qids, empty_qids = _compile_batch(
+        asts, queries, hot, case_insensitive
+    )
+
+    universe = sorted({t for _, _, t in req_rows})
+    dfs: dict[str, int] = {}
+    if universe:
+        dfs = {
+            r["trigram"]: r["df"]
+            for r in stats.filter(F.col("trigram").isin(universe)).collect()
+        }
+
+    by_conj: dict[tuple[int, int], list[str]] = {}
+    for qid, cix, t in req_rows:
+        by_conj.setdefault((qid, cix), []).append(t)
+
+    rows = []
+    for qid, qs in queries:
+        if qid in empty_qids:
+            rows.append((qid, qs, "empty", 0, None, 0))
+            continue
+        if qid in scan_qids:
+            rows.append((qid, qs, "scan", None, None, None))
+            continue
+        conjs = [tris for (q, _), tris in sorted(by_conj.items()) if q == qid]
+        est = 0
+        n_used = set()
+        for tris in conjs:
+            # rarest-first cap — the same (df asc, trigram asc) order the
+            # executor's window applies; min df is the first kept
+            ranked = sorted(tris, key=lambda t: (dfs.get(t, 0), t))
+            kept = ranked[:max_trigrams]
+            n_used.update(kept)
+            est += dfs.get(kept[0], 0)
+        rows.append((qid, qs, "index", len(conjs), len(n_used), est))
+    return spark.createDataFrame(
+        rows,
+        "query_id long, query string, path string, n_conjuncts int, "
+        "n_trigrams int, est_candidates long",
+    )
+
+
+def boolean_search(
+    docs: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[int, str]],
+    max_trigrams: int = 8,
+    max_df: int | None = None,
+    content_col: str = "content",
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """→ (query_id, query, doc_id) for every doc whose content satisfies
+    the boolean query.  ``queries``: small (query_id, query-string) list,
+    parsed driver-side (query compilation is serving-side work).  Raises
+    ValueError on malformed query syntax; every PARSEABLE query returns
+    scan-exact results regardless of knobs.  ``case_insensitive`` pairs
+    with an index built with the same flag (build_trigram_index)."""
+    spark = docs.sparkSession
+    asts = {qid: parse_query(qs) for qid, qs in queries}
+
+    hot = (
+        {r["trigram"] for r in stats.filter(F.col("df") > max_df).collect()}
+        if max_df is not None
+        else set()
+    )
+    req_rows, scan_qids, _empty_qids = _compile_batch(
+        asts, queries, hot, case_insensitive
+    )
 
     qdf = spark.createDataFrame(queries, "query_id long, query string")
     content = (
@@ -665,12 +760,14 @@ def boolean_search_topk_ranked(
     content_col: str = "content",
     path_col: str = "path",
     case_insensitive: bool = False,
+    priority: DataFrame | None = None,
+    priority_col: str = "rank",
     **search_kwargs,
 ) -> DataFrame:
     """zoekt-ordered boolean results → (query_id, query, rank, doc_id,
-    symbol_match, path_match, n_occurrences): top-k matching docs per
-    boolean query, ordered by symbol-definition match > file-path match >
-    occurrence count (ties doc_id asc) — trigram_search_topk_ranked's
+    symbol_match, path_match, n_occurrences[, priority]): top-k matching
+    docs per boolean query, ordered by symbol-definition match > file-path
+    match > occurrence count (ties doc_id asc) — trigram_search_topk_ranked's
     boost ladder lifted to the full query algebra.  Boost signals come
     from the query's POSITIVE leaves (the same highlight set as
     boolean_search_lines; negations and field atoms are match conditions,
@@ -685,6 +782,18 @@ def boolean_search_topk_ranked(
       (atoms and ``sym:`` values by substring over the extracted name,
       regex leaves by ``regexp_like``); extraction runs over the folded
       content under ci, matching the ``sym:`` atom's semantics.
+
+    ``priority``: optional per-document importance signal — a
+    (doc_id, ``priority_col``) DataFrame, e.g. ``operators/graph.py``'s
+    ``pagerank_int`` over the import graph (``functions/code.py``'s
+    ``extract_imports`` resolved to doc_ids) — zoekt's repo-priority
+    analogue.  It ranks BELOW the match-quality signals and ABOVE the
+    doc_id tie-break ("among equally good matches, prefer the document
+    more of the corpus depends on"), so it can only reorder quality ties,
+    never outrank a symbol or path hit; matched docs absent from
+    ``priority`` rank as 0.  When given, the output carries a trailing
+    ``priority`` column.  Scale shape: the signal joins the VERIFIED
+    match set (candidate-sized), never the corpus.
 
     Scale shape: boosts are computed on VERIFIED MATCHES only (the join
     and extract_symbols run over candidate-sized data); the per-query
@@ -763,12 +872,22 @@ def boolean_search_topk_ranked(
     ranked = base.join(sym, ["query_id", "doc_id"], "left").withColumn(
         "symbol_match", F.coalesce("symbol_match", F.lit(0)).cast("int")
     )
-    w = Window.partitionBy("query_id").orderBy(
+    order = [
         F.desc("symbol_match"),
         F.desc("path_match"),
         F.desc("n_occurrences"),
-        F.asc("doc_id"),
-    )
+    ]
+    extra_cols: list = []
+    if priority is not None:
+        prio = priority.select(
+            "doc_id", F.col(priority_col).cast("long").alias("__prio")
+        )
+        ranked = ranked.join(prio, "doc_id", "left").withColumn(
+            "__prio", F.coalesce("__prio", F.lit(0).cast("long"))
+        )
+        order.append(F.desc("__prio"))
+        extra_cols = [F.col("__prio").alias("priority")]
+    w = Window.partitionBy("query_id").orderBy(*order, F.asc("doc_id"))
     return (
         ranked.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -780,6 +899,7 @@ def boolean_search_topk_ranked(
             "symbol_match",
             "path_match",
             "n_occurrences",
+            *extra_cols,
         )
     )
 

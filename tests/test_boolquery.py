@@ -20,6 +20,7 @@ from searchenginesimple_spark.operators.boolquery import (
     boolean_search_bruteforce,
     boolean_search_lines,
     boolean_search_topk_ranked,
+    explain_search,
     parse_query,
     to_dnf,
 )
@@ -654,3 +655,185 @@ def test_randomized_queries_index_equals_scan(spark):
             boolean_search(docs, postings, stats, queries, max_df=max_df)
         )
         assert got == want, f"max_df={max_df}"
+
+
+# ------------------------------------------------------------ explain
+
+
+def test_explain_search_routes(spark, corpus, index):
+    """explain_search reports the route each query actually takes — the
+    routing comes from the same _compile_batch the executor runs, and the
+    documented rules hold: pure negation and all-short atoms scan,
+    contradictions are empty, everything else indexes."""
+    _postings, stats = index
+    exp = {r["query_id"]: r.asDict() for r in explain_search(stats, QUERIES).collect()}
+    assert exp[0]["path"] == "index"
+    assert exp[4]["path"] == "scan"  # pure negation: no positive trigram
+    assert exp[8]["path"] == "scan"  # all atoms < 3 chars
+    assert exp[9]["path"] == "empty"  # return AND NOT return
+    # OR of two quoted atoms expands to two conjuncts; so does
+    # (return OR ident) -def after distribution
+    assert exp[3]["n_conjuncts"] == 2
+    assert exp[5]["n_conjuncts"] == 2
+    # scan/empty rows carry no index-path numbers
+    assert exp[4]["n_conjuncts"] is None and exp[4]["est_candidates"] is None
+    assert exp[9]["est_candidates"] == 0
+
+
+def test_explain_est_candidates_upper_bounds_matches(spark, corpus, index):
+    """est_candidates (Σ per-conjunct rarest-trigram df) upper-bounds the
+    verified match count for every index-path query: each conjunct's
+    intersection ⊆ its rarest posting list, and verify only removes."""
+    postings, stats = index
+    exp = {r["query_id"]: r.asDict() for r in explain_search(stats, QUERIES).collect()}
+    counts = {
+        r["query_id"]: r["n"]
+        for r in boolean_search(corpus, postings, stats, QUERIES)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for qid, r in exp.items():
+        if r["path"] == "index":
+            assert counts.get(qid, 0) <= r["est_candidates"], (qid, r)
+        if r["path"] == "empty":
+            assert counts.get(qid, 0) == 0
+
+
+def test_explain_absent_trigram_bounds_conjunct_at_zero(spark, corpus, index):
+    """A conjunct whose rarest required trigram is absent from the index
+    is bounded at 0 candidates — an OR with one impossible side estimates
+    only the possible side."""
+    _postings, stats = index
+    only = explain_search(stats, [(0, "absent_zzz_needle")]).collect()[0]
+    assert only["path"] == "index" and only["est_candidates"] == 0
+    both = explain_search(stats, [(0, "return OR absent_zzz_needle")]).collect()[0]
+    ret = explain_search(stats, [(0, "return")]).collect()[0]
+    assert both["est_candidates"] == ret["est_candidates"]
+
+
+def test_explain_hot_drop_reroutes_to_scan(spark, corpus, index):
+    """max_df=0 makes every trigram hot → a single-atom query loses all
+    its trigrams and routes to the scan path, exactly as boolean_search
+    would execute it."""
+    _postings, stats = index
+    exp = explain_search(stats, [(0, "return")], max_df=0).collect()[0]
+    assert exp["path"] == "scan"
+
+
+def test_explain_max_trigrams_cap_reported(spark, corpus, index):
+    """n_trigrams honours the per-conjunct rarest-first cap: a long atom
+    with many trigrams reports exactly max_trigrams when capped, and the
+    estimate is unchanged by the cap (min df is the first trigram kept)."""
+    _postings, stats = index
+    q = [(0, '"return ident loc"')]
+    full = explain_search(stats, q, max_trigrams=64).collect()[0]
+    capped = explain_search(stats, q, max_trigrams=3).collect()[0]
+    assert full["n_trigrams"] > 3 and capped["n_trigrams"] == 3
+    assert full["est_candidates"] == capped["est_candidates"]
+
+
+def test_boolean_topk_ranked_priority(spark, ranked_corpus):
+    """The optional priority signal: reorders quality ties only (it sits
+    below symbol/path/occurrence in the ladder), missing docs rank as 0,
+    and the output grows a trailing priority column.  Twin = the python
+    oracle with the priority key spliced into the same sort position."""
+    rows, docs = ranked_corpus
+    postings, stats = build_trigram_index(docs)
+    queries = [(0, "return"), (1, "handler_1")]
+    # even docs get a signal that INVERTS the doc_id tie-break; odd docs
+    # are absent (→ 0)
+    prio_rows = [(i, (100 - i) * 10) for i in range(0, 50, 2)]
+    prio = spark.createDataFrame(prio_rows, "doc_id long, rank long")
+    pmap = dict(prio_rows)
+
+    import re as _re
+
+    from searchenginesimple_spark.operators.boolquery import _positive_leaves
+
+    def twin(k):
+        out = []
+        for qid, qs in queries:
+            ast = parse_query(qs)
+            leaves = sorted(_positive_leaves(ast))
+            scored = []
+            for doc_id, path, content in rows:
+                syms = _py_symbols(content)
+                if not _py_eval(ast, content, syms):
+                    continue
+                occ, pm, sm = 0, 0, 0
+                for kind, v in leaves:
+                    if kind == "atom":
+                        occ += content.count(v)
+                        pm |= int(v in path)
+                        sm |= int(any(v in s for s in syms))
+                    elif kind == "regex":
+                        occ += len(_re.findall(v, content))
+                        pm |= int(_re.search(v, path) is not None)
+                        sm |= int(any(_re.search(v, s) for s in syms))
+                    else:
+                        sm |= int(any(v in s for s in syms))
+                pr = pmap.get(doc_id, 0)
+                scored.append((sm, pm, occ, pr, doc_id))
+            scored.sort(key=lambda t: (-t[0], -t[1], -t[2], -t[3], t[4]))
+            for rank, (sm, pm, occ, pr, doc_id) in enumerate(scored[:k], 1):
+                out.append((qid, qs, rank, doc_id, sm, pm, occ, pr))
+        return sorted(out)
+
+    for k in (5, 100):
+        got = sorted(
+            map(
+                tuple,
+                boolean_search_topk_ranked(
+                    docs, postings, stats, queries, k=k, priority=prio
+                ).collect(),
+            )
+        )
+        assert got == twin(k)
+    # the signal actually bit: within the all-match query the top doc is
+    # the highest-priority one among the best quality tier, not doc 0
+    base = {
+        r["doc_id"]: r["rank"]
+        for r in boolean_search_topk_ranked(
+            docs, postings, stats, [(0, "return")], k=100
+        ).collect()
+    }
+    with_p = {
+        r["doc_id"]: r["rank"]
+        for r in boolean_search_topk_ranked(
+            docs, postings, stats, [(0, "return")], k=100, priority=prio
+        ).collect()
+    }
+    assert base != with_p  # priority reordered at least one tie
+
+
+def test_boolean_topk_ranked_pagerank_composition(spark, ranked_corpus):
+    """End-to-end composition: pagerank_int over a planted doc-id import
+    graph feeds the priority signal — the graph family's output is
+    directly consumable by the search ranking (the zoekt repo-priority
+    shape).  The heavily-imported hub outranks its quality ties."""
+    from searchenginesimple_spark.operators.graph import pagerank_int
+
+    rows, docs = ranked_corpus
+    postings, stats = build_trigram_index(docs)
+    # every doc "imports" doc 42 → doc 42 is the rank hub
+    edges = spark.createDataFrame(
+        [(i, 42) for i in range(50) if i != 42], "src long, dst long"
+    )
+    pr = pagerank_int(edges, iterations=3).select(
+        F.col("node").alias("doc_id"), "rank"
+    )
+    out = boolean_search_topk_ranked(
+        docs, postings, stats, [(0, "return")], k=100, priority=pr
+    ).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    hub = by_doc[42]
+    # among docs with the same quality tuple, the hub ranks first
+    peers = [
+        r
+        for r in out
+        if (r["symbol_match"], r["path_match"], r["n_occurrences"])
+        == (hub["symbol_match"], hub["path_match"], hub["n_occurrences"])
+    ]
+    assert min(peers, key=lambda r: r["rank"])["doc_id"] == 42
+    assert hub["priority"] > 0

@@ -94,6 +94,40 @@ def test_cli_grep_and_chunk(spark, tmp_path, capsys):
     for facet in ("repo", "lang"):
         assert sum(r["n_docs"] for r in frows if r["facet"] == facet) == n_hits
 
+    # --explain: routing report, no corpus access; routes match the rules
+    rc = cli.main(
+        ["grep", "--input", str(corpus), "--index", str(tri),
+         "--query", "return ident", "--query=-return", "--explain"]
+    )
+    assert rc == 0
+    erows = {
+        r["query"]: r
+        for r in map(json.loads, capsys.readouterr().out.strip().splitlines())
+    }
+    assert erows["return ident"]["path"] == "index"
+    assert erows["return ident"]["est_candidates"] >= n_hits
+    assert erows["-return"]["path"] == "scan"
+
+    # --ranked --priority: (doc_id, rank) parquet tie-breaks quality ties
+    # and surfaces as a priority column
+    prio = tmp_path / "prio"
+    spark.createDataFrame(
+        [(i, 1000 - i) for i in range(150)], "doc_id long, rank long"
+    ).write.mode("overwrite").parquet(str(prio))
+    rc = cli.main(
+        ["grep", "--input", str(corpus), "--index", str(tri),
+         "--query", "return ident", "--ranked", "-k", "5",
+         "--priority", str(prio)]
+    )
+    assert rc == 0
+    prows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert prows and all("priority" in r for r in prows)
+    keys = [
+        (r["symbol_match"], r["path_match"], r["n_occurrences"], r["priority"])
+        for r in prows
+    ]
+    assert keys == sorted(keys, reverse=True)
+
     rc = cli.main(
         ["chunk", "--input", str(corpus), "--output", str(chunks),
          "--chunk-tokens", "32", "--overlap-lines", "2"]
