@@ -51,6 +51,17 @@ then demands a definition site) — zoekt evaluates ``sym:`` the same way:
 trigram candidates first, symbol-boundary check after.  Quoting suppresses
 the prefix; negated ``sym:`` atoms are verify-side like all negations.
 
+Case modifiers (zoekt's ``case:``): ``case:yes`` / ``case:no`` /
+``case:auto`` is a query-wide MODE, not a predicate — position-independent,
+last one wins, stripped before parsing (``parse_query_with_flags`` returns
+it; a query that is only modifiers is a syntax error).  It overrides the
+batch-level ``case_insensitive`` default per query.  Routing stays sound
+in every combination: trigram needles always fold to match the INDEX's key
+folding, so over a folded index an exact-case query still prunes correctly
+(folded-needle trigrams over-approximate exact-case occurrences; the exact
+verify settles case); the one unsound pairing — a case-insensitive query
+over an UNFOLDED index — routes to the scan path, never wrong results.
+
 Execution (index path): the query is converted to DNF — a union of
 conjuncts, each ``(positive atoms, negative atoms)``.  A document matches a
 conjunct iff it contains every positive atom and no negative atom, so the
@@ -183,6 +194,13 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
             toks.append(("sym", name))
         elif word.startswith("sym:") and len(word) > 4:
             toks.append(("sym", word[4:]))
+        elif word.startswith("case:") and len(word) > 5:
+            v = word[5:]
+            if v not in ("yes", "no", "auto"):
+                raise ValueError(
+                    f"case: takes yes/no/auto, got {v!r} in query: {q!r}"
+                )
+            toks.append(("case", v))
         elif ":" in word and word.partition(":")[0] in FIELDS and word.partition(":")[2]:
             f, _, v = word.partition(":")
             toks.append(("field", (f, v)))
@@ -196,8 +214,26 @@ def parse_query(q: str):
     """→ AST of nested tuples: ('atom', s) | ('not', node) |
     ('and', [nodes]) | ('or', [nodes]).  Raises ValueError on bad syntax
     (user input error — unlike DNF explosion, which is a capacity limit
-    and routes to the scan path)."""
+    and routes to the scan path).  ``case:`` modifiers are stripped (they
+    select a matching MODE, not a predicate) — callers that honour them
+    use ``parse_query_with_flags``."""
+    return parse_query_with_flags(q)[0]
+
+
+def parse_query_with_flags(q: str):
+    """→ (ast, ci_override): the parsed query plus its ``case:`` modifier
+    resolved to a per-query case-insensitivity override — ``True`` for
+    ``case:no`` (fold), ``False`` for ``case:yes`` (exact), ``None`` for
+    ``case:auto`` or no modifier (use the batch default).  ``case:`` is a
+    query-wide MODE like zoekt's: position-independent, last one wins,
+    never a boolean predicate (a query that is ONLY modifiers is a syntax
+    error; quoting makes the literal reachable as content)."""
     toks = _tokenize(q)
+    ci_override: bool | None = None
+    for kind, v in toks:
+        if kind == "case":
+            ci_override = {"yes": False, "no": True, "auto": None}[v]
+    toks = [t for t in toks if t[0] != "case"]
     pos = 0
 
     def peek():
@@ -258,7 +294,7 @@ def parse_query(q: str):
     node = expr()
     if pos != len(toks):
         raise ValueError(f"unexpected {toks[pos][1]!r} in query: {q!r}")
-    return node
+    return node, ci_override
 
 
 # ------------------------------------------------------------------- DNF
@@ -367,18 +403,34 @@ def _fields_used(node) -> set[str]:
 
 
 def _compile_batch(
-    asts: dict, queries: list[tuple[int, str]], hot: set[str], case_insensitive: bool
+    asts: dict,
+    queries: list[tuple[int, str]],
+    hot: set[str],
+    index_folded: bool,
+    ci_map: dict[int, bool],
 ) -> tuple[list[tuple[int, int, str]], list[int], list[int]]:
     """Driver-side routing: every query of the batch compiles to required-
     trigram rows (index path), a scan route, or nothing (contradiction).
     → (req_rows [(query_id, conjunct, trigram)], scan_qids, empty_qids).
     Shared by ``boolean_search`` (which executes the routes) and
     ``explain_search`` (which reports them) so the explanation can never
-    drift from the execution."""
+    drift from the execution.
+
+    Case routing: trigram NEEDLES always fold to match the index's key
+    folding (``index_folded``) — over a folded index an exact-case
+    (``case:yes``) query still prunes soundly, because the folded needle's
+    trigrams appear in folded content wherever the exact needle appears
+    (a superset; verify settles case).  The one unsound combination —
+    a case-insensitive query over an UNFOLDED index (exact trigram keys
+    cannot see differently-cased occurrences) — routes to the scan path,
+    never wrong results."""
     req_rows: list[tuple[int, int, str]] = []
     scan_qids: list[int] = []
     empty_qids: list[int] = []
     for qid, _ in queries:
+        if ci_map[qid] and not index_folded:
+            scan_qids.append(qid)
+            continue
         try:
             conjuncts = to_dnf(asts[qid])
         except _Unsupported:
@@ -395,13 +447,13 @@ def _compile_batch(
             branch_sets: list[set[str]] = [set()]
             for a in pos_atoms:
                 if isinstance(a, str):  # content atom: all its trigrams
-                    base |= _trigrams(a.lower() if case_insensitive else a)
+                    base |= _trigrams(a.lower() if index_folded else a)
                 elif a[0] == "sym":  # defined names appear literally in content
-                    base |= _trigrams(a[1].lower() if case_insensitive else a[1])
+                    base |= _trigrams(a[1].lower() if index_folded else a[1])
                 elif a[0] == "re":  # regex atom: one trigram set PER branch
                     branches = compile_branches(a[1])
                     if branches:
-                        if case_insensitive:
+                        if index_folded:
                             branches = [{t.lower() for t in b} for b in branches]
                         branch_sets = [
                             bs | bt for bs in branch_sets for bt in branches
@@ -461,14 +513,19 @@ def explain_search(
     Cost: one stats lookup filtered to the batch's trigram universe (tiny,
     driver-collected) — no postings or docs access."""
     spark = stats.sparkSession
-    asts = {qid: parse_query(qs) for qid, qs in queries}
+    parsed = {qid: parse_query_with_flags(qs) for qid, qs in queries}
+    asts = {qid: p[0] for qid, p in parsed.items()}
+    ci_map = {
+        qid: (p[1] if p[1] is not None else case_insensitive)
+        for qid, p in parsed.items()
+    }
     hot = (
         {r["trigram"] for r in stats.filter(F.col("df") > max_df).collect()}
         if max_df is not None
         else set()
     )
     req_rows, scan_qids, empty_qids = _compile_batch(
-        asts, queries, hot, case_insensitive
+        asts, queries, hot, case_insensitive, ci_map
     )
 
     universe = sorted({t for _, _, t in req_rows})
@@ -524,9 +581,20 @@ def boolean_search(
     parsed driver-side (query compilation is serving-side work).  Raises
     ValueError on malformed query syntax; every PARSEABLE query returns
     scan-exact results regardless of knobs.  ``case_insensitive`` pairs
-    with an index built with the same flag (build_trigram_index)."""
+    with an index built with the same flag (build_trigram_index) and is
+    the per-query DEFAULT — a ``case:yes`` / ``case:no`` modifier in a
+    query overrides it for that query (see the module docstring for the
+    routing rules; a ``case:no`` query over an unfolded index takes the
+    scan path)."""
     spark = docs.sparkSession
-    asts = {qid: parse_query(qs) for qid, qs in queries}
+    parsed = {qid: parse_query_with_flags(qs) for qid, qs in queries}
+    asts = {qid: p[0] for qid, p in parsed.items()}
+    # per-query effective case mode: a case: modifier overrides the batch
+    # default; case_insensitive doubles as "the index keys are folded"
+    ci_map = {
+        qid: (p[1] if p[1] is not None else case_insensitive)
+        for qid, p in parsed.items()
+    }
 
     hot = (
         {r["trigram"] for r in stats.filter(F.col("df") > max_df).collect()}
@@ -534,13 +602,15 @@ def boolean_search(
         else set()
     )
     req_rows, scan_qids, _empty_qids = _compile_batch(
-        asts, queries, hot, case_insensitive
+        asts, queries, hot, case_insensitive, ci_map
     )
 
     qdf = spark.createDataFrame(queries, "query_id long, query string")
-    content = (
-        F.lower(F.col(content_col)) if case_insensitive else F.col(content_col)
-    )
+    raw_content = F.col(content_col)
+
+    def _content(qid: int) -> Column:
+        return F.lower(raw_content) if ci_map[qid] else raw_content
+
     results: list[DataFrame] = []
 
     if req_rows:
@@ -584,7 +654,7 @@ def boolean_search(
             if qid in asts and any(r[0] == qid for r in req_rows):
                 verify = F.when(
                     F.col("query_id") == qid,
-                    _ast_column(asts[qid], content, case_insensitive),
+                    _ast_column(asts[qid], _content(qid), ci_map[qid]),
                 ).otherwise(verify)
         idx_qids = {r[0] for r in req_rows}
         extra = sorted(
@@ -607,7 +677,7 @@ def boolean_search(
             F.array(
                 *[
                     F.when(
-                        _ast_column(asts[qid], content, case_insensitive),
+                        _ast_column(asts[qid], _content(qid), ci_map[qid]),
                         F.lit(qid).cast("long"),
                     )
                     for qid in scan_qids
@@ -699,7 +769,12 @@ def boolean_search_lines(
     verified), the per-query line predicate is one driver-compiled
     chained-when, so a k-query batch never re-explodes content k times.
     """
-    asts = {qid: parse_query(qs) for qid, qs in queries}
+    parsed = {qid: parse_query_with_flags(qs) for qid, qs in queries}
+    asts = {qid: p[0] for qid, p in parsed.items()}
+    ci_map = {
+        qid: (p[1] if p[1] is not None else case_insensitive)
+        for qid, p in parsed.items()
+    }
     hits = boolean_search(
         docs,
         postings,
@@ -720,15 +795,16 @@ def boolean_search_lines(
             "__ln0", "__line"
         ),
     )
-    folded = F.lower(raw_line) if case_insensitive else raw_line
     pred = F.lit(False)
     for qid, _ in queries:
         leaves = sorted(_positive_leaves(asts[qid]))
         if not leaves:
             continue
+        ci_q = ci_map[qid]
+        folded = F.lower(raw_line) if ci_q else raw_line
         q_pred = F.lit(False)
         for leaf in leaves:
-            q_pred = q_pred | _leaf_line_column(leaf, folded, case_insensitive)
+            q_pred = q_pred | _leaf_line_column(leaf, folded, ci_q)
         pred = F.when(F.col("query_id") == qid, q_pred).otherwise(pred)
     out = (
         hits.join(lines, "doc_id")
@@ -801,8 +877,12 @@ def boolean_search_topk_ranked(
     """
     from searchenginesimple_spark.functions.code import extract_symbols
 
-    ci = case_insensitive
-    asts = {qid: parse_query(qs) for qid, qs in queries}
+    parsed = {qid: parse_query_with_flags(qs) for qid, qs in queries}
+    asts = {qid: p[0] for qid, p in parsed.items()}
+    ci_map = {
+        qid: (p[1] if p[1] is not None else case_insensitive)
+        for qid, p in parsed.items()
+    }
     leaves_by_qid = {qid: sorted(_positive_leaves(asts[qid])) for qid, _ in queries}
 
     hits = boolean_search(
@@ -811,23 +891,22 @@ def boolean_search_topk_ranked(
         stats,
         queries,
         content_col=content_col,
-        case_insensitive=ci,
+        case_insensitive=case_insensitive,
         **search_kwargs,
     ).select("query_id", "query", "doc_id")
     matched = hits.join(docs.select("doc_id", content_col, path_col), "doc_id")
 
-    def fold(col: Column) -> Column:
-        return F.lower(col) if ci else col
-
-    c, p = fold(F.col(content_col)), fold(F.col(path_col))
     occ_expr = F.lit(0).cast("long")
     path_expr = F.lit(False)
     for qid, _ in queries:
+        ci_q = ci_map[qid]
+        c = F.lower(F.col(content_col)) if ci_q else F.col(content_col)
+        p = F.lower(F.col(path_col)) if ci_q else F.col(path_col)
         q_occ = F.lit(0).cast("long")
         q_path = F.lit(False)
         for kind, v in leaves_by_qid[qid]:
             if kind == "atom":
-                a = F.lit(v.lower() if ci else v)
+                a = F.lit(v.lower() if ci_q else v)
                 q_occ = q_occ + (
                     (F.length(c) - F.length(F.replace(c, a))) / F.length(a)
                 ).cast("long")
@@ -846,28 +925,49 @@ def boolean_search_topk_ranked(
         occ_expr.alias("n_occurrences"),
     )
 
-    mdocs = matched.select(
-        "doc_id", fold(F.col(content_col)).alias("__content")
-    ).distinct()
-    defs = extract_symbols(mdocs, "__content").select("doc_id", "symbol")
-    symp = F.lit(False)
-    for qid, _ in queries:
-        q_sym = F.lit(False)
-        for kind, v in leaves_by_qid[qid]:
-            if kind == "regex":
-                q_sym = q_sym | F.regexp_like(F.col("symbol"), F.lit(v))
-            else:
-                vv = F.lit(v.lower() if ci else v)
-                q_sym = q_sym | (F.instr(F.col("symbol"), vv) > 0)
-        symp = F.when(F.col("query_id") == qid, q_sym).otherwise(symp)
-    sym = (
-        hits.select("query_id", "doc_id")
-        .join(defs, "doc_id")
-        .filter(symp)
-        .select("query_id", "doc_id")
-        .distinct()
-        .withColumn("symbol_match", F.lit(1))
-    )
+    # symbol definitions per case mode: extraction runs over folded content
+    # for ci queries and raw content for exact-case queries (fold-then-
+    # extract is the ci semantics of the sym: atom), one candidate-sized
+    # pass per mode ACTUALLY PRESENT in the batch
+    sym_frames: list[DataFrame] = []
+    for mode in (False, True):
+        mode_qids = [qid for qid, _ in queries if ci_map[qid] == mode]
+        if not mode_qids:
+            continue
+        mode_hits = hits.filter(F.col("query_id").isin(mode_qids))
+        mcontent = (
+            F.lower(F.col(content_col)) if mode else F.col(content_col)
+        )
+        mdocs = (
+            mode_hits.select("doc_id")
+            .distinct()
+            .join(docs.select("doc_id", content_col), "doc_id")
+            .select("doc_id", mcontent.alias("__content"))
+        )
+        defs = extract_symbols(mdocs, "__content").select("doc_id", "symbol")
+        symp = F.lit(False)
+        for qid in mode_qids:
+            q_sym = F.lit(False)
+            for kind, v in leaves_by_qid[qid]:
+                if kind == "regex":
+                    q_sym = q_sym | F.regexp_like(F.col("symbol"), F.lit(v))
+                else:
+                    vv = F.lit(v.lower() if mode else v)
+                    q_sym = q_sym | (F.instr(F.col("symbol"), vv) > 0)
+            symp = F.when(F.col("query_id") == qid, q_sym).otherwise(symp)
+        sym_frames.append(
+            mode_hits.select("query_id", "doc_id")
+            .join(defs, "doc_id")
+            .filter(symp)
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+    if not sym_frames:  # empty batch
+        sym_frames = [hits.select("query_id", "doc_id").limit(0)]
+    sym = sym_frames[0]
+    for f in sym_frames[1:]:
+        sym = sym.unionByName(f)
+    sym = sym.withColumn("symbol_match", F.lit(1))
 
     ranked = base.join(sym, ["query_id", "doc_id"], "left").withColumn(
         "symbol_match", F.coalesce("symbol_match", F.lit(0)).cast("int")
@@ -952,13 +1052,15 @@ def boolean_search_bruteforce(
 ) -> DataFrame:
     """Scan twin (what the oracle runs): evaluate every query's boolean
     over every doc.  Tests pin index path ≡ this for all knob settings."""
-    content = (
-        F.lower(F.col(content_col)) if case_insensitive else F.col(content_col)
-    )
     out = None
     for qid, qs in queries:
+        ast, ci_override = parse_query_with_flags(qs)
+        ci_q = ci_override if ci_override is not None else case_insensitive
+        content = (
+            F.lower(F.col(content_col)) if ci_q else F.col(content_col)
+        )
         r = docs.filter(
-            _ast_column(parse_query(qs), content, case_insensitive)
+            _ast_column(ast, content, ci_q)
         ).select(
             F.lit(qid).cast("long").alias("query_id"),
             F.lit(qs).alias("query"),

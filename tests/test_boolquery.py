@@ -837,3 +837,122 @@ def test_boolean_topk_ranked_pagerank_composition(spark, ranked_corpus):
     ]
     assert min(peers, key=lambda r: r["rank"])["doc_id"] == 42
     assert hub["priority"] > 0
+
+
+# ------------------------------------------------------------ case: atom
+
+
+def test_case_modifier_parses():
+    from searchenginesimple_spark.operators.boolquery import parse_query_with_flags
+
+    assert parse_query_with_flags("case:no Return") == (("atom", "Return"), True)
+    assert parse_query_with_flags("Return case:yes") == (("atom", "Return"), False)
+    assert parse_query_with_flags("case:auto Return") == (("atom", "Return"), None)
+    # position-independent, last one wins
+    assert parse_query_with_flags("case:no a case:yes")[1] is False
+    # a modifier is not a predicate: stripped from the AST entirely
+    assert parse_query_with_flags("a case:no b")[0] == (
+        "and",
+        [("atom", "a"), ("atom", "b")],
+    )
+    # quoting makes the literal reachable as content
+    assert parse_query_with_flags('"case:no"') == (("atom", "case:no"), None)
+    # bad value / modifier-only queries are syntax errors
+    with pytest.raises(ValueError):
+        parse_query_with_flags("case:maybe a")
+    with pytest.raises(ValueError):
+        parse_query_with_flags("case:no")
+
+
+@pytest.fixture(scope="module")
+def case_corpus(spark):
+    rows = [
+        (0, "a.py", "def Alpha_Handler(x):\n    return x"),
+        (1, "b.py", "def alpha_handler(x):\n    return x"),
+        # uppercase DEF: a definition site ONLY after case folding
+        (2, "c.py", "DEF Alpha_Handler(X):\n    return X"),
+        (3, "d.py", "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, path string, content string"
+    ).cache()
+    docs.count()
+    return docs
+
+
+def test_case_modifier_over_folded_index(spark, case_corpus):
+    """Over a ci index: case:yes stays on the INDEX path (folded needle
+    trigrams over-approximate exact-case matches; verify settles case) and
+    both modes equal the bruteforce twin."""
+    postings, stats = build_trigram_index(case_corpus, case_insensitive=True)
+    queries = [
+        (0, "case:yes Alpha_Handler"),
+        (1, "case:no Alpha_Handler"),
+        (2, "alpha_handler"),  # batch default (ci) applies
+    ]
+    got = boolean_search(
+        case_corpus, postings, stats, queries, case_insensitive=True
+    )
+    want = boolean_search_bruteforce(case_corpus, queries, case_insensitive=True)
+    assert _rows(got) == _rows(want)
+    by_qid = {}
+    for r in got.collect():
+        by_qid.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_qid[0] == {0, 2}       # exact case: the literal spellings only
+    assert by_qid[1] == {0, 1, 2}    # folded: all spellings
+    assert by_qid[2] == {0, 1, 2}
+    # and the routing report says all three stayed on the index
+    exp = {
+        r["query_id"]: r["path"]
+        for r in explain_search(stats, queries, case_insensitive=True).collect()
+    }
+    assert exp == {0: "index", 1: "index", 2: "index"}
+
+
+def test_case_modifier_over_unfolded_index(spark, case_corpus):
+    """Over a cs index: case:no cannot trust exact trigram keys — the
+    query routes to the scan path (explain says so) and still returns
+    case-blind scan-exact results."""
+    postings, stats = build_trigram_index(case_corpus, case_insensitive=False)
+    queries = [(0, "case:no alpha_handler"), (1, "alpha_handler")]
+    got = boolean_search(case_corpus, postings, stats, queries)
+    want = boolean_search_bruteforce(case_corpus, queries)
+    assert _rows(got) == _rows(want)
+    by_qid = {}
+    for r in got.collect():
+        by_qid.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert by_qid[0] == {0, 1, 2}  # case-blind despite the cs index
+    assert by_qid[1] == {1}        # default exact-case
+    exp = {
+        r["query_id"]: r["path"] for r in explain_search(stats, queries).collect()
+    }
+    assert exp == {0: "scan", 1: "index"}
+
+
+def test_case_modifier_lines_and_ranked(spark, case_corpus):
+    """Per-query case modes thread through the results surfaces: line
+    highlights fold per query, and the sym: extraction runs fold-then-
+    extract for ci queries and raw for exact-case queries."""
+    postings, stats = build_trigram_index(case_corpus, case_insensitive=True)
+    queries = [(0, "case:yes Alpha_Handler"), (1, "case:no alpha_handler")]
+    lines = boolean_search_lines(
+        case_corpus, postings, stats, queries, case_insensitive=True
+    ).collect()
+    got = {(r["query_id"], r["doc_id"], r["line_no"]) for r in lines}
+    # exact-case: the literal spellings; folded: every spelling's line
+    assert got == {(0, 0, 1), (0, 2, 1), (1, 0, 1), (1, 1, 1), (1, 2, 1)}
+
+    ranked = boolean_search_topk_ranked(
+        case_corpus, postings, stats, queries, k=10, case_insensitive=True
+    ).collect()
+    by = {(r["query_id"], r["doc_id"]): r for r in ranked}
+    # doc 0 DEFINES Alpha_Handler (raw and folded); doc 2's uppercase
+    # "DEF Alpha_Handler" is a definition site ONLY under fold-then-extract
+    # — the exact-case query must NOT see it as a symbol hit, the ci query
+    # must
+    assert by[(0, 0)]["symbol_match"] == 1
+    assert by[(0, 2)]["symbol_match"] == 0
+    assert by[(1, 0)]["symbol_match"] == 1
+    assert by[(1, 1)]["symbol_match"] == 1
+    assert by[(1, 2)]["symbol_match"] == 1
+    assert by[(0, 0)]["n_occurrences"] == 1
