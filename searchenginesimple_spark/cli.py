@@ -52,6 +52,26 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--mode", choices=["and", "or"], default="and")
     q.add_argument("--k", type=int, default=10)
 
+    h = sub.add_parser(
+        "search",
+        help="hybrid: BM25 top-k among the docs matching a boolean filter",
+    )
+    h.add_argument("--input", required=True, help="parquet dir of docs")
+    h.add_argument(
+        "--index", required=True, help="trigram index root (built/resumed on demand)"
+    )
+    h.add_argument("--query", action="append", required=True, help="repeatable text query")
+    h.add_argument(
+        "--filter",
+        action="append",
+        default=None,
+        help="repeatable boolean filter, one per --query in order ('' = none); "
+        "omit entirely for unfiltered ranking",
+    )
+    h.add_argument("--mode", choices=["and", "or"], default="and")
+    h.add_argument("-k", "--topk", type=int, default=10)
+    h.add_argument("--ci", action="store_true", help="case-insensitive filter leg")
+
     s = sub.add_parser("suggest", help="levenshtein suggestions from a docs corpus")
     s.add_argument("--input", required=True)
     s.add_argument("--word", action="append", required=True)
@@ -158,6 +178,55 @@ def main(argv: list[str] | None = None) -> int:
         out = engine.query(args.query)
         for _, r in out.iterrows():
             print(json.dumps({"query": r["query"], "rank": int(r["rank"]), "docID": int(r["docID"]), "score": float(r["score"])}))
+        return 0
+
+    if args.cmd == "search":
+        import dataclasses
+
+        from searchenginesimple_spark.operators.bm25 import build_index_stats
+        from searchenginesimple_spark.operators.hybrid import filtered_bm25_topk
+        from searchenginesimple_spark.operators.trigram import (
+            build_trigram_index,
+            write_trigram_index,
+        )
+        from searchenginesimple_spark.sources.corpus import with_doc_ids
+
+        filters = args.filter or []
+        if filters and len(filters) != len(args.query):
+            p.error("--filter must be given once per --query (use '' for none)")
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns:
+            docs = with_doc_ids(docs)
+        raw, _ = build_trigram_index(docs, case_insensitive=args.ci)
+        tri_postings, tri_stats = write_trigram_index(raw, args.index, resume=True)
+        idx = build_index_stats(docs)
+        triples = [
+            (int(i), q, (filters[i] or None) if filters else None)
+            for i, q in enumerate(args.query)
+        ]
+        cfg = dataclasses.replace(DEFAULT, top_k=args.topk)
+        out = filtered_bm25_topk(
+            docs,
+            idx,
+            tri_postings,
+            tri_stats,
+            triples,
+            cfg=cfg,
+            mode=args.mode,
+            case_insensitive=args.ci,
+        )
+        for r in out.orderBy("query_id", "rank").collect():
+            print(
+                json.dumps(
+                    {
+                        "query": r["query"],
+                        "filter": r["filter"],
+                        "rank": int(r["rank"]),
+                        "doc_id": int(r["doc_id"]),
+                        "score": float(r["score"]),
+                    }
+                )
+            )
         return 0
 
     if args.cmd == "suggest":

@@ -283,3 +283,34 @@ def test_cli_curate(spark, tmp_path, capsys):
     # chunks exist for the kept docs
     chunks = spark.read.parquet(str(out / "curate_chunks"))
     assert chunks.count() >= res["kept"]
+
+
+def test_cli_search_hybrid(spark, tmp_path, capsys):
+    """search = BM25 ranking over a boolean-filtered candidate set; the
+    unfiltered leg and the filtered leg ride one invocation."""
+    import searchenginesimple_spark.cli as cli
+    from searchenginesimple_spark.sources.corpus import docs_df
+
+    corpus, tri = tmp_path / "corpus", tmp_path / "tri"
+    docs_df(spark, 150).write.mode("overwrite").parquet(str(corpus))
+
+    rc = cli.main(
+        ["search", "--input", str(corpus), "--index", str(tri),
+         "--query", "return ident", "--query", "return ident",
+         "--filter", "loc_7_", "--filter", "",
+         "-k", "5"]
+    )
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows
+    flt = [r for r in rows if r["filter"] == "loc_7_"]
+    unf = [r for r in rows if r["filter"] is None]
+    assert flt and unf
+    # ranks dense per leg; the filtered leg is a subset of docs but its
+    # scores agree with the unfiltered ranking where they overlap
+    assert [r["rank"] for r in flt] == list(range(1, len(flt) + 1))
+    assert [r["rank"] for r in unf] == list(range(1, len(unf) + 1))
+    unf_scores = {r["doc_id"]: r["score"] for r in unf}
+    for r in flt:
+        if r["doc_id"] in unf_scores:
+            assert r["score"] == unf_scores[r["doc_id"]]
