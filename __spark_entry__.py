@@ -1038,22 +1038,43 @@ def _q_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_result_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Result materialization join (WebPageQuery.hpp:121-136) + snippets in
-    one entry: top-k docIDs joined back to the docstore — broadcast the
-    (tiny) top-k side — emitting both the leading-content summary and the
-    query-centred highlight snippet (functions/text.py::query_snippet, an
-    80-char window around the earliest query-token occurrence — the
-    summarization the reference's gateway applies, WebPageQuery.hpp:119-138)."""
+    """The full serving tail in one entry — over-retrieve → near-dup
+    collapse → result materialization + snippets:
+
+    * BM25 top-2k (the standard over-retrieve pattern, k'=2k);
+    * ``collapse_results`` (operators/collapse.py) hides near-duplicates —
+      one hit per dedup cluster (the ``dedup_clusters`` rule: 5-gram
+      Jaccard ≥ 0.5 pairs → connected components), survivors re-ranked
+      densely and cut back to k.  The reference suppresses duplicates at
+      INDEX time only (Page.hpp:121-161); every production engine also
+      collapses at serving time ("similar results omitted");
+    * materialization join (WebPageQuery.hpp:121-136): collapsed docIDs
+      joined back to the docstore — broadcast the (tiny) result side —
+      emitting the leading-content summary and the query-centred highlight
+      snippet (functions/text.py::query_snippet, an 80-char window around
+      the earliest query-token occurrence, WebPageQuery.hpp:119-138)."""
+    import dataclasses
+
     from searchenginesimple_spark.functions.text import query_snippet
+    from searchenginesimple_spark.operators.collapse import collapse_results
+    from searchenginesimple_spark.operators.dedup import ngram_jaccard_pairs
+    from searchenginesimple_spark.operators.graph import connected_components
 
     docs = load_documents(spark, sf_dir)
     idx = build_index_stats(docs)
-    topk = bm25_topk(idx, _queries_df(spark))
+    cfg = dataclasses.replace(DEFAULT, top_k=2 * DEFAULT.top_k)
+    topk = bm25_topk(idx, _queries_df(spark), cfg=cfg)
+    clusters = connected_components(
+        ngram_jaccard_pairs(docs, n=5, threshold=0.5), "a_id", "b_id"
+    )
+    collapsed = collapse_results(
+        topk, clusters, k=DEFAULT.top_k, query_col="query", doc_col="docID"
+    )
     return (
-        F.broadcast(topk)
-        .join(docs, topk.docID == docs.doc_id, "inner")
+        F.broadcast(collapsed)
+        .join(docs, collapsed.docID == docs.doc_id, "inner")
         .select(
-            "query", "rank", "docID", "score",
+            "query", "rank", "orig_rank", "cluster_id", "docID", "score",
             F.substring("content", 1, 40).alias("snippet"),
             query_snippet("content", "query").alias("hit_snippet"),
         )
@@ -1510,6 +1531,79 @@ SELECT node AS doc_id, cluster_id, cluster_size FROM comp JOIN sz USING (cluster
 
 
 _DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+def _result_fetch_sql() -> str:
+    """Mirror of _q_result_fetch: surgery on _BM25_SQL — widen the cut to
+    2k (over-retrieve), splice in the dedup-cluster CTEs (same pair rule +
+    transitive closure as _DEDUP_CLUSTERS_SQL, c-prefixed to avoid CTE-name
+    collisions with the bm25 chain), the collapse windows (best-per-
+    (query, cluster) by original rank, then dense re-rank), and the
+    materialization join with both snippet expressions."""
+    tail = f""",
+r2k AS (SELECT query, doc_id, score, rank FROM ranked WHERE rank <= {2 * DEFAULT.top_k}),
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+shc AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks)-3)])) AS sh
+  FROM tokarr WHERE len(toks) >= 5
+),
+csizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+cpairs AS (
+  SELECT a_id, b_id FROM (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+    FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) inter
+  JOIN csizes sa ON a_id = sa.doc_id
+  JOIN csizes sb ON b_id = sb.doc_id
+  WHERE round(i::double / (sa.n + sb.n - i), 6) >= 0.5
+),
+cnodes AS (SELECT a_id AS node FROM cpairs UNION SELECT b_id FROM cpairs),
+ced AS (SELECT a_id AS a, b_id AS b FROM cpairs UNION SELECT b_id, a_id FROM cpairs),
+creach AS (
+  SELECT node, node AS r FROM cnodes
+  UNION
+  SELECT e.b AS node, creach.r FROM creach JOIN ced e ON e.a = creach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM creach GROUP BY node),
+cj AS (
+  SELECT r.query, r.doc_id, r.score, r.rank AS orig_rank, c.cluster_id,
+         coalesce(c.cluster_id, -r.doc_id - 1) AS ckey
+  FROM r2k r LEFT JOIN comp c USING (doc_id)
+),
+cbest AS (
+  SELECT *, row_number() OVER (PARTITION BY query, ckey
+                               ORDER BY orig_rank ASC, doc_id ASC) AS b
+  FROM cj
+),
+surv AS (
+  SELECT *, row_number() OVER (PARTITION BY query
+                               ORDER BY orig_rank ASC, doc_id ASC) AS new_rank
+  FROM cbest WHERE b = 1
+)
+SELECT s.query, s.new_rank::int AS rank, s.orig_rank::int AS orig_rank,
+       s.cluster_id::BIGINT AS cluster_id, s.doc_id::bigint AS "docID",
+       s.score::double AS score,
+       substring(d.text, 1, 40) AS snippet,
+       substr(d.text,
+         greatest(1, coalesce(
+           list_min(list_filter(
+             list_transform(regexp_extract_all(lower(s.query), '{TOKEN_RE}'),
+                            t -> strpos(lower(d.text), t)),
+             p -> p > 0)), 1) - 40),
+         80) AS hit_snippet
+FROM surv s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.new_rank <= {DEFAULT.top_k}"""
+    return _BM25_SQL.replace("WITH ", "WITH RECURSIVE ", 1).replace(
+        'SELECT query, rank::int AS rank, doc_id::bigint AS "docID", score::double AS score\n'
+        f"FROM ranked WHERE rank <= {DEFAULT.top_k}",
+        tail,
+    )
+
+
+_RESULT_FETCH_SQL = _result_fetch_sql()
 
 
 def _import_rank_sql(iterations: int = 5) -> str:
@@ -2102,19 +2196,7 @@ def oracle_sql() -> dict[str, str]:
         "short_filter": """
             SELECT doc_id, length(text)::bigint AS n_chars
             FROM documents WHERE length(text) >= 10""",
-        "result_fetch": _BM25_SQL.replace(
-            'SELECT query, rank::int AS rank, doc_id::bigint AS "docID", score::double AS score\nFROM ranked WHERE rank <= 10',
-            'SELECT r.query, r.rank::int AS rank, r.doc_id::bigint AS "docID", r.score::double AS score, '
-            "substring(d.text, 1, 40) AS snippet, "
-            f"""substr(d.text,
-                 greatest(1, coalesce(
-                   list_min(list_filter(
-                     list_transform(regexp_extract_all(lower(r.query), '{TOKEN_RE}'),
-                                    t -> strpos(lower(d.text), t)),
-                     p -> p > 0)), 1) - 40),
-                 80) AS hit_snippet """
-            "FROM ranked r JOIN documents d ON r.doc_id = d.doc_id WHERE r.rank <= 10",
-        ),
+        "result_fetch": _RESULT_FETCH_SQL,
         "text_quality": _TEXT_QUALITY_SQL,
         "pii_scrub": f"""
             WITH d AS (

@@ -14,6 +14,9 @@ tests/test_cli.py::test_spark_submit_py_files_ships.  Or locally:
     python -m searchenginesimple_spark.cli build  --input /path/docs_parquet --index /path/idx
     python -m searchenginesimple_spark.cli query  --index /path/idx --query "spark window" [--mode or]
     python -m searchenginesimple_spark.cli suggest --index-docs /path/docs_parquet --word spakr
+    python -m searchenginesimple_spark.cli search --input /path/docs_parquet --index /path/tri \\
+                                                  --query 'spark window' [--filter 'lang:py -vendor'] \\
+                                                  [--collapse /path/clusters_parquet]
     python -m searchenginesimple_spark.cli grep   --input /path/docs_parquet --index /path/tri \\
                                                   --query 'lang:py crypto -vendor' [--ci]
     python -m searchenginesimple_spark.cli chunk  --input /path/docs_parquet --output /path/chunks \\
@@ -71,6 +74,15 @@ def main(argv: list[str] | None = None) -> int:
     h.add_argument("--mode", choices=["and", "or"], default="and")
     h.add_argument("-k", "--topk", type=int, default=10)
     h.add_argument("--ci", action="store_true", help="case-insensitive filter leg")
+    h.add_argument(
+        "--collapse",
+        default=None,
+        metavar="CLUSTERS_PARQUET",
+        help="near-dup collapse: parquet of cluster assignments — (node, "
+        "component) as connected_components emits, or (doc_id, cluster_id) "
+        "as the dedup_clusters entry emits; results are over-retrieved 2k, "
+        "collapsed to one hit per cluster, re-ranked and cut to k",
+    )
 
     s = sub.add_parser("suggest", help="levenshtein suggestions from a docs corpus")
     s.add_argument("--input", required=True)
@@ -204,7 +216,10 @@ def main(argv: list[str] | None = None) -> int:
             (int(i), q, (filters[i] or None) if filters else None)
             for i, q in enumerate(args.query)
         ]
-        cfg = dataclasses.replace(DEFAULT, top_k=args.topk)
+        # collapsing cuts survivors back to k, so over-retrieve 2k first
+        # (the standard pattern — operators/collapse.py docstring)
+        k_retrieve = 2 * args.topk if args.collapse else args.topk
+        cfg = dataclasses.replace(DEFAULT, top_k=k_retrieve)
         out = filtered_bm25_topk(
             docs,
             idx,
@@ -215,18 +230,31 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode,
             case_insensitive=args.ci,
         )
-        for r in out.orderBy("query_id", "rank").collect():
-            print(
-                json.dumps(
-                    {
-                        "query": r["query"],
-                        "filter": r["filter"],
-                        "rank": int(r["rank"]),
-                        "doc_id": int(r["doc_id"]),
-                        "score": float(r["score"]),
-                    }
+        if args.collapse:
+            from searchenginesimple_spark.operators.collapse import collapse_results
+
+            clusters = spark.read.parquet(args.collapse)
+            if "node" not in clusters.columns:  # dedup_clusters-entry shape
+                clusters = clusters.select(
+                    clusters.doc_id.alias("node"), clusters.cluster_id.alias("component")
                 )
+            out = collapse_results(
+                out, clusters, k=args.topk, query_col="query_id", doc_col="doc_id"
             )
+        for r in out.orderBy("query_id", "rank").collect():
+            rec = {
+                "query": r["query"],
+                "filter": r["filter"],
+                "rank": int(r["rank"]),
+                "doc_id": int(r["doc_id"]),
+                "score": float(r["score"]),
+            }
+            if args.collapse:
+                rec["orig_rank"] = int(r["orig_rank"])
+                rec["cluster_id"] = (
+                    int(r["cluster_id"]) if r["cluster_id"] is not None else None
+                )
+            print(json.dumps(rec))
         return 0
 
     if args.cmd == "suggest":

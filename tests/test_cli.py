@@ -314,3 +314,41 @@ def test_cli_search_hybrid(spark, tmp_path, capsys):
     for r in flt:
         if r["doc_id"] in unf_scores:
             assert r["score"] == unf_scores[r["doc_id"]]
+
+
+def test_cli_search_collapse(spark, tmp_path, capsys):
+    """search --collapse: planted exact duplicates collapse to one hit per
+    cluster, survivors re-ranked densely, orig_rank/cluster_id reported."""
+    import searchenginesimple_spark.cli as cli
+    from pyspark.sql import functions as F
+    from searchenginesimple_spark.operators.graph import connected_components
+    from searchenginesimple_spark.sources.corpus import docs_df, with_doc_ids
+
+    corpus, tri, cl = tmp_path / "corpus", tmp_path / "tri", tmp_path / "cl"
+    docs = with_doc_ids(docs_df(spark, 100))
+    dups = docs.withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    both = docs.unionByName(dups)
+    both.write.mode("overwrite").parquet(str(corpus))
+    pairs = (
+        both.alias("a")
+        .join(both.alias("b"),
+              F.sha2(F.col("a.content"), 256) == F.sha2(F.col("b.content"), 256))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    )
+    connected_components(pairs).write.mode("overwrite").parquet(str(cl))
+
+    rc = cli.main(
+        ["search", "--input", str(corpus), "--index", str(tri),
+         "--query", "return ident_001", "--collapse", str(cl), "-k", "5"]
+    )
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and len(rows) <= 5
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # every original doc was planted with an exact duplicate, so every
+    # survivor carries a cluster_id and no two survivors share one
+    cids = [r["cluster_id"] for r in rows]
+    assert all(c is not None for c in cids) and len(cids) == len(set(cids))
+    # collapse dropped the duplicate partners: orig_rank gaps appear
+    assert [r["orig_rank"] for r in rows] != [r["rank"] for r in rows]
