@@ -1047,7 +1047,14 @@ def _q_result_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
       Jaccard ≥ 0.5 pairs → connected components), survivors re-ranked
       densely and cut back to k.  The reference suppresses duplicates at
       INDEX time only (Page.hpp:121-161); every production engine also
-      collapses at serving time ("similar results omitted");
+      collapses at serving time ("similar results omitted").  The cluster
+      table is a BUILD-TIME artifact in production (the offline dedup
+      pipeline's ``dedup_clusters`` output, read as a parquet side table —
+      exactly how the CLI's ``search --collapse`` consumes it); it is
+      computed inline here only so the driver entry stays self-contained.
+      At serving time collapse touches the corpus-scale assignment only
+      via a broadcast semi-join down to the hit set (collapse.py
+      docstring), so the query path never pays the pair-mining cost;
     * materialization join (WebPageQuery.hpp:121-136): collapsed docIDs
       joined back to the docstore — broadcast the (tiny) result side —
       emitting the leading-content summary and the query-centred highlight

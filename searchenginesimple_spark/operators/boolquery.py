@@ -201,6 +201,12 @@ def _tokenize(q: str) -> list[tuple[str, str]]:
                     f"case: takes yes/no/auto, got {v!r} in query: {q!r}"
                 )
             toks.append(("case", v))
+        elif word[-1:] == ":" and word[:-1] in FIELDS and j < n and q[j] == '"':
+            # quoted field value: path:"my dir" (zoekt accepts the same
+            # form) — without this branch the quote ends the bareword and
+            # the prefix silently degrades to a content atom
+            v, j = _scan_quoted(q, j)
+            toks.append(("field", (word[:-1], v)))
         elif ":" in word and word.partition(":")[0] in FIELDS and word.partition(":")[2]:
             f, _, v = word.partition(":")
             toks.append(("field", (f, v)))

@@ -60,6 +60,14 @@ def collapse_results(
     ``k``: optional final cut after re-ranking (the over-retrieve k'→k
     pattern); None keeps every survivor.
     """
+    # one upstream evaluation: hit_ids and the join below both read
+    # ``results``, and Spark does not share common subplans across joins —
+    # without this the whole retrieval pipeline (postings pass + verify +
+    # ranking) would execute twice per collapsed search.  The result set
+    # is (queries × k'), tiny, so flattening it once is cheap
+    # (graph.py's lineage-truncation pattern; eager=False defers
+    # materialization to the first action).
+    results = results.localCheckpoint(eager=False)
     assign = clusters.select(
         F.col(node_col).alias(doc_col), F.col(component_col).alias("cluster_id")
     )

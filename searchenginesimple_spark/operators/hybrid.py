@@ -67,7 +67,6 @@ def filtered_bm25_topk(
     independent by design, like zoekt's scored-query-vs-filter split.
     """
     spark = docs.sparkSession
-    filtered = [(qid, flt) for qid, _, flt in queries if flt is not None]
     out: list[DataFrame] = []
 
     for has_filter in (True, False):

@@ -193,6 +193,13 @@ def test_field_atoms_parse():
     assert parse_query('"lang:py"') == ("atom", "lang:py")
     assert parse_query("std::vector") == ("atom", "std::vector")
     assert parse_query("lang:") == ("atom", "lang:")
+    # quoted field values: the quote would otherwise end the bareword and
+    # silently degrade the prefix to a content atom
+    assert parse_query('path:"my dir" crypto') == (
+        "and",
+        [("field", "path", "my dir"), ("atom", "crypto")],
+    )
+    assert parse_query('-f:"a b"') == ("not", ("field", "f", "a b"))
     assert to_dnf(parse_query("lang:py -path:vendor"))[0] == (
         frozenset({("lang", "py")}),
         frozenset({("path", "vendor")}),
