@@ -21,6 +21,8 @@ tests/test_cli.py::test_spark_submit_py_files_ships.  Or locally:
                                                   --query 'lang:py crypto -vendor' [--ci]
     python -m searchenginesimple_spark.cli chunk  --input /path/docs_parquet --output /path/chunks \\
                                                   [--chunk-tokens 512] [--overlap-lines 4]
+    python -m searchenginesimple_spark.cli pack   --input /path/docs_parquet --output /path/samples \\
+                                                  [--sample-tokens 8192]
     python -m searchenginesimple_spark.cli watch  --input /path/incoming --output /path/matches \\
                                                   --query 'lang:py crypto -vendor' [--ci]
     python -m searchenginesimple_spark.cli curate --input /path/docs_parquet --output /path/curated \\
@@ -144,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--chunk-tokens", type=int, default=512)
     c.add_argument("--overlap-lines", type=int, default=0)
 
+    k = sub.add_parser(
+        "pack", help="repo-level context packing into training samples"
+    )
+    k.add_argument("--input", required=True, help="parquet dir of docs (repo/path/content)")
+    k.add_argument("--output", required=True, help="output parquet dir of samples")
+    k.add_argument("--sample-tokens", type=int, default=8192)
+
     u = sub.add_parser(
         "curate", help="training-data curation pipeline (resumable, per-stage metrics)"
     )
@@ -158,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--source-col", default="repo",
                    help="grouping column for --per-source-cap (default: repo)")
     u.add_argument("--chunk-tokens", type=int, default=None)
+    u.add_argument("--repo-pack-tokens", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -434,6 +444,7 @@ def main(argv: list[str] | None = None) -> int:
             per_source_cap=args.per_source_cap,
             source_col=args.source_col,
             chunk_tokens=args.chunk_tokens,
+            repo_pack_tokens=args.repo_pack_tokens,
         )
         io = TableIO(spark, args.output)
         kept = curate(spark, docs, io, cfg)
@@ -459,6 +470,21 @@ def main(argv: list[str] | None = None) -> int:
         ).write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"chunks": n, "output": args.output}))
+        return 0
+
+    if args.cmd == "pack":
+        from searchenginesimple_spark.operators.repopack import pack_repo_samples
+
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns:
+            from searchenginesimple_spark.sources.corpus import with_doc_ids
+
+            docs = with_doc_ids(docs)
+        pack_repo_samples(
+            docs, sample_tokens=args.sample_tokens
+        ).write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"samples": n, "output": args.output}))
         return 0
 
     return 1

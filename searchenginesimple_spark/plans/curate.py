@@ -68,6 +68,10 @@ class CurateConfig:
     # of the kept docs into training chunks (operators/chunk.py)
     chunk_tokens: int | None = None
     chunk_overlap_lines: int = 0
+    # repo-pack stage (None → no curate_repo_samples table): repo-level
+    # context packing of the kept docs (operators/repopack.py) — the
+    # alternative terminal stage when training wants whole-repo samples
+    repo_pack_tokens: int | None = None
     # prefilter stage (all defaults off → stage is a pass-through and
     # writes no table): the "not first-party human code" exclusions of
     # functions/code.py — license allow-list, vendored paths, generated
@@ -240,6 +244,26 @@ def curate(
             "curate_chunks",
         )
 
+    # ---- optional stage 5b: repo-level packing (operators/repopack.py) ----
+    # same contract as the chunk stage: reads the committed kept table
+    if cfg.repo_pack_tokens is not None and not io.exists(
+        "curate_repo_samples", committed=True
+    ):
+        from searchenginesimple_spark.operators.repopack import pack_repo_samples
+
+        missing = {"repo", "path"} - set(docs.columns)
+        if missing:
+            raise ValueError(f"repo_pack_tokens needs columns {sorted(missing)} in docs")
+
+        io.overwrite(
+            pack_repo_samples(
+                io.read("curate_kept"),
+                sample_tokens=cfg.repo_pack_tokens,
+                content_col=text_col,
+            ),
+            "curate_repo_samples",
+        )
+
     n_in = docs.count()
     rows, prev = [], n_in
     for s in _STAGES:
@@ -249,6 +273,8 @@ def curate(
         prev = n
     if cfg.chunk_tokens is not None:
         rows.append(("chunk", prev, io.read("curate_chunks").count()))
+    if cfg.repo_pack_tokens is not None:
+        rows.append(("repo_pack", prev, io.read("curate_repo_samples").count()))
     io.overwrite_rows(rows, "stage string, docs_in long, docs_out long", "curate_metrics")
 
     return io.read("curate_kept")

@@ -352,3 +352,38 @@ def test_cli_search_collapse(spark, tmp_path, capsys):
     assert all(c is not None for c in cids) and len(cids) == len(set(cids))
     # collapse dropped the duplicate partners: orig_rank gaps appear
     assert [r["orig_rank"] for r in rows] != [r["rank"] for r in rows]
+
+
+def test_cli_pack(spark, tmp_path, capsys):
+    import pyspark.sql.functions as F
+
+    import searchenginesimple_spark.cli as cli
+    from searchenginesimple_spark.operators.repopack import pack_repo_samples_py
+    from searchenginesimple_spark.sources.corpus import docs_df, with_doc_ids
+
+    corpus, samples = tmp_path / "corpus", tmp_path / "samples"
+    # re-key to a few multi-file repos (the synthetic repo key is unique
+    # per doc at this scale)
+    docs = with_doc_ids(docs_df(spark, 60)).withColumn(
+        "repo", F.concat(F.lit("r"), F.col("doc_id") % 5)
+    )
+    docs.write.mode("overwrite").parquet(str(corpus))
+
+    rc = cli.main(
+        ["pack", "--input", str(corpus), "--output", str(samples),
+         "--sample-tokens", "256"]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out = spark.read.parquet(str(samples))
+    assert res["samples"] == out.count() > 5  # budget 256 splits the repos
+    assert set(out.columns) == {"repo", "sample_id", "n_files", "n_tokens", "sample"}
+    got = sorted(map(tuple, out.collect()))
+    want = pack_repo_samples_py(
+        [
+            (r["repo"], r["path"], r["doc_id"], r["content"])
+            for r in docs.collect()
+        ],
+        sample_tokens=256,
+    )
+    assert got == want

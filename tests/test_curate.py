@@ -192,3 +192,38 @@ def test_curate_prefilter_stage(spark, corpus, tmp_path):
             TableIO(spark, str(tmp_path / "bad")),
             _cfg(drop_vendored=True),
         )
+
+
+def test_curate_repo_pack_stage(spark, corpus, tmp_path):
+    from searchenginesimple_spark.operators.repopack import pack_repo_samples_py
+
+    docs = corpus.withColumn(
+        "repo", F.concat(F.lit("r"), F.col("doc_id") % 3)
+    ).withColumn("path", F.concat(F.lit("f"), F.col("doc_id"), F.lit(".py")))
+    io = TableIO(spark, str(tmp_path))
+    kept = curate(spark, docs, io, _cfg(repo_pack_tokens=15))
+    samples = io.read("curate_repo_samples")
+    assert set(samples.columns) == {"repo", "sample_id", "n_files", "n_tokens", "sample"}
+    got = sorted(map(tuple, samples.collect()))
+    rows = [
+        (r["repo"], r["path"], r["doc_id"], r["content"]) for r in kept.collect()
+    ]
+    assert got == pack_repo_samples_py(rows, sample_tokens=15)
+    # kept docs are 0, 2, 8 → repos r0 (0) and r2 (2, 8); every kept doc packed
+    assert {r[0] for r in got} == {"r0", "r2"}
+    assert sum(r[2] for r in got) == 3
+
+    m = {
+        r["stage"]: (r["docs_in"], r["docs_out"])
+        for r in io.read("curate_metrics").collect()
+    }
+    assert m["repo_pack"][0] == 3
+
+    # repo_pack_tokens without repo/path columns fails loudly
+    with pytest.raises(ValueError):
+        curate(
+            spark,
+            corpus,
+            TableIO(spark, str(tmp_path / "bad")),
+            _cfg(repo_pack_tokens=15),
+        )
