@@ -13,6 +13,8 @@ tests/test_cli.py::test_spark_submit_py_files_ships.  Or locally:
 
     python -m searchenginesimple_spark.cli build  --input /path/docs_parquet --index /path/idx
     python -m searchenginesimple_spark.cli query  --index /path/idx --query "spark window" [--mode or]
+    python -m searchenginesimple_spark.cli delete --index /path/idx --doc-id 42 --doc-id 7
+    python -m searchenginesimple_spark.cli compact --index /path/idx [--purge-content]
     python -m searchenginesimple_spark.cli suggest --index-docs /path/docs_parquet --word spakr
     python -m searchenginesimple_spark.cli search --input /path/docs_parquet --index /path/tri \\
                                                   --query 'spark window' [--filter 'lang:py -vendor'] \\
@@ -56,6 +58,18 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--query", action="append", required=True, help="repeatable")
     q.add_argument("--mode", choices=["and", "or"], default="and")
     q.add_argument("--k", type=int, default=10)
+
+    d = sub.add_parser("delete", help="tombstone docs (visible to query immediately)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--doc-id", action="append", type=int, required=True,
+                   help="repeatable doc_id to delete")
+
+    x = sub.add_parser(
+        "compact", help="fold tombstones into the index (rewrites affected shards)"
+    )
+    x.add_argument("--index", required=True)
+    x.add_argument("--purge-content", action="store_true",
+                   help="also remove the docstore/tf bytes (takedown)")
 
     h = sub.add_parser(
         "search",
@@ -192,14 +206,40 @@ def main(argv: list[str] | None = None) -> int:
         from searchenginesimple_spark.plans.build import load_index
         from searchenginesimple_spark.sources.io import TableIO
 
+        from searchenginesimple_spark.plans.delete import load_tombstones
+
         cfg = dataclasses.replace(DEFAULT, top_k=args.k)
-        postings, dsp, idx = load_index(TableIO(spark, args.index))
+        io = TableIO(spark, args.index)
+        postings, dsp, idx = load_index(io)
         # serving path: postings/stats slices cached on the driver across
-        # queries; hot terms automatically fall back to the distributed plan
-        engine = Bm25QueryEngine(postings, dsp, idx, cfg, mode=args.mode)
+        # queries; hot terms automatically fall back to the distributed plan.
+        # Pending deletes (tombstones not yet compacted) filter at score time
+        engine = Bm25QueryEngine(
+            postings, dsp, idx, cfg, mode=args.mode,
+            tombstones=load_tombstones(io),
+        )
         out = engine.query(args.query)
         for _, r in out.iterrows():
             print(json.dumps({"query": r["query"], "rank": int(r["rank"]), "docID": int(r["docID"]), "score": float(r["score"])}))
+        return 0
+
+    if args.cmd == "delete":
+        from searchenginesimple_spark.plans.delete import delete_docs
+        from searchenginesimple_spark.sources.io import TableIO
+
+        n = delete_docs(TableIO(spark, args.index), args.doc_id)
+        print(json.dumps({"tombstoned": n}))
+        return 0
+
+    if args.cmd == "compact":
+        from searchenginesimple_spark.plans.delete import compact_index
+        from searchenginesimple_spark.sources.io import TableIO
+
+        res = compact_index(
+            spark, TableIO(spark, args.index), DEFAULT,
+            purge_content=args.purge_content,
+        )
+        print(json.dumps(res.__dict__))
         return 0
 
     if args.cmd == "search":

@@ -232,6 +232,7 @@ def bm25_topk(
     candidates: DataFrame | None = None,
     exclude_self: bool = False,
     keep_query_id: bool = False,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Score a batch of queries; return (query, rank, docID, score),
     plus the leading ``query_id`` column when ``keep_query_id`` — the
@@ -247,6 +248,9 @@ def bm25_topk(
     restricted set) — the hook phrase_topk uses.
     exclude_self drops rows where doc_id == query_id BEFORE ranking (for
     doc-as-query flows like more_like_this, where query_id IS a doc_id).
+    tombstones (doc_id), if given, drops deleted docs BEFORE ranking
+    (plans/delete.py live-docs filtering; compressed twin:
+    operators/wand.py kernels).
 
     Physical shape: the query side is tiny → broadcast it against the tf
     table (one broadcast-hash join, no shuffle of tf by term); the per-doc
@@ -289,6 +293,13 @@ def bm25_topk(
         )
     if exclude_self:
         scored = scored.filter(F.col("doc_id") != F.col("query_id"))
+    if tombstones is not None:
+        # deleted docs (plans/delete.py) drop BEFORE ranking, so top-k
+        # backfills with live docs — the broadcast anti-join is tiny by the
+        # compaction contract
+        scored = scored.join(
+            F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     cols = [
         F.col(query_col).alias("query"),

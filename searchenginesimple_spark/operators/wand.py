@@ -58,6 +58,25 @@ def _topk_local(doc_ids, scores, k, decimals):
     return doc_ids[order], scores[order]
 
 
+def _in_sorted(a: np.ndarray, sorted_b: np.ndarray) -> np.ndarray:
+    """Membership mask of ``a`` in ascending ``sorted_b`` (searchsorted)."""
+    pos = np.searchsorted(sorted_b, a)
+    ok = pos < sorted_b.size
+    out = np.zeros(a.size, dtype=bool)
+    out[ok] = sorted_b[pos[ok]] == a[ok]
+    return out
+
+
+def _group_del_ids(pdf: pd.DataFrame) -> np.ndarray | None:
+    """This group's tombstoned doc_ids (sorted int64), or None."""
+    if "del_ids" not in pdf.columns:
+        return None
+    v = pdf["del_ids"].iloc[0]
+    if v is None or len(v) == 0:
+        return None
+    return np.asarray(v, dtype=np.int64)
+
+
 def _make_kernel(cfg: EngineConfig, mode: str):
     k1, b, k, dec = cfg.k1, cfg.b, cfg.top_k, cfg.score_decimals
 
@@ -70,6 +89,10 @@ def _make_kernel(cfg: EngineConfig, mode: str):
         avgdl = float(pdf["avgdl"].iloc[0])
         ds_ids = _decode_ids(pdf["ds_ids"].iloc[0])
         ds_dlens = varbyte_decode(pdf["ds_dlens"].iloc[0]).astype(np.float64)
+        # tombstones (plans/delete.py): live-docs filtering at score time,
+        # the Lucene liveDocs discipline — postings stay compressed until
+        # compaction, deleted docs never surface
+        del_ids = _group_del_ids(pdf)
 
         pdf = pdf.sort_values("df").reset_index(drop=True)  # rarest-first
         ids_l = [_decode_ids(x) for x in pdf["ids"]]
@@ -84,6 +107,10 @@ def _make_kernel(cfg: EngineConfig, mode: str):
                 hit = np.zeros(cand.size, dtype=bool)
                 hit[pos_ok] = other[pos[pos_ok]] == cand[pos_ok]
                 cand = cand[hit]
+                if cand.size == 0:
+                    return empty
+            if del_ids is not None:
+                cand = cand[~_in_sorted(cand, del_ids)]
                 if cand.size == 0:
                     return empty
             dlen = ds_dlens[np.searchsorted(ds_ids, cand)]
@@ -119,6 +146,10 @@ def _make_kernel(cfg: EngineConfig, mode: str):
         union = full[cand_idx]
         bound = bound_full[cand_idx]
         pos_l = [remap[p] for p in raw_pos_l]
+        # deleted docs stay IN the candidate set (posting positions keep
+        # pointing at valid slots) but are excluded from theta and the final
+        # cut — scoring a soon-compacted doc is cheaper than re-mapping
+        live = None if del_ids is None else ~_in_sorted(union, del_ids)
 
         # score candidates in descending-bound waves until no unscored doc's
         # bound can beat the running kth exact score (margin = one rounding
@@ -146,11 +177,16 @@ def _make_kernel(cfg: EngineConfig, mode: str):
                 dlen = ds_dlens[cand_idx[pos_l[i][take]]]
                 part[pos_l[i][take]] += _bm25(tfs, qtfs[i], idfs[i], dlen, avgdl, k1, b)
             scored_scores[sel] = part[sel]
-            done = scored_scores[scored_scores > -np.inf]
+            scored = scored_scores > -np.inf
+            done = scored_scores[scored if live is None else scored & live]
             if done.size >= k:
                 theta = np.partition(done, -k)[-k]
             width *= 2
         got = scored_scores > -np.inf
+        if live is not None:
+            got &= live
+            if not got.any():
+                return empty
         top_ids, top_scores = _topk_local(union[got], scored_scores[got], k, dec)
         return pd.DataFrame({"query_id": qid, "doc_id": top_ids, "score": top_scores})
 
@@ -158,6 +194,30 @@ def _make_kernel(cfg: EngineConfig, mode: str):
 
 
 _OUT_SCHEMA = "query string, rank int, docID long, score double"
+
+
+def _shard_of_col(cfg: EngineConfig):
+    from searchenginesimple_spark.operators.postings import shard_of
+
+    return shard_of(F.col("doc_id"), cfg)
+
+
+def _collect_del_by_shard(
+    tombstones: DataFrame | None, cfg: EngineConfig
+) -> dict[int, list] | None:
+    """Driver-side (shard → sorted deleted doc_ids) map for the fastpath /
+    serving kernels.  Tombstone sets are compaction-bounded (small)."""
+    if tombstones is None:
+        return None
+    rows = (
+        tombstones.select("doc_id")
+        .distinct()
+        .withColumn("shard", _shard_of_col(cfg))
+        .groupBy("shard")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("del_ids"))
+        .collect()
+    )
+    return {int(r["shard"]): list(r["del_ids"]) for r in rows}
 
 
 def _driver_topk(
@@ -168,6 +228,7 @@ def _driver_topk(
     q_rows: list,
     cfg: EngineConfig,
     mode: str,
+    del_by_shard: dict[int, list] | None = None,
 ) -> pd.DataFrame:
     """Small-query fast path: score collected posting rows on the driver.
 
@@ -215,6 +276,7 @@ def _driver_topk(
                             "block_max_tf": r["block_max_tf"],
                             "ds_ids": ds["ids"], "ds_dlens": ds["dlens"],
                             "avgdl": avgdl, "n_terms": len(terms),
+                            "del_ids": (del_by_shard or {}).get(shard),
                         }
                     )
             if rows:
@@ -286,6 +348,7 @@ class Bm25QueryEngine:
         fastpath_max_bytes: int = 32 * 1024 * 1024,
         cache_max_bytes: int = 128 * 1024 * 1024,
         meta_max_terms: int = 1_000_000,
+        tombstones: DataFrame | None = None,
     ):
         from searchenginesimple_spark.operators.cache import LruBytesCache
 
@@ -296,6 +359,11 @@ class Bm25QueryEngine:
         self.mode = mode
         self.cap = fastpath_max_bytes
         self.corpus_row = index.corpus.collect()[0]
+        # live-docs filter (plans/delete.py): collected ONCE — deletes made
+        # after construction need refresh_tombstones() (the same visibility
+        # point a Lucene searcher reopen gives)
+        self._tombstones = tombstones
+        self._del_by_shard = _collect_del_by_shard(tombstones, cfg)
         # meta rows are ~64 B each; nbytes=1 per entry makes max_bytes an
         # entry-count cap
         self._meta = LruBytesCache(meta_max_terms)
@@ -364,7 +432,7 @@ class Bm25QueryEngine:
             )
             return bm25_topk_compressed(
                 self.postings, self.dsp, self.index, qdf, self.cfg, self.mode,
-                fastpath_max_bytes=None,
+                fastpath_max_bytes=None, tombstones=self._tombstones,
             ).toPandas()
         prows = self._ensure_postings(live)
         ds_rows = [
@@ -375,7 +443,14 @@ class Bm25QueryEngine:
         return _driver_topk(
             prows, [r for r in ds_rows if r is not None], ts_rows,
             self.corpus_row, q_rows, self.cfg, self.mode,
+            del_by_shard=self._del_by_shard,
         )
+
+    def refresh_tombstones(self, tombstones: DataFrame | None) -> None:
+        """Make a new tombstone set visible to this engine (postings/stats
+        caches are unaffected — deletes filter at score time)."""
+        self._tombstones = tombstones
+        self._del_by_shard = _collect_del_by_shard(tombstones, self.cfg)
 
     def query_df(self, spark, queries: list[str]) -> DataFrame:
         return spark.createDataFrame(self.query(queries), _OUT_SCHEMA)
@@ -391,6 +466,7 @@ def bm25_topk_compressed(
     query_col: str = "query",
     pushdown_terms: bool = True,
     fastpath_max_bytes: int | None = 32 * 1024 * 1024,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Compressed-path BM25 top-k → (query, rank, docID, score).
 
@@ -399,6 +475,13 @@ def bm25_topk_compressed(
     of shuffling — sub-second point-query latency.  Set None to force the
     distributed path (always the path when postings exceed the cap, e.g. a
     hot term over 10^12 docs).
+
+    tombstones: optional (doc_id) table of deleted docs (plans/delete.py) —
+    filtered at score time inside the kernel (live-docs discipline), so
+    deleted docs never surface and top-k backfills with live docs, without
+    touching the compressed postings until compaction.  Between compactions
+    the tombstone set is small by contract (compact_index bounds it), so it
+    broadcasts as per-shard sorted arrays.
     """
     # JVM tokenizer on the (tiny) query side: same spec as the build-side
     # pandas UDF (tested identical), avoids a python stage per query batch
@@ -428,7 +511,10 @@ def bm25_topk_compressed(
             q_rows = queries.select("query_id", query_col).withColumnRenamed(
                 query_col, "query"
             ).collect()
-            pdf = _driver_topk(prows, dsp_rows, ts_rows, corpus_row, q_rows, cfg, mode)
+            pdf = _driver_topk(
+                prows, dsp_rows, ts_rows, corpus_row, q_rows, cfg, mode,
+                del_by_shard=_collect_del_by_shard(tombstones, cfg),
+            )
             return spark.createDataFrame(pdf, _OUT_SCHEMA)
     qt_idx = F.broadcast(qt).join(index.term_stats.select("term", "idf"), "term", "inner")
     n_terms = qt_idx.groupBy("query_id").agg(F.count("*").cast("int").alias("n_terms"))
@@ -439,6 +525,15 @@ def bm25_topk_compressed(
         .join(doc_stats_packed.withColumnRenamed("ids", "ds_ids").withColumnRenamed("dlens", "ds_dlens"), "shard")
         .crossJoin(F.broadcast(index.corpus.select("avgdl")))
     )
+    if tombstones is not None:
+        dels = (
+            tombstones.select("doc_id")
+            .distinct()
+            .withColumn("shard", _shard_of_col(cfg))
+            .groupBy("shard")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("del_ids"))
+        )
+        rows = rows.join(F.broadcast(dels), "shard", "left")
     kernel = _make_kernel(cfg, mode)
     local = rows.groupBy("query_id", "shard").applyInPandas(kernel, _KERNEL_SCHEMA)
 

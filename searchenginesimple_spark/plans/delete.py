@@ -1,0 +1,223 @@
+"""Document deletion: tombstones now, compaction later (the Lucene/LSM
+delete discipline the reference cannot express — its index is rebuilt
+in-memory per run, ``src/page.cc``; at 10^12 files deletes must be
+incremental, and takedown compliance additionally requires the CONTENT
+bytes gone, not just unsearchable).
+
+Two-phase contract:
+
+  delete_docs      appends doc_ids to the ``tombstones`` table — a driver-
+                   side parquet append, no Spark job.  Visibility is
+                   immediate for every query path that accepts the table:
+                   the dense scorer anti-joins it before ranking
+                   (operators/bm25.py), the compressed kernels filter
+                   candidates at score time (operators/wand.py — AND mode
+                   drops deleted docs from the intersection, OR mode keeps
+                   them in the candidate index map but excludes them from
+                   the pruning threshold and the final cut, so block-max
+                   pruning stays exact), and the serving engine carries the
+                   set as per-shard sorted arrays.  Top-k therefore
+                   BACKFILLS with live docs — a deleted rank-1 doc never
+                   leaves a hole.
+
+  compact_index    rewrites ONLY the shard partitions that contain
+                   tombstoned docs — survivors, postings, doc_stats_packed
+                   (and with ``purge_content=True`` the docstore_raw and tf
+                   partitions, which is what actually removes the bytes) —
+                   by re-running the build's own shard-batch machinery over
+                   the shrunk survivor set, then re-finalizes the global
+                   term_stats/corpus tables and clears the tombstones.
+                   Unaffected shards are untouched (the dynamic-partition-
+                   overwrite resume primitive); a shard whose docs ALL
+                   died has its partition directories removed outright
+                   (dynamic overwrite cannot replace a partition with
+                   nothing).  Idempotent: a crash mid-compact leaves
+                   tombstones in place, and re-running redoes only the
+                   rewrite (same committed-table discipline as
+                   plans/build.py).
+
+Near-dup history is NOT re-litigated: deleting a doc whose near-duplicates
+were suppressed at build time does not resurrect them (the LSM trade
+documented in plans/merge.py — the full rebuild is the semantics of
+record).
+
+df-until-merge semantics (Lucene's): term_stats df/idf keep counting
+tombstoned docs until compaction — tombstones filter CANDIDATES, not
+statistics.  Consequently a term whose last live doc is tombstoned stays
+in the vocabulary (a conjunctive query containing it matches nothing)
+until compaction removes its postings, at which point the OOV prune drops
+the term from queries and conjunctive semantics legitimately widen.
+Scores also rescale at compaction (n_docs shrinks → every idf moves),
+which can flip rounded near-ties; tests pin post-compaction results to
+the dense oracle over the compacted index rather than to pre-compaction
+rank lists.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.config import DEFAULT, EngineConfig
+from searchenginesimple_spark.plans.build import (
+    _aqe,
+    _build_shard_batches,
+    _Metrics,
+)
+from searchenginesimple_spark.sources.io import TableIO
+
+
+@dataclass
+class CompactResult:
+    run_id: str
+    n_deleted: int
+    affected_shards: list[int]
+    emptied_shards: list[int]
+    n_docs: int
+    wall_ms: int
+
+
+def delete_docs(io: TableIO, doc_ids) -> int:
+    """Tombstone ``doc_ids`` (a list of ints or a (doc_id) DataFrame).
+
+    Append-only and idempotent under repeats (readers dedup); the list
+    form is a driver-side parquet append — zero Spark jobs, the same
+    commit point semantics as the build's metrics appends."""
+    if isinstance(doc_ids, DataFrame):
+        io.append(doc_ids.select(F.col("doc_id").cast("long")), "tombstones")
+        return doc_ids.count()
+    rows = [(int(d),) for d in doc_ids]
+    io.append_rows(rows, "doc_id long", "tombstones")
+    return len(rows)
+
+
+def load_tombstones(io: TableIO) -> DataFrame | None:
+    """The current deleted set (deduped), or None when nothing is deleted —
+    pass straight to the query paths' ``tombstones`` parameter."""
+    if not io.exists("tombstones"):
+        return None
+    return io.read("tombstones").select("doc_id").distinct()
+
+
+def _delete_partition(io: TableIO, table: str, shard: int) -> None:
+    """Remove one shard partition directory (storage-agnostic Hadoop FS)."""
+    spark = io.spark
+    path = f"{io.path(table)}/shard={shard}"
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def compact_index(
+    spark: SparkSession,
+    io: TableIO,
+    cfg: EngineConfig = DEFAULT,
+    purge_content: bool = False,
+    run_id: str | None = None,
+) -> CompactResult:
+    """Fold the tombstone set into the index; see module docstring.
+
+    After return the index is byte-equivalent to one whose shard stages
+    were built over the surviving docs (tests pin query equivalence and
+    absence of deleted ids from the decoded postings), and the tombstones
+    table is empty.  No-op when nothing is tombstoned."""
+    t0 = time.time()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    tomb = load_tombstones(io)
+    if tomb is None:
+        return CompactResult(run_id, 0, [], [], -1, 0)
+    t_ids = sorted(int(r["doc_id"]) for r in tomb.collect())
+    if not t_ids:
+        return CompactResult(run_id, 0, [], [], -1, 0)
+    affected = sorted({d // cfg.shard_span for d in t_ids})
+
+    m = _Metrics(io)
+    lineage = json.dumps({"config": asdict(cfg), "compact_deleted": len(t_ids)})
+
+    with _aqe(spark, False):
+        # survivors minus tombstones, affected partitions only.  A shard
+        # whose survivors ALL died must be detected from the NEW frame —
+        # dynamic partition overwrite writes nothing for an empty partition
+        # and would leave the old files in place
+        surv = io.read("survivors")
+        surv_aff = surv.filter(F.col("shard").isin(affected)).join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+        remaining = {
+            int(r["shard"]): int(r["n"])
+            for r in surv_aff.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+        io.overwrite_partitions(surv_aff, "survivors", "shard")
+
+        if purge_content:
+            for table in ("docstore_raw", "tf"):
+                kept = (
+                    io.read(table)
+                    .filter(F.col("shard").isin(affected))
+                    .join(F.broadcast(tomb), "doc_id", "left_anti")
+                )
+                io.overwrite_partitions(kept, table, "shard")
+
+    # drop fully-emptied partitions outright everywhere (see above: the
+    # dynamic overwrite cannot replace a partition with nothing)
+    emptied = [s for s in affected if remaining.get(s, 0) == 0]
+    for s in emptied:
+        for table in ("survivors", "postings", "doc_stats_packed") + (
+            ("docstore_raw", "tf") if purge_content else ()
+        ):
+            _delete_partition(io, table, s)
+
+    # re-run the build's own shard machinery over the shrunk survivor set
+    # (reads tf semi-joined to survivors, so purge order does not matter)
+    rebuilt = [s for s in affected if s not in emptied]
+    _build_shard_batches(
+        io, m, run_id, lineage, cfg, io.read("survivors"), rebuilt
+    )
+
+    # re-finalize globals (identical rule to build/merge finalize)
+    with _aqe(spark, False):
+        dsp = io.read("doc_stats_packed")
+        stats_row = dsp.agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            (F.sum("sum_dlen") / F.sum("n")).alias("avgdl"),
+        ).collect()[0]
+        n_docs = int(stats_row["n_docs"])
+        io.overwrite_rows(
+            [(n_docs, float(stats_row["avgdl"]))], "n_docs long, avgdl double", "corpus"
+        )
+        term_stats = (
+            io.read("postings")
+            .groupBy("term")
+            .agg(F.sum("df").cast("int").alias("df"))
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+            )
+        )
+        io.overwrite(term_stats, "term_stats")
+
+    # clear tombstones LAST (the commit point: a crash before this line
+    # re-compacts the same set, idempotently)
+    io.overwrite_rows([], "doc_id long", "tombstones")
+    wall = int((time.time() - t0) * 1000)
+    m.log(
+        [
+            (
+                run_id, "compact", int(s), 0, 0, 0, wall, "done", lineage,
+                time.time(),
+            )
+            for s in affected
+        ]
+    )
+    return CompactResult(run_id, len(t_ids), affected, emptied, n_docs, wall)

@@ -387,3 +387,38 @@ def test_cli_pack(spark, tmp_path, capsys):
         sample_tokens=256,
     )
     assert got == want
+
+
+def test_cli_delete_and_compact(spark, tmp_path, capsys):
+    import searchenginesimple_spark.cli as cli
+    from searchenginesimple_spark.sources.corpus import docs_df
+
+    corpus, idx = tmp_path / "corpus", tmp_path / "idx"
+    docs_df(spark, 200).write.mode("overwrite").parquet(str(corpus))
+    assert cli.main(["build", "--input", str(corpus), "--index", str(idx)]) == 0
+    capsys.readouterr()
+
+    def top(query="ident_000"):
+        assert cli.main(["query", "--index", str(idx), "--query", query]) == 0
+        return [
+            json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+        ]
+
+    before = top()
+    victim = before[0]["docID"]
+
+    # tombstone the rank-1 doc: next query backfills immediately
+    assert cli.main(
+        ["delete", "--index", str(idx), "--doc-id", str(victim)]
+    ) == 0
+    assert json.loads(capsys.readouterr().out.strip())["tombstoned"] == 1
+    after_del = top()
+    assert victim not in {r["docID"] for r in after_del}
+    assert len(after_del) == len(before)  # top-k backfilled, no hole
+
+    # compact folds it in; the doc stays gone
+    assert cli.main(["compact", "--index", str(idx), "--purge-content"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_deleted"] == 1 and len(res["affected_shards"]) == 1
+    after_cmp = top()
+    assert victim not in {r["docID"] for r in after_cmp}

@@ -1,0 +1,238 @@
+"""Deletes + compaction (plans/delete.py).
+
+Contract: tombstoned docs vanish from every query path immediately (dense,
+compressed distributed, driver fastpath, serving engine — AND and OR
+modes) with top-k backfilling from live docs; compaction removes the ids
+from the decoded postings, re-finalizes term_stats/corpus, rewrites only
+affected shard partitions, clears the tombstones, and (with purge) drops
+the content bytes; query results with tombstones == query results after
+compaction == dense scoring over the surviving tf rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchenginesimple_spark.config import DEFAULT
+from searchenginesimple_spark.functions.codec import varbyte_decode
+from searchenginesimple_spark.operators.bm25 import IndexStats, bm25_topk
+from searchenginesimple_spark.operators.wand import (
+    Bm25QueryEngine,
+    bm25_topk_compressed,
+)
+from searchenginesimple_spark.plans.build import build_index, load_index
+from searchenginesimple_spark.plans.delete import (
+    compact_index,
+    delete_docs,
+    load_tombstones,
+)
+from searchenginesimple_spark.sources.corpus import docs_df, queries_df
+from searchenginesimple_spark.sources.io import TableIO
+
+CFG = dataclasses.replace(
+    DEFAULT, shard_span=32, block_size=16, shuffle_partitions=8,
+    checkpoint_batch_shards=4,
+)
+N_DOCS = 260
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_del")))
+    build_index(spark, docs_df(spark, N_DOCS), io, CFG)
+    return io
+
+
+def _dense_idx(io: TableIO) -> IndexStats:
+    # the raw tf table includes dedup-dropped docs; the built postings do
+    # not — restrict to survivors so the dense oracle scores the same corpus
+    tf = io.read("tf").join(
+        io.read("survivors").select("doc_id"), "doc_id", "left_semi"
+    )
+    doc_stats = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dlen")
+    )
+    return IndexStats(
+        tf=tf, doc_stats=doc_stats,
+        term_stats=io.read("term_stats"), corpus=io.read("corpus"),
+    )
+
+
+def _res(df):
+    return sorted(map(tuple, df.select("query", "rank", "docID", "score").collect()))
+
+
+def _top_docs(io, spark, mode="and", tomb=None, **kw):
+    postings, dsp, idx = load_index(io)
+    return _res(
+        bm25_topk_compressed(
+            postings, dsp, idx, queries_df(spark), CFG, mode=mode,
+            tombstones=tomb, **kw,
+        )
+    )
+
+
+def _first_hits(io, spark):
+    """(query strings, their current top docIDs) for the default query set."""
+    base = _top_docs(io, spark)
+    return {r[0]: r[2] for r in base if r[1] == 1}
+
+
+def test_tombstones_filter_every_path(spark, built):
+    io = built
+    # delete each query's current rank-1 doc -> forces visible backfill
+    victims = sorted(set(_first_hits(io, spark).values()))
+    tomb_df = spark.createDataFrame([(d,) for d in victims], "doc_id long")
+
+    postings, dsp, idx = load_index(io)
+    dense = _dense_idx(io)
+    for mode in ("and", "or"):
+        want = _res(
+            bm25_topk(dense, queries_df(spark), CFG, use_pandas_udf=False,
+                      mode=mode, tombstones=tomb_df)
+        )
+        assert want, mode
+        assert not {r[2] for r in want} & set(victims)
+        # distributed kernel path
+        got_dist = _top_docs(io, spark, mode=mode, tomb=tomb_df,
+                             fastpath_max_bytes=None)
+        assert got_dist == want, mode
+        # driver fastpath (same kernel, collected)
+        got_fast = _top_docs(io, spark, mode=mode, tomb=tomb_df,
+                             fastpath_max_bytes=256 * 1024 * 1024)
+        assert got_fast == want, mode
+        # serving engine
+        eng = Bm25QueryEngine(postings, dsp, idx, CFG, mode=mode,
+                              tombstones=tomb_df)
+        qs = [r["query"] for r in queries_df(spark).collect()]
+        got_eng = sorted(
+            map(tuple, eng.query(qs)[["query", "rank", "docID", "score"]]
+                .itertuples(index=False))
+        )
+        assert got_eng == want, mode
+        # a fresh engine without tombstones still sees the victims
+        eng2 = Bm25QueryEngine(postings, dsp, idx, CFG, mode=mode)
+        assert {t[2] for t in map(tuple, eng2.query(qs)[
+            ["query", "rank", "docID", "score"]].itertuples(index=False))
+        } & set(victims)
+        # refresh_tombstones flips visibility on the live engine
+        eng2.refresh_tombstones(tomb_df)
+        got_refresh = sorted(
+            map(tuple, eng2.query(qs)[["query", "rank", "docID", "score"]]
+                .itertuples(index=False))
+        )
+        assert got_refresh == want, mode
+
+
+def test_compact_rewrites_only_affected_and_matches_tombstoned(
+    spark, tmp_path_factory
+):
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_cmp")))
+    build_index(spark, docs_df(spark, N_DOCS), io, CFG)
+    victims = sorted(set(_first_hits(io, spark).values()))[:3]
+    n_before = io.read("corpus").collect()[0]["n_docs"]
+
+    delete_docs(io, victims)
+    tomb = load_tombstones(io)
+    assert sorted(r["doc_id"] for r in tomb.collect()) == victims
+    with_tomb = {
+        m: _top_docs(io, spark, mode=m, tomb=tomb) for m in ("and", "or")
+    }
+
+    res = compact_index(spark, io, CFG)
+    assert res.n_deleted == len(victims)
+    assert res.affected_shards == sorted({d // CFG.shard_span for d in victims})
+    assert res.n_docs == n_before - len(victims)
+
+    # tombstones cleared; survivors/corpus shrunk
+    assert load_tombstones(io).count() == 0
+    assert io.read("corpus").collect()[0]["n_docs"] == res.n_docs
+    assert io.read("survivors").filter(F.col("doc_id").isin(victims)).count() == 0
+
+    # no victim id survives in any decoded posting or doc-stats run
+    aff = res.affected_shards
+    for r in io.read("postings").filter(F.col("shard").isin(aff)).collect():
+        ids = np.cumsum(varbyte_decode(r["ids"]))
+        assert not set(ids.tolist()) & set(victims)
+    for r in io.read("doc_stats_packed").filter(F.col("shard").isin(aff)).collect():
+        ids = np.cumsum(varbyte_decode(r["ids"]))
+        assert not set(ids.tolist()) & set(victims)
+
+    # term_stats df equals a recompute from the compacted postings
+    df_re = {
+        r["term"]: r["df"]
+        for r in io.read("postings").groupBy("term")
+        .agg(F.sum("df").cast("int").alias("df")).collect()
+    }
+    assert {
+        r["term"]: r["df"] for r in io.read("term_stats").collect()
+    } == df_re
+
+    # post-compaction compressed results == the dense oracle over the
+    # compacted index, and no victim anywhere.  (Pre/post rank lists are
+    # NOT compared verbatim: n_docs changed, so every idf rescales —
+    # rounded near-ties can flip — and a term whose last doc died becomes
+    # OOV only at compaction, legitimately widening conjunctive queries
+    # that contained it: the df-until-merge semantics in plans/delete.py.)
+    for m in ("and", "or"):
+        after = _top_docs(io, spark, mode=m)
+        dense_after = _res(
+            bm25_topk(_dense_idx(io), queries_df(spark), CFG,
+                      use_pandas_udf=False, mode=m)
+        )
+        assert after == dense_after, m
+        assert not {r[2] for r in after} & set(victims)
+        assert not {r[2] for r in with_tomb[m]} & set(victims)
+
+
+def test_compact_purges_content_and_empties_shards(spark, tmp_path_factory):
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_purge")))
+    build_index(spark, docs_df(spark, N_DOCS), io, CFG)
+
+    # kill shard 0 wholesale (every surviving doc_id in [0, 32)) plus one
+    # doc from another shard
+    s0 = [
+        int(r["doc_id"])
+        for r in io.read("survivors").filter(F.col("shard") == 0).collect()
+    ]
+    assert s0
+    other = int(
+        io.read("survivors").filter(F.col("shard") == 2).limit(1)
+        .collect()[0]["doc_id"]
+    )
+    delete_docs(io, s0 + [other])
+    res = compact_index(spark, io, CFG, purge_content=True)
+    assert 0 in res.emptied_shards
+
+    # emptied partitions are GONE, not stale
+    assert io.read("postings").filter(F.col("shard") == 0).count() == 0
+    assert io.read("doc_stats_packed").filter(F.col("shard") == 0).count() == 0
+    # purge removed the bytes from the docstore and the tf table
+    gone = s0 + [other]
+    assert io.read("docstore_raw").filter(F.col("doc_id").isin(gone)).count() == 0
+    assert io.read("tf").filter(F.col("doc_id").isin(gone)).count() == 0
+    # the index still answers queries from the remaining shards
+    assert _top_docs(io, spark)
+
+
+def test_compact_noop_and_idempotent_repeat(spark, tmp_path_factory):
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_noop")))
+    build_index(spark, docs_df(spark, 80), io, CFG)
+    res = compact_index(spark, io, CFG)
+    assert res.n_deleted == 0 and res.affected_shards == []
+
+    victims = [int(io.read("survivors").limit(1).collect()[0]["doc_id"])]
+    delete_docs(io, victims)
+    delete_docs(io, victims)  # repeated delete is idempotent via dedup
+    assert load_tombstones(io).count() == 1
+    r1 = compact_index(spark, io, CFG)
+    assert r1.n_deleted == 1
+    base = _top_docs(io, spark)
+    # re-compact with nothing pending: byte-stable results
+    r2 = compact_index(spark, io, CFG)
+    assert r2.n_deleted == 0
+    assert _top_docs(io, spark) == base
