@@ -205,7 +205,9 @@ def append_trigram_delta(
     candidates, which ``instr`` verification prunes; a deleted document's
     candidates die at the docstore join.  So correctness needs exactly one
     invariant — every CURRENT document's postings exist somewhere in
-    base ∪ deltas — which appending the delta provides.  No tombstones.
+    base ∪ deltas — which appending the delta provides.  No tombstones
+    needed HERE (the term index, whose postings are consulted without a
+    content join, carries them instead — plans/delete.py).
     (The term-index analogue is plans/merge.py, where exact-dup skip plays
     the same role; zoekt ships the same shard-append + periodic-compact
     design.)

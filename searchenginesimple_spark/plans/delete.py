@@ -121,13 +121,20 @@ def compact_index(
     cfg: EngineConfig = DEFAULT,
     purge_content: bool = False,
     run_id: str | None = None,
+    fail_after_shards: int | None = None,
 ) -> CompactResult:
     """Fold the tombstone set into the index; see module docstring.
 
     After return the index is byte-equivalent to one whose shard stages
     were built over the surviving docs (tests pin query equivalence and
     absence of deleted ids from the decoded postings), and the tombstones
-    table is empty.  No-op when nothing is tombstoned."""
+    table is empty.  No-op when nothing is tombstoned.
+
+    Crash-safe by idempotence rather than by stage skip: tombstones are
+    cleared LAST, so a crashed compact re-runs in full on retry — every
+    step (anti-join rewrites, partition drops, shard rebuild, finalize)
+    produces identical bytes the second time.  ``fail_after_shards`` is the
+    test-only fault injection (same contract as plans/build.py)."""
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:12]
     tomb = load_tombstones(io)
@@ -178,7 +185,8 @@ def compact_index(
     # (reads tf semi-joined to survivors, so purge order does not matter)
     rebuilt = [s for s in affected if s not in emptied]
     _build_shard_batches(
-        io, m, run_id, lineage, cfg, io.read("survivors"), rebuilt
+        io, m, run_id, lineage, cfg, io.read("survivors"), rebuilt,
+        fail_after_shards,
     )
 
     # re-finalize globals (identical rule to build/merge finalize)

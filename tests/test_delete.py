@@ -236,3 +236,63 @@ def test_compact_noop_and_idempotent_repeat(spark, tmp_path_factory):
     r2 = compact_index(spark, io, CFG)
     assert r2.n_deleted == 0
     assert _top_docs(io, spark) == base
+
+
+def test_compact_crash_resume_equals_clean(spark, tmp_path_factory):
+    """A compact that dies mid-shard-rebuild redoes itself in full on retry
+    (tombstones clear LAST), landing on bytes identical to a never-crashed
+    compact of a twin index."""
+    import pandas as pd
+
+    def _table(io, name, key):
+        df = io.read(name).toPandas()
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(
+                lambda x: isinstance(x, (bytes, bytearray))
+            ).any():
+                df[c] = df[c].map(
+                    lambda b: b.hex() if isinstance(b, (bytes, bytearray)) else b
+                )
+            elif df[c].dtype == object and df[c].map(
+                lambda x: isinstance(x, list)
+            ).any():
+                df[c] = df[c].map(lambda x: tuple(x) if isinstance(x, list) else x)
+        return df.sort_values(key).reset_index(drop=True)
+
+    cfg = dataclasses.replace(CFG, checkpoint_batch_shards=1)
+    ios = []
+    for tag in ("clean", "crash"):
+        io = TableIO(spark, str(tmp_path_factory.mktemp(f"idx_{tag}")))
+        build_index(spark, docs_df(spark, N_DOCS), io, cfg, run_id="base")
+        # victims spread over >= 2 shards so batch-1 fault injection bites
+        victims = sorted(
+            int(r["doc_id"])
+            for r in io.read("survivors")
+            .filter(F.col("shard").isin([0, 3]))
+            .groupBy("shard")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .collect()
+        )
+        delete_docs(io, victims)
+        ios.append((io, victims))
+
+    io_clean, v1 = ios[0]
+    io_crash, v2 = ios[1]
+    assert v1 == v2
+    compact_index(spark, io_clean, cfg, run_id="c1")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        compact_index(spark, io_crash, cfg, run_id="c2", fail_after_shards=1)
+    # tombstones survive the crash -> retry redoes the whole fold
+    assert load_tombstones(io_crash).count() == len(v2)
+    compact_index(spark, io_crash, cfg, run_id="c3")
+    assert load_tombstones(io_crash).count() == 0
+
+    for name, key in [
+        ("postings", ["term", "shard"]),
+        ("doc_stats_packed", ["shard"]),
+        ("survivors", ["doc_id"]),
+        ("term_stats", ["term"]),
+        ("corpus", ["n_docs"]),
+    ]:
+        a, b = _table(io_clean, name, key), _table(io_crash, name, key)
+        pd.testing.assert_frame_equal(a, b), name
