@@ -25,6 +25,8 @@ tests/test_cli.py::test_spark_submit_py_files_ships.  Or locally:
                                                   [--chunk-tokens 512] [--overlap-lines 4]
     python -m searchenginesimple_spark.cli pack   --input /path/docs_parquet --output /path/samples \\
                                                   [--sample-tokens 8192]
+    python -m searchenginesimple_spark.cli despan --input /path/docs_parquet --output /path/cleaned \\
+                                                  [--min-span-tokens 20]
     python -m searchenginesimple_spark.cli watch  --input /path/incoming --output /path/matches \\
                                                   --query 'lang:py crypto -vendor' [--ci]
     python -m searchenginesimple_spark.cli curate --input /path/docs_parquet --output /path/curated \\
@@ -159,6 +161,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--output", required=True, help="output parquet dir of chunks")
     c.add_argument("--chunk-tokens", type=int, default=512)
     c.add_argument("--overlap-lines", type=int, default=0)
+
+    s2 = sub.add_parser(
+        "despan", help="cut duplicated passages (winnow clone spans) from docs"
+    )
+    s2.add_argument("--input", required=True, help="parquet dir of docs")
+    s2.add_argument("--output", required=True, help="output parquet dir of cleaned docs")
+    s2.add_argument("--k", type=int, default=5, help="winnow k-gram size")
+    s2.add_argument("--w", type=int, default=4, help="winnow window size")
+    s2.add_argument("--min-shared", type=int, default=2)
+    s2.add_argument("--min-span-tokens", type=int, default=20)
 
     k = sub.add_parser(
         "pack", help="repo-level context packing into training samples"
@@ -510,6 +522,39 @@ def main(argv: list[str] | None = None) -> int:
         ).write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"chunks": n, "output": args.output}))
+        return 0
+
+    if args.cmd == "despan":
+        from pyspark.sql import functions as F
+
+        from searchenginesimple_spark.operators.spandedup import remove_clone_spans
+        from searchenginesimple_spark.operators.winnow import (
+            clone_pairs,
+            clone_spans,
+            winnow_fingerprints,
+        )
+
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns:
+            from searchenginesimple_spark.sources.corpus import with_doc_ids
+
+            docs = with_doc_ids(docs)
+        fps = winnow_fingerprints(docs, k=args.k, w=args.w)
+        spans = clone_spans(fps, clone_pairs(fps, min_shared=args.min_shared), k=args.k)
+        remove_clone_spans(
+            docs, spans, min_span_tokens=args.min_span_tokens
+        ).write.mode("overwrite").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        stats = out.agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("n_spans_applied") > 0, 1).otherwise(0)).alias("rewritten"),
+            F.sum("n_tokens_removed").alias("tokens_removed"),
+        ).collect()[0]
+        print(json.dumps({
+            "docs": stats["docs"], "rewritten": int(stats["rewritten"] or 0),
+            "tokens_removed": int(stats["tokens_removed"] or 0),
+            "output": args.output,
+        }))
         return 0
 
     if args.cmd == "pack":

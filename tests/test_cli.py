@@ -422,3 +422,31 @@ def test_cli_delete_and_compact(spark, tmp_path, capsys):
     assert res["n_deleted"] == 1 and len(res["affected_shards"]) == 1
     after_cmp = top()
     assert victim not in {r["docID"] for r in after_cmp}
+
+
+def test_cli_despan(spark, tmp_path, capsys):
+    import searchenginesimple_spark.cli as cli
+
+    corpus, cleaned = tmp_path / "corpus", tmp_path / "cleaned"
+    run = " ".join(f"shared{i}" for i in range(40))
+    rows = [
+        (1, "k1.py", f"prefix_one {run} suffix_one"),
+        (2, "k2.py", " ".join(f"bpre{i}" for i in range(15)) + f" {run}"),
+        (3, "k3.py", " ".join(f"other{i}" for i in range(50))),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, path string, content string"
+    ).write.mode("overwrite").parquet(str(corpus))
+
+    rc = cli.main(
+        ["despan", "--input", str(corpus), "--output", str(cleaned),
+         "--min-span-tokens", "10"]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["docs"] == 3 and res["rewritten"] == 1
+    assert res["tokens_removed"] > 20
+    out = {r["doc_id"]: r for r in spark.read.parquet(str(cleaned)).collect()}
+    assert out[1]["content"] == rows[0][2]      # keep-first: doc 1 intact
+    assert out[3]["content"] == rows[2][2]
+    assert "shared20" not in out[2]["content"]  # passage interior cut
