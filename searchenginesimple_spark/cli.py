@@ -194,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
                    help="grouping column for --per-source-cap (default: repo)")
     u.add_argument("--chunk-tokens", type=int, default=None)
     u.add_argument("--repo-pack-tokens", type=int, default=None)
+    u.add_argument("--despan-min-tokens", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -497,6 +498,7 @@ def main(argv: list[str] | None = None) -> int:
             source_col=args.source_col,
             chunk_tokens=args.chunk_tokens,
             repo_pack_tokens=args.repo_pack_tokens,
+            despan_min_tokens=args.despan_min_tokens,
         )
         io = TableIO(spark, args.output)
         kept = curate(spark, docs, io, cfg)

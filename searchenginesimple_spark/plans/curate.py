@@ -72,6 +72,16 @@ class CurateConfig:
     # context packing of the kept docs (operators/repopack.py) — the
     # alternative terminal stage when training wants whole-repo samples
     repo_pack_tokens: int | None = None
+    # despan stage (None → stage off): span-level dedup between the doc-
+    # level dedup stages and quality — duplicated PASSAGES (winnow clone
+    # spans ≥ this many tokens) are cut from the larger doc_id
+    # (operators/spandedup.py), so quality scores and the kept table see
+    # the CLEANED text.  Only rewritten docs are stored (curate_despan
+    # table); everything downstream coalesces content against it.
+    despan_min_tokens: int | None = None
+    despan_k: int = 5
+    despan_w: int = 4
+    despan_min_shared: int = 2
     # prefilter stage (all defaults off → stage is a pass-through and
     # writes no table): the "not first-party human code" exclusions of
     # functions/code.py — license allow-list, vendored paths, generated
@@ -187,6 +197,51 @@ def curate(
         io.overwrite(exact_ids.join(drops, "doc_id", "left_anti"), _ids("neardup"))
     neardup_ids = io.read(_ids("neardup"))
 
+    # ---- stage 2b (optional): span-level dedup (cut duplicated passages) --
+    # runs AFTER doc-level dedup (whole near-dups are already gone; what is
+    # left is partial overlap) and BEFORE quality, so downstream stages see
+    # the cleaned text.  Only rewritten docs are stored.
+    def _with_clean_content(d: DataFrame) -> DataFrame:
+        if cfg.despan_min_tokens is None:
+            return d
+        clean = io.read("curate_despan").withColumnRenamed(text_col, "_clean")
+        return (
+            d.join(clean, "doc_id", "left")
+            .withColumn(text_col, F.coalesce(F.col("_clean"), F.col(text_col)))
+            .drop("_clean")
+        )
+
+    if cfg.despan_min_tokens is not None:
+        if not io.exists("curate_despan", committed=True):
+            from searchenginesimple_spark.operators.spandedup import (
+                remove_clone_spans,
+            )
+            from searchenginesimple_spark.operators.winnow import (
+                clone_pairs,
+                clone_spans,
+                winnow_fingerprints,
+            )
+
+            d = docs.join(neardup_ids, "doc_id", "left_semi")
+            fps = winnow_fingerprints(
+                d, k=cfg.despan_k, w=cfg.despan_w, content_col=text_col
+            )
+            spans = clone_spans(
+                fps,
+                clone_pairs(fps, min_shared=cfg.despan_min_shared),
+                k=cfg.despan_k,
+            )
+            cleaned = remove_clone_spans(
+                d.select("doc_id", text_col), spans, content_col=text_col,
+                min_span_tokens=cfg.despan_min_tokens,
+            )
+            io.overwrite(
+                cleaned.filter(F.col("n_spans_applied") > 0).select(
+                    "doc_id", text_col
+                ),
+                "curate_despan",
+            )
+
     # ---- stage 3: quality filter (map-side, no shuffle) --------------------
     if not io.exists(_ids("quality"), committed=True):
         c = F.col(text_col)
@@ -198,7 +253,7 @@ def curate(
             & (r["top_token_frac"] <= cfg.max_top_token_frac)
         )
         kept = (
-            docs.join(neardup_ids, "doc_id", "left_semi")
+            _with_clean_content(docs.join(neardup_ids, "doc_id", "left_semi"))
             .filter(keep)
             .select("doc_id")
         )
@@ -223,8 +278,12 @@ def curate(
         final_ids = io.read(_ids("sample"))
 
     # ---- materialize kept docs ONCE + recompute metrics --------------------
+    # (with despan on, the kept table carries the CLEANED content)
     if not io.exists("curate_kept", committed=True):
-        io.overwrite(docs.join(final_ids, "doc_id", "left_semi"), "curate_kept")
+        io.overwrite(
+            _with_clean_content(docs.join(final_ids, "doc_id", "left_semi")),
+            "curate_kept",
+        )
 
     # ---- optional stage 5: context-window packing (operators/chunk.py) ----
     # reads the COMMITTED kept table (compact parquet, content read once) —
@@ -271,6 +330,10 @@ def curate(
         n = io.read(_ids(s)).count() if io.exists(_ids(s)) else prev
         rows.append((s, prev, n))
         prev = n
+    if cfg.despan_min_tokens is not None:
+        # a rewrite stage, not a filter: docs_out = how many docs were
+        # actually span-cleaned (in-scope count rides the neardup row)
+        rows.append(("despan", prev, io.read("curate_despan").count()))
     if cfg.chunk_tokens is not None:
         rows.append(("chunk", prev, io.read("curate_chunks").count()))
     if cfg.repo_pack_tokens is not None:

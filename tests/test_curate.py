@@ -227,3 +227,43 @@ def test_curate_repo_pack_stage(spark, corpus, tmp_path):
             TableIO(spark, str(tmp_path / "bad")),
             _cfg(repo_pack_tokens=15),
         )
+
+
+def test_curate_despan_stage(spark, tmp_path):
+    """Two docs sharing a long passage but dissimilar overall survive the
+    doc-level dedup stages; the despan stage cuts the passage from the
+    LARGER doc_id, quality scores the cleaned text, and curate_kept
+    carries it."""
+    run = " ".join(f"shared{i}" for i in range(40))
+    uniq_a = " ".join(f"aword{i}" for i in range(120))
+    uniq_b = " ".join(f"bword{i}" for i in range(120))
+    rows = [
+        (0, f"{uniq_a} {run}", "en", "srcA"),
+        (1, f"{uniq_b} {run}", "en", "srcA"),
+        (2, "uno dos tres cuatro cinco seis siete ocho nueve diez", "en", "srcB"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string, source string"
+    )
+    io = TableIO(spark, str(tmp_path))
+    kept = curate(spark, docs, io, _cfg(despan_min_tokens=10))
+    got = {r["doc_id"]: r["content"] for r in kept.collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0] == rows[0][1]            # keep-first: doc 0 intact
+    assert got[2] == rows[2][1]            # clone-free doc untouched
+    assert got[1] != rows[1][1]            # doc 1 was span-cleaned
+    assert "bword5" in got[1]              # unique text survives
+    assert "shared20" not in got[1]        # passage interior cut
+
+    # only the rewritten doc is stored; metrics row records it
+    despan = io.read("curate_despan").collect()
+    assert [r["doc_id"] for r in despan] == [1]
+    m = {
+        r["stage"]: (r["docs_in"], r["docs_out"])
+        for r in io.read("curate_metrics").collect()
+    }
+    assert m["despan"] == (3, 1)
+
+    # resume: re-running with the same root is a no-op with identical output
+    kept2 = curate(spark, docs, io, _cfg(despan_min_tokens=10))
+    assert {r["doc_id"]: r["content"] for r in kept2.collect()} == got
