@@ -296,3 +296,41 @@ def test_compact_crash_resume_equals_clean(spark, tmp_path_factory):
     ]:
         a, b = _table(io_clean, name, key), _table(io_crash, name, key)
         pd.testing.assert_frame_equal(a, b), name
+
+
+def test_compact_after_incremental_merge(spark, tmp_path_factory):
+    """Deletes spanning base AND delta generations compact correctly: the
+    shard machinery and finalize are generation-agnostic (one postings
+    table, doc-range shards), so compacting a grown index removes ids from
+    whichever generation's shards they live in and leaves results equal to
+    the dense oracle over the survivors."""
+    from searchenginesimple_spark.plans.merge import build_index_incremental
+
+    all_docs = docs_df(spark, 200)
+    base = all_docs.filter(F.col("path").substr(-4, 1) != "7")
+    delta = all_docs.subtract(base)
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_gen")))
+    build_index(spark, base, io, CFG)
+    build_index_incremental(spark, delta, io, CFG)
+
+    surv = io.read("survivors")
+    lo = int(surv.agg(F.min("doc_id")).collect()[0][0])
+    hi = int(surv.agg(F.max("doc_id")).collect()[0][0])
+    assert hi // CFG.shard_span > lo // CFG.shard_span  # really two generations
+    victims = [lo, hi]  # one doc from the base range, one from the delta
+    n_before = io.read("corpus").collect()[0]["n_docs"]
+
+    delete_docs(io, victims)
+    res = compact_index(spark, io, CFG)
+    assert res.n_deleted == 2
+    assert res.n_docs == n_before - 2
+    assert io.read("survivors").filter(F.col("doc_id").isin(victims)).count() == 0
+
+    for m in ("and", "or"):
+        after = _top_docs(io, spark, mode=m)
+        dense_after = _res(
+            bm25_topk(_dense_idx(io), queries_df(spark), CFG,
+                      use_pandas_udf=False, mode=m)
+        )
+        assert after == dense_after, m
+        assert not {r[2] for r in after} & set(victims)
