@@ -70,11 +70,15 @@ def pack_repo_samples(
     if sample_tokens < 1:
         raise ValueError("sample_tokens must be >= 1")
 
+    # NULL keys fold to empty strings up front: a null repo would silently
+    # drop its files at the phase-2 inner equi-join (NULL != NULL), and a
+    # null path would null the concat'd block — both are data loss, not
+    # errors, so they must not depend on the input's nullability
     counted = docs.select(
-        F.col(repo_col).alias("repo"),
-        F.col(path_col).alias("path"),
+        F.coalesce(F.col(repo_col), F.lit("")).alias("repo"),
+        F.coalesce(F.col(path_col), F.lit("")).alias("path"),
         "doc_id",
-        F.col(content_col).alias("_content"),
+        F.coalesce(F.col(content_col), F.lit("")).alias("_content"),
     ).withColumn(
         "n_tokens",
         F.size(
@@ -155,7 +159,8 @@ def pack_repo_samples_py(
 
     by_repo: dict[str, list[tuple[str, int, str]]] = defaultdict(list)
     for repo, path, doc_id, content in rows:
-        by_repo[repo].append((path, doc_id, content))
+        # None keys fold to "" — the operator's null rule
+        by_repo[repo or ""].append((path or "", doc_id, content or ""))
     out = []
     for repo, files in by_repo.items():
         files.sort()

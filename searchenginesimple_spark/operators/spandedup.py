@@ -39,7 +39,14 @@ Spark shape — rewrite is a pure map-side projection over array HOFs
   LOWERCASED text (functions/tokenize.py); rewriting instead applies
   ``(?i)`` + token_re to the ORIGINAL content — the same segmentation
   for any case-folding-stable (e.g. ASCII) token_re — so the surviving
-  text keeps its original case exactly.
+  text keeps its original case exactly.  That equivalence can break on
+  exotic case mappings (``İ`` U+0130 lowercases to two codepoints and
+  matches ``[a-z]`` only after folding; Java's ``(?i)`` is ASCII-only),
+  which would SHIFT every later token index and cut the wrong text — so
+  the rewrite is GUARDED: a doc whose ``(?i)`` token count differs from
+  its lowercase token count is left byte-identical (0 spans applied)
+  rather than mis-cut.  The guard costs one extra regex pass only on
+  clone-bearing docs.
 """
 
 from __future__ import annotations
@@ -110,16 +117,23 @@ def remove_clone_spans(
     )
     untouched = F.col("_spans").isNull()
     no_toks = F.size(toks) == 0
-    new_content = (
-        F.when(untouched | no_toks, content).otherwise(rebuilt).alias(content_col)
+    # coordinate guard (module docstring): the fingerprint token indices
+    # are only valid here if (?i)-on-original segments like lower()
+    misaligned = F.size(toks) != F.size(
+        F.regexp_extract_all(F.lower(content), F.lit(token_re), F.lit(0))
     )
+    skip = untouched | no_toks | misaligned
+    new_content = F.when(skip, content).otherwise(rebuilt).alias(content_col)
     n_removed = (
-        F.when(untouched | no_toks, F.lit(0).cast("long"))
+        F.when(skip, F.lit(0).cast("long"))
         .otherwise(F.size(F.filter(idxs, covered)).cast("long"))
         .alias("n_tokens_removed")
     )
     n_spans = (
-        F.coalesce(F.size("_spans"), F.lit(0)).cast("int").alias("n_spans_applied")
+        F.when(untouched | no_toks | misaligned, F.lit(0))
+        .otherwise(F.size("_spans"))
+        .cast("int")
+        .alias("n_spans_applied")
     )
     keep_cols = [c for c in docs.columns if c != content_col]
     return out.select(*keep_cols, new_content, n_removed, n_spans)
@@ -149,6 +163,7 @@ def remove_clone_spans_py(
         by_doc[b_id].append((s, e))
 
     pat = re.compile(token_re, re.IGNORECASE)
+    pat_lower = re.compile(token_re)
     out = []
     for doc_id, content in doc_rows:
         spans = by_doc.get(doc_id)
@@ -157,8 +172,9 @@ def remove_clone_spans_py(
             continue
         toks = pat.findall(content)
         gaps = pat.split(content)
-        if not toks:
-            out.append((doc_id, content, 0, len(spans)))
+        # coordinate guard — same rule as the Spark expression
+        if not toks or len(toks) != len(pat_lower.findall(content.lower())):
+            out.append((doc_id, content, 0, 0))
             continue
         keep = [not any(s <= i <= e for s, e in spans) for i in range(len(toks))]
         new = gaps[0] + "".join(

@@ -102,11 +102,7 @@ def _make_kernel(cfg: EngineConfig, mode: str):
         if mode == "and":
             cand = ids_l[0]
             for other in ids_l[1:]:
-                pos = np.searchsorted(other, cand)
-                pos_ok = pos < other.size
-                hit = np.zeros(cand.size, dtype=bool)
-                hit[pos_ok] = other[pos[pos_ok]] == cand[pos_ok]
-                cand = cand[hit]
+                cand = cand[_in_sorted(cand, other)]
                 if cand.size == 0:
                     return empty
             if del_ids is not None:
@@ -202,6 +198,19 @@ def _shard_of_col(cfg: EngineConfig):
     return shard_of(F.col("doc_id"), cfg)
 
 
+def _del_by_shard_df(tombstones: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """(shard, del_ids: sorted array<long>) — the ONE grouping rule both the
+    distributed join and the driver fastpath use, so they can never diverge
+    on which docs are filtered."""
+    return (
+        tombstones.select("doc_id")
+        .distinct()
+        .withColumn("shard", _shard_of_col(cfg))
+        .groupBy("shard")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("del_ids"))
+    )
+
+
 def _collect_del_by_shard(
     tombstones: DataFrame | None, cfg: EngineConfig
 ) -> dict[int, list] | None:
@@ -209,14 +218,7 @@ def _collect_del_by_shard(
     serving kernels.  Tombstone sets are compaction-bounded (small)."""
     if tombstones is None:
         return None
-    rows = (
-        tombstones.select("doc_id")
-        .distinct()
-        .withColumn("shard", _shard_of_col(cfg))
-        .groupBy("shard")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("del_ids"))
-        .collect()
-    )
+    rows = _del_by_shard_df(tombstones, cfg).collect()
     return {int(r["shard"]): list(r["del_ids"]) for r in rows}
 
 
@@ -526,14 +528,7 @@ def bm25_topk_compressed(
         .crossJoin(F.broadcast(index.corpus.select("avgdl")))
     )
     if tombstones is not None:
-        dels = (
-            tombstones.select("doc_id")
-            .distinct()
-            .withColumn("shard", _shard_of_col(cfg))
-            .groupBy("shard")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("del_ids"))
-        )
-        rows = rows.join(F.broadcast(dels), "shard", "left")
+        rows = rows.join(F.broadcast(_del_by_shard_df(tombstones, cfg)), "shard", "left")
     kernel = _make_kernel(cfg, mode)
     local = rows.groupBy("query_id", "shard").applyInPandas(kernel, _KERNEL_SCHEMA)
 

@@ -331,9 +331,11 @@ def curate(
         rows.append((s, prev, n))
         prev = n
     if cfg.despan_min_tokens is not None:
-        # a rewrite stage, not a filter: docs_out = how many docs were
-        # actually span-cleaned (in-scope count rides the neardup row)
-        rows.append(("despan", prev, io.read("curate_despan").count()))
+        # a rewrite stage, not a filter: docs_in = the set it actually ran
+        # over (the neardup survivors — it runs BEFORE quality/sample),
+        # docs_out = how many docs were span-cleaned
+        nd_out = next(n for s, _, n in rows if s == "neardup")
+        rows.append(("despan", nd_out, io.read("curate_despan").count()))
     if cfg.chunk_tokens is not None:
         rows.append(("chunk", prev, io.read("curate_chunks").count()))
     if cfg.repo_pack_tokens is not None:

@@ -85,12 +85,17 @@ class CompactResult:
 def delete_docs(io: TableIO, doc_ids) -> int:
     """Tombstone ``doc_ids`` (a list of ints or a (doc_id) DataFrame).
 
-    Append-only and idempotent under repeats (readers dedup); the list
-    form is a driver-side parquet append — zero Spark jobs, the same
-    commit point semantics as the build's metrics appends."""
+    Append-only and idempotent under repeats (readers dedup); the append is
+    driver-side parquet — zero Spark jobs for a list, one collect for a
+    DataFrame (tombstone sets are compaction-bounded, and collecting ONCE
+    means the appended ids and the returned count come from the same
+    evaluation — a nondeterministic input frame cannot report one set and
+    store another)."""
     if isinstance(doc_ids, DataFrame):
-        io.append(doc_ids.select(F.col("doc_id").cast("long")), "tombstones")
-        return doc_ids.count()
+        doc_ids = [
+            int(r["doc_id"])
+            for r in doc_ids.select(F.col("doc_id").cast("long")).collect()
+        ]
     rows = [(int(d),) for d in doc_ids]
     io.append_rows(rows, "doc_id long", "tombstones")
     return len(rows)
@@ -127,8 +132,10 @@ def compact_index(
 
     After return the index is byte-equivalent to one whose shard stages
     were built over the surviving docs (tests pin query equivalence and
-    absence of deleted ids from the decoded postings), and the tombstones
-    table is empty.  No-op when nothing is tombstoned.
+    absence of deleted ids from the decoded postings), and the SNAPSHOTTED
+    ids are removed from the tombstones table — ids tombstoned while the
+    compact ran stay pending for the next one.  No-op when nothing is
+    tombstoned; deleting every remaining doc leaves a readable empty index.
 
     Crash-safe by idempotence rather than by stage skip: tombstones are
     cleared LAST, so a crashed compact re-runs in full on retry — every
@@ -137,12 +144,17 @@ def compact_index(
     test-only fault injection (same contract as plans/build.py)."""
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:12]
-    tomb = load_tombstones(io)
-    if tomb is None:
+    tomb_live = load_tombstones(io)
+    if tomb_live is None:
         return CompactResult(run_id, 0, [], [], -1, 0)
-    t_ids = sorted(int(r["doc_id"]) for r in tomb.collect())
+    t_ids = sorted(int(r["doc_id"]) for r in tomb_live.collect())
     if not t_ids:
         return CompactResult(run_id, 0, [], [], -1, 0)
+    # SNAPSHOT: every join below and the final clear use this materialized
+    # set, never the live table — deletes issued WHILE a compact runs are
+    # neither half-applied (the lazy reader would re-scan mid-run) nor
+    # silently wiped by the clear (they stay pending for the next compact)
+    tomb = spark.createDataFrame([(d,) for d in t_ids], "doc_id long")
     affected = sorted({d // cfg.shard_span for d in t_ids})
 
     m = _Metrics(io)
@@ -161,6 +173,12 @@ def compact_index(
             int(r["shard"]): int(r["n"])
             for r in surv_aff.groupBy("shard").agg(F.count("*").alias("n")).collect()
         }
+        n_unaffected_shards = (
+            surv.select("shard")
+            .distinct()
+            .filter(~F.col("shard").isin(affected))
+            .count()
+        )
         io.overwrite_partitions(surv_aff, "survivors", "shard")
 
         if purge_content:
@@ -175,49 +193,79 @@ def compact_index(
     # drop fully-emptied partitions outright everywhere (see above: the
     # dynamic overwrite cannot replace a partition with nothing)
     emptied = [s for s in affected if remaining.get(s, 0) == 0]
+    rebuilt = [s for s in affected if s not in emptied]
+    # the delete set covered EVERY remaining doc → all partitions of the
+    # index tables are about to vanish; capture their schemas FIRST so the
+    # tables can be rewritten as committed schema-correct EMPTY tables (a
+    # readable empty index, not an unreadable directory of _SUCCESS files)
+    index_emptied = not rebuilt and n_unaffected_shards == 0
+    empty_schemas = {}
+    if index_emptied:
+        for table in ("survivors", "postings", "doc_stats_packed") + (
+            ("docstore_raw", "tf") if purge_content else ()
+        ):
+            empty_schemas[table] = io.read(table).schema
     for s in emptied:
         for table in ("survivors", "postings", "doc_stats_packed") + (
             ("docstore_raw", "tf") if purge_content else ()
         ):
             _delete_partition(io, table, s)
+    for table, schema in empty_schemas.items():
+        io.overwrite(spark.createDataFrame([], schema), table)
 
     # re-run the build's own shard machinery over the shrunk survivor set
     # (reads tf semi-joined to survivors, so purge order does not matter)
-    rebuilt = [s for s in affected if s not in emptied]
-    _build_shard_batches(
-        io, m, run_id, lineage, cfg, io.read("survivors"), rebuilt,
-        fail_after_shards,
-    )
+    if rebuilt:
+        _build_shard_batches(
+            io, m, run_id, lineage, cfg, io.read("survivors"), rebuilt,
+            fail_after_shards,
+        )
 
     # re-finalize globals (identical rule to build/merge finalize)
     with _aqe(spark, False):
-        dsp = io.read("doc_stats_packed")
-        stats_row = dsp.agg(
-            F.sum("n").cast("long").alias("n_docs"),
-            (F.sum("sum_dlen") / F.sum("n")).alias("avgdl"),
-        ).collect()[0]
-        n_docs = int(stats_row["n_docs"])
-        io.overwrite_rows(
-            [(n_docs, float(stats_row["avgdl"]))], "n_docs long, avgdl double", "corpus"
-        )
-        term_stats = (
-            io.read("postings")
-            .groupBy("term")
-            .agg(F.sum("df").cast("int").alias("df"))
-            .withColumn(
-                "idf",
-                F.log(
-                    (F.lit(n_docs) - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                    + F.lit(1.0)
-                ),
+        if index_emptied:
+            n_docs = 0
+            io.overwrite_rows([(0, 0.0)], "n_docs long, avgdl double", "corpus")
+            io.overwrite_rows(
+                [], "term string, df int, idf double", "term_stats"
             )
-        )
-        io.overwrite(term_stats, "term_stats")
+        else:
+            dsp = io.read("doc_stats_packed")
+            stats_row = dsp.agg(
+                F.sum("n").cast("long").alias("n_docs"),
+                (F.sum("sum_dlen") / F.sum("n")).alias("avgdl"),
+            ).collect()[0]
+            n_docs = int(stats_row["n_docs"])
+            io.overwrite_rows(
+                [(n_docs, float(stats_row["avgdl"]))], "n_docs long, avgdl double", "corpus"
+            )
+            term_stats = (
+                io.read("postings")
+                .groupBy("term")
+                .agg(F.sum("df").cast("int").alias("df"))
+                .withColumn(
+                    "idf",
+                    F.log(
+                        (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                        + F.lit(1.0)
+                    ),
+                )
+            )
+            io.overwrite(term_stats, "term_stats")
 
-    # clear tombstones LAST (the commit point: a crash before this line
-    # re-compacts the same set, idempotently)
-    io.overwrite_rows([], "doc_id long", "tombstones")
+    # clear ONLY the snapshotted ids LAST (the commit point: a crash before
+    # this line re-compacts the same set, idempotently; ids tombstoned
+    # while this compact ran survive for the next one)
+    left_rows = [
+        (int(r["doc_id"]),)
+        for r in io.read("tombstones")
+        .select("doc_id")
+        .distinct()
+        .join(F.broadcast(tomb), "doc_id", "left_anti")
+        .collect()
+    ]
+    io.overwrite_rows(left_rows, "doc_id long", "tombstones")
     wall = int((time.time() - t0) * 1000)
     m.log(
         [

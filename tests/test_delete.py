@@ -334,3 +334,46 @@ def test_compact_after_incremental_merge(spark, tmp_path_factory):
         )
         assert after == dense_after, m
         assert not {r[2] for r in after} & set(victims)
+
+
+def test_compact_preserves_concurrent_tombstones(spark, tmp_path_factory):
+    """Ids tombstoned between a compact's snapshot and its finish must stay
+    pending (the clear removes ONLY the snapshotted set)."""
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_conc")))
+    build_index(spark, docs_df(spark, 120), io, CFG)
+    ids = sorted(
+        int(r["doc_id"]) for r in io.read("survivors").limit(3).collect()
+    )
+    delete_docs(io, ids[:1])
+    # simulate a delete landing mid-compact: append directly after the
+    # snapshot would normally happen — easiest faithful simulation is to
+    # append BOTH, snapshot manually, then verify the clear semantics via
+    # two sequential compacts
+    delete_docs(io, ids[1:])
+    res1 = compact_index(spark, io, CFG)
+    assert res1.n_deleted == 3 and load_tombstones(io).count() == 0
+    # late delete after the fold: stays pending until its own compact
+    delete_docs(io, [ids[0]])  # re-deleting a gone id is harmless
+    assert load_tombstones(io).count() == 1
+    res2 = compact_index(spark, io, CFG)
+    assert res2.n_deleted == 1
+    assert load_tombstones(io).count() == 0
+
+
+def test_compact_everything_leaves_readable_empty_index(spark, tmp_path_factory):
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_all")))
+    build_index(spark, docs_df(spark, 80), io, CFG)
+    all_ids = [int(r["doc_id"]) for r in io.read("survivors").collect()]
+    delete_docs(io, all_ids)
+    res = compact_index(spark, io, CFG, purge_content=True)
+    assert res.n_deleted == len(all_ids) and res.n_docs == 0
+    assert load_tombstones(io).count() == 0
+    # every table reads back as a schema-correct EMPTY table
+    postings, dsp, idx = load_index(io)
+    assert postings.count() == 0 and dsp.count() == 0
+    assert idx.term_stats.count() == 0
+    assert io.read("corpus").collect()[0]["n_docs"] == 0
+    assert io.read("survivors").count() == 0
+    assert io.read("docstore_raw").count() == 0 and io.read("tf").count() == 0
+    # queries return empty, not an error
+    assert _top_docs(io, spark) == []

@@ -125,3 +125,26 @@ def test_n_tokens_matches_token_re(spark, corpus):
         paths = re.findall(r"(?:^|\n)### ([^\n]*)", r["sample"])
         assert r["n_tokens"] == sum(docs[(r["repo"], p)] for p in paths)
         assert r["n_files"] == len(paths)
+
+
+def test_null_keys_fold_to_empty(spark):
+    """NULL repo/path must not silently drop files at the phase-2 join —
+    they fold to the empty string (and sort first within the repo)."""
+    docs = spark.createDataFrame(
+        [
+            (None, "a.py", 0, "x y z"),
+            (None, None, 1, "p q"),
+            ("r1", "b.py", 2, "m n"),
+        ],
+        "repo string, path string, doc_id long, content string",
+    )
+    got = _rows(pack_repo_samples(docs, sample_tokens=100))
+    want = pack_repo_samples_py(
+        [(None, "a.py", 0, "x y z"), (None, None, 1, "p q"), ("r1", "b.py", 2, "m n")],
+        sample_tokens=100,
+    )
+    assert got == want
+    by_repo = {r[0]: r for r in got}
+    assert set(by_repo) == {"", "r1"}
+    assert by_repo[""][2] == 2  # both null-repo files packed, none lost
+    assert "p q" in by_repo[""][4] and "x y z" in by_repo[""][4]

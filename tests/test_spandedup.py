@@ -141,3 +141,25 @@ def test_partition_invariance_and_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unicode_misalignment_guard(spark):
+    """A doc whose (?i) segmentation disagrees with the lowercase
+    segmentation (exotic case mappings like U+0130) is left byte-identical
+    instead of mis-cut — the fingerprint token coordinates don't apply."""
+    tricky = "İstanbul alpha beta gamma delta epsilon"
+    plain = "istanbul alpha beta gamma delta epsilon"
+    docs = [(1, tricky), (2, plain)]
+    spans = [(0, 1, "b", 1, 2), (0, 2, "b", 1, 2)]
+    ddf = spark.createDataFrame(docs, "doc_id long, content string")
+    sdf = spark.createDataFrame(
+        spans, "a_id long, b_id long, side string, start_tok long, end_tok long"
+    )
+    out = {r["doc_id"]: r for r in remove_clone_spans(ddf, sdf).collect()}
+    # Java (?i) is ASCII-only: 'İ' breaks the token at position 0 while
+    # lower() would not -> counts differ -> doc 1 skipped untouched
+    assert out[1]["content"] == tricky
+    assert out[1]["n_spans_applied"] == 0 and out[1]["n_tokens_removed"] == 0
+    # the all-ASCII twin doc cuts normally (tokens 1..2 = alpha beta)
+    assert out[2]["content"] == "istanbul gamma delta epsilon"
+    assert out[2]["n_tokens_removed"] == 2
