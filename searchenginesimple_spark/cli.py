@@ -195,6 +195,8 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--chunk-tokens", type=int, default=None)
     u.add_argument("--repo-pack-tokens", type=int, default=None)
     u.add_argument("--despan-min-tokens", type=int, default=None)
+    u.add_argument("--increment", action="store_true",
+                   help="admit --input as a DELTA into an existing curation root")
 
     args = p.parse_args(argv)
 
@@ -482,6 +484,13 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.input)
         if "doc_id" not in docs.columns:
+            if args.increment:
+                # fresh with_doc_ids would restart at 0 and collide with the
+                # base — increments must ship their own monotone ids
+                raise SystemExit(
+                    "curate --increment needs a doc_id column with ids beyond "
+                    "the base's max (the min-id survivor contract)"
+                )
             from searchenginesimple_spark.sources.corpus import with_doc_ids
 
             docs = with_doc_ids(docs)
@@ -501,6 +510,23 @@ def main(argv: list[str] | None = None) -> int:
             despan_min_tokens=args.despan_min_tokens,
         )
         io = TableIO(spark, args.output)
+        if args.increment:
+            from searchenginesimple_spark.plans.curate_inc import (
+                curate_increment,
+                read_curated,
+            )
+
+            admitted = curate_increment(spark, docs, io, cfg)
+            gens = [
+                dict(gen=r["gen"], docs_in=r["docs_in"], docs_out=r["docs_out"])
+                for r in io.read("curate_generations").collect()
+            ]
+            print(json.dumps({
+                "admitted": admitted.count(),
+                "kept_total": read_curated(io).count(),
+                "generations": sorted(gens, key=lambda d: d["gen"]),
+            }))
+            return 0
         kept = curate(spark, docs, io, cfg)
         metrics = {
             r["stage"]: [r["docs_in"], r["docs_out"]]

@@ -1,0 +1,323 @@
+"""Incremental curation: admit a DELTA of new documents into an existing
+curation root without re-processing the base corpus.
+
+Production training-data pipelines curate daily increments; re-running
+plans/curate.py over base ∪ delta re-pays the whole base every day.  This
+is the curation-level twin of the index's LSM merge (plans/merge.py):
+
+  state      ``curate_sigs`` persists per-kept-doc (sha256, MinHash
+             signature) — everything delta dedup needs from the base,
+             recomputed NEVER (backfilled from ``curate_kept`` on first
+             use, appended per generation after).  ``curate_kept_gen``
+             is the kept corpus partitioned by generation (gen=0 =
+             backfilled batch output); both tables grow by dynamic
+             partition overwrite, so every generation's write is
+             idempotent.
+  exact      delta sha256 vs itself (min-id) and vs the base sha set
+             (broadcast-joinable? no — a 10^12-doc base sha set is a
+             normal shuffle join on sha256; Spark picks broadcast when
+             small).  Base always wins.
+  neardup    within-delta: the batch pipeline's own MinHash-LSH → CC →
+             cluster-min.  Delta-vs-base: band-bucket join of delta
+             signatures against the PERSISTED base signatures (the same
+             banding construction — no base shingling, no base scan of
+             content) → estimated-Jaccard filter → the DELTA doc drops
+             (base ids < delta ids by contract, so this IS the min-id
+             survivor rule).  Like merge.py, history is not re-litigated:
+             a base doc is never dropped by an increment.
+  quality    map-side, delta only (same thresholds).
+  sample     the stratified sample is hash-gated per doc — increment-
+             stable by construction.  The per-source quota is enforced
+             GLOBALLY: each source's remaining budget = cap − kept-so-far
+             (a cheap agg over the kept table's id/source columns), and
+             the delta ranks into what remains.
+  commit     per-stage id tables are ``_SUCCESS``-gated per generation;
+             the generation marker row (``curate_generations``) appends
+             LAST, so a crashed increment re-runs as itself and
+             re-overwrites its own partitions (the merge.py recipe).
+
+Contract: every delta doc_id must exceed every base doc_id (the caller
+assigns ids monotonically, e.g. with_doc_ids over an offset range — the
+same contract merge.py states); violating it raises.  The optional
+chunk/repo-pack/despan terminal stages are batch-only — run them over the
+full kept table when needed.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from searchenginesimple_spark.plans.curate import CurateConfig
+from searchenginesimple_spark.sources.io import TableIO
+
+
+def read_curated(io: TableIO) -> DataFrame:
+    """The full kept corpus: the generation-partitioned table when
+    increments have run, else the batch table."""
+    if io.exists("curate_kept_gen"):
+        return io.read("curate_kept_gen").drop("gen")
+    return io.read("curate_kept")
+
+
+def _sigs(docs: DataFrame, cfg: CurateConfig, text_col: str) -> DataFrame:
+    from searchenginesimple_spark.operators.dedup import minhash_signatures
+
+    sha = docs.select(
+        "doc_id", F.sha2(F.col(text_col), 256).alias("sha256")
+    )
+    sig = minhash_signatures(
+        docs, cfg.minhash_hashes, cfg.shingle_n, text_col=text_col
+    )
+    return sha.join(sig, "doc_id", "left")  # empty docs have no shingles
+
+
+def _band_keys(n_hashes: int, bands: int):
+    r = n_hashes // bands
+    return [
+        F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+        for b in range(bands)
+    ]
+
+
+def _banded(sigs: DataFrame, cfg: CurateConfig) -> DataFrame:
+    return sigs.filter(F.col("sig").isNotNull()).select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*_band_keys(cfg.minhash_hashes, cfg.minhash_bands))
+        ).alias("band_id", "band_key"),
+    )
+
+
+def curate_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    io: TableIO,
+    cfg: CurateConfig = CurateConfig(),
+    text_col: str = "content",
+) -> DataFrame:
+    """Admit ``new_docs`` into the curation root at ``io``; returns the
+    ADMITTED delta rows (also committed as generation g's partition of
+    ``curate_kept_gen``).  See module docstring for semantics."""
+    from searchenginesimple_spark.functions.text import (
+        quality_features,
+        repetition_features,
+    )
+    from searchenginesimple_spark.operators.dedup import minhash_dup_pairs
+    from searchenginesimple_spark.operators.graph import connected_components
+    from searchenginesimple_spark.operators.sample import stratified_sample
+
+    if not io.exists("curate_kept", committed=True) and not io.exists(
+        "curate_kept_gen", committed=True
+    ):
+        raise ValueError("curate_increment needs a committed base curation run")
+
+    # ---- generation number + idempotent backfill of the LSM state ---------
+    gens = (
+        [int(r["gen"]) for r in io.read("curate_generations").collect()]
+        if io.exists("curate_generations")
+        else []
+    )
+    g = (max(gens) + 1) if gens else 1
+    if not io.exists("curate_kept_gen", committed=True):
+        base = io.read("curate_kept")
+        io.overwrite_partitions(
+            base.withColumn("gen", F.lit(0)), "curate_kept_gen", "gen"
+        )
+        io.overwrite_partitions(
+            _sigs(base, cfg, text_col).withColumn("gen", F.lit(0)),
+            "curate_sigs",
+            "gen",
+        )
+
+    kept_prior = io.read("curate_kept_gen").filter(F.col("gen") < g)
+    sigs_prior = io.read("curate_sigs").filter(F.col("gen") < g).drop("gen")
+
+    # ---- id contract: every delta id beyond every base id ------------------
+    base_max = kept_prior.agg(F.max("doc_id")).collect()[0][0]
+    delta_min = new_docs.agg(F.min("doc_id")).collect()[0][0]
+    if delta_min is None:
+        raise ValueError("curate_increment: empty delta")
+    if base_max is not None and delta_min <= base_max:
+        raise ValueError(
+            f"curate_increment: delta doc_ids must exceed the base max "
+            f"({delta_min} <= {base_max}) — the min-id survivor rule needs it"
+        )
+
+    def _t(name: str) -> str:
+        return f"curate_g{g}_{name}_ids"
+
+    # ---- stage 0 (optional): prefilter — same rules as the batch plan ------
+    d0 = new_docs
+    prefilter_on = (
+        cfg.allowed_licenses is not None
+        or cfg.drop_vendored
+        or cfg.drop_generated
+        or cfg.drop_minified
+    )
+    if prefilter_on:
+        if not io.exists(_t("prefilter"), committed=True):
+            from searchenginesimple_spark.functions.code import (
+                detect_license,
+                flag_autogenerated,
+            )
+
+            d = new_docs
+            keep = F.lit(True)
+            if cfg.allowed_licenses is not None:
+                d = detect_license(d, content_col=text_col)
+                keep = keep & F.col("license").isin(list(cfg.allowed_licenses))
+            if cfg.drop_vendored or cfg.drop_generated or cfg.drop_minified:
+                d = flag_autogenerated(
+                    d,
+                    content_col=text_col,
+                    path_col=cfg.path_col if cfg.path_col in new_docs.columns else None,
+                )
+                if cfg.drop_vendored:
+                    keep = keep & ~F.col("is_vendored")
+                if cfg.drop_generated:
+                    keep = keep & ~F.col("is_generated")
+                if cfg.drop_minified:
+                    keep = keep & ~F.col("is_minified")
+            io.overwrite(d.filter(keep).select("doc_id"), _t("prefilter"))
+        d0 = new_docs.join(io.read(_t("prefilter")), "doc_id", "left_semi")
+
+    # ---- stage 1: exact — within delta AND vs the base sha set -------------
+    if not io.exists(_t("exact"), committed=True):
+        delta_sha = d0.select(
+            "doc_id", F.sha2(F.col(text_col), 256).alias("sha256")
+        )
+        within = (
+            delta_sha.groupBy("sha256")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "sha256")
+        )
+        vs_base = within.join(
+            sigs_prior.select("sha256"), "sha256", "left_anti"
+        )
+        io.overwrite(vs_base.select("doc_id"), _t("exact"))
+    exact_ids = io.read(_t("exact"))
+
+    # ---- stage 2: neardup — within delta, then banded vs base signatures ---
+    if not io.exists(_t("neardup"), committed=True):
+        d = d0.join(exact_ids, "doc_id", "left_semi")
+        pairs = minhash_dup_pairs(
+            d,
+            n_hashes=cfg.minhash_hashes,
+            bands=cfg.minhash_bands,
+            shingle_n=cfg.shingle_n,
+            threshold=cfg.minhash_threshold,
+            text_col=text_col,
+        )
+        cc = connected_components(pairs, "a_id", "b_id")
+        drops_within = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        surv_within = exact_ids.join(drops_within, "doc_id", "left_anti")
+
+        # vs base: band join of the delta survivors' signatures against the
+        # persisted base signatures — base never drops, only the delta doc
+        delta_sigs = _sigs(
+            d.join(surv_within, "doc_id", "left_semi"), cfg, text_col
+        )
+        nb = _banded(sigs_prior.select("doc_id", "sig"), cfg).alias("base")
+        nd = _banded(delta_sigs.select("doc_id", "sig"), cfg).alias("delta")
+        cand = (
+            nd.join(
+                nb,
+                (F.col("delta.band_id") == F.col("base.band_id"))
+                & (F.col("delta.band_key") == F.col("base.band_key")),
+            )
+            .select(
+                F.col("delta.doc_id").alias("doc_id"),
+                F.col("delta.sig").alias("siga"),
+                F.col("base.sig").alias("sigb"),
+            )
+            .distinct()
+        )
+        est = F.size(
+            F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda m: m)
+        ) / F.lit(float(cfg.minhash_hashes))
+        drops_base = (
+            cand.withColumn("est", F.round(est, 6))
+            .filter(F.col("est") >= cfg.minhash_threshold)
+            .select("doc_id")
+            .distinct()
+        )
+        io.overwrite(
+            surv_within.join(drops_base, "doc_id", "left_anti"), _t("neardup")
+        )
+    neardup_ids = io.read(_t("neardup"))
+
+    # ---- stage 3: quality (map-side, same thresholds as batch) -------------
+    if not io.exists(_t("quality"), committed=True):
+        c = F.col(text_col)
+        q = dict(quality_features(c))
+        r = repetition_features(c)
+        keep = (
+            (q["n_tokens"] >= cfg.min_tokens)
+            & (q["alpha_ratio"] >= cfg.min_alpha_ratio)
+            & (r["top_token_frac"] <= cfg.max_top_token_frac)
+        )
+        io.overwrite(
+            new_docs.join(neardup_ids, "doc_id", "left_semi")
+            .filter(keep)
+            .select("doc_id"),
+            _t("quality"),
+        )
+    quality_ids = io.read(_t("quality"))
+
+    # ---- stage 4: sampling (increment-stable) + GLOBAL per-source quota ----
+    final_ids = quality_ids
+    if cfg.sample_rates is not None or cfg.per_source_cap is not None:
+        if not io.exists(_t("sample"), committed=True):
+            d = new_docs.join(quality_ids, "doc_id", "left_semi")
+            if cfg.sample_rates is not None:
+                d = stratified_sample(
+                    d,
+                    cfg.sample_rates,
+                    group_col=cfg.lang_col,
+                    default_rate=cfg.default_sample_rate,
+                )
+            if cfg.per_source_cap is not None:
+                # remaining budget per source = cap − kept so far; the
+                # delta ranks by doc_id into what remains
+                used = kept_prior.groupBy(cfg.source_col).agg(
+                    F.count("*").alias("_used")
+                )
+                w = Window.partitionBy(cfg.source_col).orderBy(F.asc("doc_id"))
+                d = (
+                    d.withColumn("_rk", F.row_number().over(w))
+                    .join(F.broadcast(used), cfg.source_col, "left")
+                    .filter(
+                        F.col("_rk")
+                        <= F.lit(cfg.per_source_cap)
+                        - F.coalesce(F.col("_used"), F.lit(0))
+                    )
+                    .drop("_rk", "_used")
+                )
+            io.overwrite(d.select("doc_id"), _t("sample"))
+        final_ids = io.read(_t("sample"))
+
+    # ---- commit generation g: kept partition, sigs partition, marker ------
+    admitted = new_docs.join(final_ids, "doc_id", "left_semi")
+    io.overwrite_partitions(
+        admitted.withColumn("gen", F.lit(g)), "curate_kept_gen", "gen"
+    )
+    io.overwrite_partitions(
+        _sigs(admitted, cfg, text_col).withColumn("gen", F.lit(g)),
+        "curate_sigs",
+        "gen",
+    )
+    n_in = new_docs.count()
+    n_out = final_ids.count()
+    io.append_rows(
+        [(g, n_in, n_out, time.time())],
+        "gen int, docs_in long, docs_out long, ts double",
+        "curate_generations",
+    )
+    return io.read("curate_kept_gen").filter(F.col("gen") == g).drop("gen")

@@ -450,3 +450,34 @@ def test_cli_despan(spark, tmp_path, capsys):
     assert out[1]["content"] == rows[0][2]      # keep-first: doc 1 intact
     assert out[3]["content"] == rows[2][2]
     assert "shared20" not in out[2]["content"]  # passage interior cut
+
+
+def test_cli_curate_increment(spark, tmp_path, capsys):
+    import searchenginesimple_spark.cli as cli
+
+    base, delta, out = tmp_path / "base", tmp_path / "delta", tmp_path / "cur"
+    spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight nine ten", "en", "s"),
+            (1, "ichi ni san shi go roku nana hachi kyu ju", "en", "s"),
+        ],
+        "doc_id long, content string, lang string, source string",
+    ).write.mode("overwrite").parquet(str(base))
+    spark.createDataFrame(
+        [
+            # exact dup of base doc 0 -> rejected
+            (10, "one two three four five six seven eight nine ten", "en", "s"),
+            (11, "uno due tre quattro cinque sei sette otto nove dieci", "en", "s"),
+        ],
+        "doc_id long, content string, lang string, source string",
+    ).write.mode("overwrite").parquet(str(delta))
+
+    assert cli.main(["curate", "--input", str(base), "--output", str(out)]) == 0
+    capsys.readouterr()
+    rc = cli.main(
+        ["curate", "--increment", "--input", str(delta), "--output", str(out)]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["admitted"] == 1 and res["kept_total"] == 3
+    assert res["generations"] == [{"gen": 1, "docs_in": 2, "docs_out": 1}]
