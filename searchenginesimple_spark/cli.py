@@ -162,6 +162,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--chunk-tokens", type=int, default=512)
     c.add_argument("--overlap-lines", type=int, default=0)
 
+    e = sub.add_parser(
+        "eval", help="ranking metrics (MRR/MAP/NDCG/P/R@k) vs a qrels table"
+    )
+    e.add_argument("--results", required=True,
+                   help="parquet of (query_id, rank, docID)")
+    e.add_argument("--qrels", required=True,
+                   help="parquet of (query_id, doc_id [, grade])")
+    e.add_argument("--k", type=int, default=10)
+    e.add_argument("--per-query", default=None,
+                   help="optional parquet dir for the per-query metric rows")
+
     s2 = sub.add_parser(
         "despan", help="cut duplicated passages (winnow clone spans) from docs"
     )
@@ -550,6 +561,21 @@ def main(argv: list[str] | None = None) -> int:
         ).write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"chunks": n, "output": args.output}))
+        return 0
+
+    if args.cmd == "eval":
+        from searchenginesimple_spark.operators.evalrank import ranking_metrics
+
+        qrels = spark.read.parquet(args.qrels)
+        per_q, summary = ranking_metrics(
+            spark.read.parquet(args.results),
+            qrels,
+            k=args.k,
+            grade_col="grade" if "grade" in qrels.columns else None,
+        )
+        if args.per_query:
+            per_q.write.mode("overwrite").parquet(args.per_query)
+        print(json.dumps(summary.collect()[0].asDict()))
         return 0
 
     if args.cmd == "despan":

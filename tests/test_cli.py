@@ -481,3 +481,26 @@ def test_cli_curate_increment(spark, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["admitted"] == 1 and res["kept_total"] == 3
     assert res["generations"] == [{"gen": 1, "docs_in": 2, "docs_out": 1}]
+
+
+def test_cli_eval(spark, tmp_path, capsys):
+    import searchenginesimple_spark.cli as cli
+
+    res, qrels, pq = tmp_path / "res", tmp_path / "qrels", tmp_path / "pq"
+    spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (2, 1, 30)], "query_id long, rank long, docID long"
+    ).write.mode("overwrite").parquet(str(res))
+    spark.createDataFrame(
+        [(1, 20, 1.0), (2, 99, 1.0)], "query_id long, doc_id long, grade double"
+    ).write.mode("overwrite").parquet(str(qrels))
+
+    rc = cli.main(
+        ["eval", "--results", str(res), "--qrels", str(qrels),
+         "--k", "5", "--per-query", str(pq)]
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["n_queries"] == 2
+    assert abs(s["mrr"] - 0.25) < 1e-9  # (0.5 + 0) / 2
+    out = spark.read.parquet(str(pq))
+    assert out.count() == 2
