@@ -522,6 +522,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         io = TableIO(spark, args.output)
         if args.increment:
+            # the terminal stages are batch-only (curate_inc.py docstring);
+            # silently ignoring their flags would claim work that never ran
+            batch_only = {
+                "--despan-min-tokens": args.despan_min_tokens,
+                "--chunk-tokens": args.chunk_tokens,
+                "--repo-pack-tokens": args.repo_pack_tokens,
+            }
+            bad = [k for k, v in batch_only.items() if v is not None]
+            if bad:
+                raise SystemExit(
+                    f"curate --increment does not run {', '.join(bad)} "
+                    "(batch-only stages) — run them over the full kept table"
+                )
             from searchenginesimple_spark.plans.curate_inc import (
                 curate_increment,
                 read_curated,
@@ -574,8 +587,13 @@ def main(argv: list[str] | None = None) -> int:
             grade_col="grade" if "grade" in qrels.columns else None,
         )
         if args.per_query:
+            # summary derives from per_query — cache so the join/window
+            # pipeline (millions of queries) executes once, not twice
+            per_q.persist()
             per_q.write.mode("overwrite").parquet(args.per_query)
         print(json.dumps(summary.collect()[0].asDict()))
+        if args.per_query:
+            per_q.unpersist()
         return 0
 
     if args.cmd == "despan":

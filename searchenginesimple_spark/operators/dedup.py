@@ -418,6 +418,48 @@ def minhash_signatures(
 BAND_FOLD_MULT = 1000003  # band-key fold multiplier (poly family)
 
 
+def minhash_band_keys(n_hashes: int, bands: int, hash_family: str = "xxhash"):
+    """One Column per band over a ``sig`` array column — THE banding rule,
+    shared by minhash_dup_pairs and the incremental curation's
+    delta-vs-base join (plans/curate_inc.py) so the two candidate
+    generators can never diverge."""
+    r = n_hashes // bands
+    if hash_family == "poly":
+        return [
+            F.aggregate(
+                F.slice("sig", b * r + 1, r),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * F.lit(BAND_FOLD_MULT) + x) % F.lit(MINHASH_P),
+            )
+            for b in range(bands)
+        ]
+    return [
+        F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+        for b in range(bands)
+    ]
+
+
+def minhash_banded(
+    sigs: DataFrame, n_hashes: int, bands: int, hash_family: str = "xxhash"
+) -> DataFrame:
+    """(doc_id, sig, band_id, band_key) rows from a (doc_id, sig) frame —
+    null signatures (shingle-less docs) drop, they can never band-match."""
+    return sigs.filter(F.col("sig").isNotNull()).select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*minhash_band_keys(n_hashes, bands, hash_family))
+        ).alias("band_id", "band_key"),
+    )
+
+
+def minhash_est_jaccard(siga, sigb, n_hashes: int):
+    """Signature-estimated Jaccard (matching components / n_hashes)."""
+    return F.size(
+        F.filter(F.zip_with(siga, sigb, lambda x, y: x == y), lambda m: m)
+    ) / F.lit(float(n_hashes))
+
+
 def minhash_dup_pairs(
     docs: DataFrame,
     n_hashes: int = 64,
@@ -437,27 +479,8 @@ def minhash_dup_pairs(
     minhash_signatures) — band keys then fold with the same modular
     polynomial instead of xxhash64.
     """
-    r = n_hashes // bands
     sig = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col, hash_family)
-    if hash_family == "poly":
-        band_keys = [
-            F.aggregate(
-                F.slice("sig", b * r + 1, r),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * F.lit(BAND_FOLD_MULT) + x) % F.lit(MINHASH_P),
-            )
-            for b in range(bands)
-        ]
-    else:
-        band_keys = [
-            F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
-            for b in range(bands)
-        ]
-    banded = sig.select(
-        "doc_id",
-        "sig",
-        F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"),
-    )
+    banded = minhash_banded(sig, n_hashes, bands, hash_family)
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -474,9 +497,7 @@ def minhash_dup_pairs(
         )
         .distinct()
     )
-    est = F.size(
-        F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda m: m)
-    ) / F.lit(float(n_hashes))
+    est = minhash_est_jaccard("siga", "sigb", n_hashes)
     return (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)

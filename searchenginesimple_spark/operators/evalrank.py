@@ -63,11 +63,19 @@ def ranking_metrics(
         if grade_col
         else F.lit(1.0)
     )
-    q = qrels.select(
-        F.col(query_col).alias("query_id"),
-        F.col(qrel_doc_col).alias("_doc"),
-        grade.alias("_grade"),
-    ).filter(F.col("_grade") > 0).distinct()
+    # one judgment per (query, doc): real qrels files carry duplicate rows
+    # (merged assessment pools) — resolve to the MAX grade, matching the
+    # Python twin, so a dup can never double-count n_rel/hits/DCG
+    q = (
+        qrels.select(
+            F.col(query_col).alias("query_id"),
+            F.col(qrel_doc_col).alias("_doc"),
+            grade.alias("_grade"),
+        )
+        .filter(F.col("_grade") > 0)
+        .groupBy("query_id", "_doc")
+        .agg(F.max("_grade").alias("_grade"))
+    )
 
     # per-query relevant count + ideal DCG@k (window over grades desc)
     w_ideal = Window.partitionBy("query_id").orderBy(
@@ -160,7 +168,7 @@ def ranking_metrics_py(
     rel: dict[int, dict[int, float]] = defaultdict(dict)
     for qid, doc, g in qrel_rows:
         if g > 0:
-            rel[qid][doc] = float(g)
+            rel[qid][doc] = max(float(g), rel[qid].get(doc, 0.0))
     ranked: dict[int, list[tuple[int, int]]] = defaultdict(list)
     for qid, rank, doc in result_rows:
         if rank <= k:

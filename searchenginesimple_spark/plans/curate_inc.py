@@ -75,22 +75,12 @@ def _sigs(docs: DataFrame, cfg: CurateConfig, text_col: str) -> DataFrame:
     return sha.join(sig, "doc_id", "left")  # empty docs have no shingles
 
 
-def _band_keys(n_hashes: int, bands: int):
-    r = n_hashes // bands
-    return [
-        F.xxhash64(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
-        for b in range(bands)
-    ]
-
-
 def _banded(sigs: DataFrame, cfg: CurateConfig) -> DataFrame:
-    return sigs.filter(F.col("sig").isNotNull()).select(
-        "doc_id",
-        "sig",
-        F.posexplode(
-            F.array(*_band_keys(cfg.minhash_hashes, cfg.minhash_bands))
-        ).alias("band_id", "band_key"),
-    )
+    # THE banding rule — the same helper minhash_dup_pairs uses, so the
+    # within-delta and delta-vs-base candidate generators cannot diverge
+    from searchenginesimple_spark.operators.dedup import minhash_banded
+
+    return minhash_banded(sigs, cfg.minhash_hashes, cfg.minhash_bands)
 
 
 def curate_increment(
@@ -123,15 +113,22 @@ def curate_increment(
         else []
     )
     g = (max(gens) + 1) if gens else 1
-    if not io.exists("curate_kept_gen", committed=True):
+    # backfill gate checks BOTH tables, and sigs write FIRST: a crash
+    # between the two writes must re-trigger the backfill on retry, never
+    # read a partial signature set (which would silently ADMIT delta docs
+    # duplicating the base docs whose sigs are missing)
+    if not (
+        io.exists("curate_kept_gen", committed=True)
+        and io.exists("curate_sigs", committed=True)
+    ):
         base = io.read("curate_kept")
-        io.overwrite_partitions(
-            base.withColumn("gen", F.lit(0)), "curate_kept_gen", "gen"
-        )
         io.overwrite_partitions(
             _sigs(base, cfg, text_col).withColumn("gen", F.lit(0)),
             "curate_sigs",
             "gen",
+        )
+        io.overwrite_partitions(
+            base.withColumn("gen", F.lit(0)), "curate_kept_gen", "gen"
         )
 
     kept_prior = io.read("curate_kept_gen").filter(F.col("gen") < g)
@@ -239,9 +236,9 @@ def curate_increment(
             )
             .distinct()
         )
-        est = F.size(
-            F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda m: m)
-        ) / F.lit(float(cfg.minhash_hashes))
+        from searchenginesimple_spark.operators.dedup import minhash_est_jaccard
+
+        est = minhash_est_jaccard("siga", "sigb", cfg.minhash_hashes)
         drops_base = (
             cand.withColumn("est", F.round(est, 6))
             .filter(F.col("est") >= cfg.minhash_threshold)

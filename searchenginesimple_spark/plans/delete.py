@@ -109,15 +109,50 @@ def load_tombstones(io: TableIO) -> DataFrame | None:
     return io.read("tombstones").select("doc_id").distinct()
 
 
+def _fs(io: TableIO, path: str):
+    jvm = io.spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(io.spark.sparkContext._jsc.hadoopConfiguration()), hpath
+
+
 def _delete_partition(io: TableIO, table: str, shard: int) -> None:
     """Remove one shard partition directory (storage-agnostic Hadoop FS)."""
-    spark = io.spark
-    path = f"{io.path(table)}/shard={shard}"
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs, hpath = _fs(io, f"{io.path(table)}/shard={shard}")
     if fs.exists(hpath):
         fs.delete(hpath, True)
+
+
+def _list_parquet_files(io: TableIO, table: str) -> list[str]:
+    """Current parquet part files of a table dir (non-recursive)."""
+    fs, hpath = _fs(io, io.path(table))
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            out.append(str(st.getPath()))
+    return out
+
+
+def _write_empty_sentinel(io: TableIO, table: str, schema) -> None:
+    """A 0-row parquet under ``shard=-1``: keeps a shard-partitioned table
+    readable — AND its directory depth consistent with later dynamic-
+    partition writes (a root-level empty file would make the next
+    partitioned append an unreadable mixed layout) — when every real
+    partition is gone.  Fixed filename ⇒ idempotent under retry.  Local-FS
+    direct write, the same driver-side shortcut TableIO.append_rows takes
+    (catalog deployments go through the Iceberg path instead)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    empty = io.spark.createDataFrame([], schema)
+    if "shard" in empty.columns:
+        empty = empty.drop("shard")
+    d = f"{io.path(table)}/shard=-1"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(empty.toArrow(), f"{d}/part-empty.parquet")
 
 
 def compact_index(
@@ -144,16 +179,21 @@ def compact_index(
     test-only fault injection (same contract as plans/build.py)."""
     t0 = time.time()
     run_id = run_id or uuid.uuid4().hex[:12]
-    tomb_live = load_tombstones(io)
-    if tomb_live is None:
+    # SNAPSHOT = the tombstone table's parquet part FILES at this instant.
+    # Parquet parts are immutable and delete_docs only ever appends new
+    # ones, so (a) every join below and the final clear work off exactly
+    # this file set, never the live table, and (b) ids tombstoned while
+    # this compact runs land in newer files that the clear does not touch —
+    # they stay pending for the next compact, with no lock needed.
+    snap_files = _list_parquet_files(io, "tombstones")
+    if not snap_files:
         return CompactResult(run_id, 0, [], [], -1, 0)
-    t_ids = sorted(int(r["doc_id"]) for r in tomb_live.collect())
+    t_ids = sorted(
+        int(r["doc_id"])
+        for r in spark.read.parquet(*snap_files).select("doc_id").distinct().collect()
+    )
     if not t_ids:
         return CompactResult(run_id, 0, [], [], -1, 0)
-    # SNAPSHOT: every join below and the final clear use this materialized
-    # set, never the live table — deletes issued WHILE a compact runs are
-    # neither half-applied (the lazy reader would re-scan mid-run) nor
-    # silently wiped by the clear (they stay pending for the next compact)
     tomb = spark.createDataFrame([(d,) for d in t_ids], "doc_id long")
     affected = sorted({d // cfg.shard_span for d in t_ids})
 
@@ -194,24 +234,24 @@ def compact_index(
     # dynamic overwrite cannot replace a partition with nothing)
     emptied = [s for s in affected if remaining.get(s, 0) == 0]
     rebuilt = [s for s in affected if s not in emptied]
-    # the delete set covered EVERY remaining doc → all partitions of the
-    # index tables are about to vanish; capture their schemas FIRST so the
-    # tables can be rewritten as committed schema-correct EMPTY tables (a
-    # readable empty index, not an unreadable directory of _SUCCESS files)
+    # the delete set covered EVERY remaining doc → all real partitions are
+    # about to vanish; FIRST write each table a 0-row ``shard=-1`` sentinel
+    # partition (readable empty index, AND the same directory depth a later
+    # dynamic-partition append expects — a root-level empty file would make
+    # the next merge an unreadable mixed layout).  Sentinel-before-delete
+    # ordering keeps every table readable at EVERY crash point, so the
+    # idempotent-retry contract holds.
     index_emptied = not rebuilt and n_unaffected_shards == 0
-    empty_schemas = {}
     if index_emptied:
         for table in ("survivors", "postings", "doc_stats_packed") + (
             ("docstore_raw", "tf") if purge_content else ()
         ):
-            empty_schemas[table] = io.read(table).schema
+            _write_empty_sentinel(io, table, io.read(table).schema)
     for s in emptied:
         for table in ("survivors", "postings", "doc_stats_packed") + (
             ("docstore_raw", "tf") if purge_content else ()
         ):
             _delete_partition(io, table, s)
-    for table, schema in empty_schemas.items():
-        io.overwrite(spark.createDataFrame([], schema), table)
 
     # re-run the build's own shard machinery over the shrunk survivor set
     # (reads tf semi-joined to survivors, so purge order does not matter)
@@ -254,18 +294,18 @@ def compact_index(
             )
             io.overwrite(term_stats, "term_stats")
 
-    # clear ONLY the snapshotted ids LAST (the commit point: a crash before
-    # this line re-compacts the same set, idempotently; ids tombstoned
-    # while this compact ran survive for the next one)
-    left_rows = [
-        (int(r["doc_id"]),)
-        for r in io.read("tombstones")
-        .select("doc_id")
-        .distinct()
-        .join(F.broadcast(tomb), "doc_id", "left_anti")
-        .collect()
-    ]
-    io.overwrite_rows(left_rows, "doc_id long", "tombstones")
+    # clear LAST, by deleting EXACTLY the snapshotted part files (the
+    # commit point: a crash before this re-compacts the same set,
+    # idempotently).  Files appended by concurrent delete_docs calls —
+    # even ones landing at this very instant — are not in the snapshot
+    # list and survive for the next compact: no read-modify-write window.
+    # The empty append first keeps the table readable once the last
+    # snapshot file is gone.
+    io.append_rows([], "doc_id long", "tombstones")
+    fs, _ = _fs(io, io.path("tombstones"))
+    jvm = spark.sparkContext._jvm
+    for f in snap_files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     wall = int((time.time() - t0) * 1000)
     m.log(
         [

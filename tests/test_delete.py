@@ -377,3 +377,28 @@ def test_compact_everything_leaves_readable_empty_index(spark, tmp_path_factory)
     assert io.read("docstore_raw").count() == 0 and io.read("tf").count() == 0
     # queries return empty, not an error
     assert _top_docs(io, spark) == []
+
+
+def test_merge_into_fully_emptied_index(spark, tmp_path_factory):
+    """After delete-everything + compact, the empty index must accept an
+    incremental merge: the sentinel partitions keep the table layout
+    consistent with dynamic-partition appends (a root-level empty file
+    would make the merged table unreadable)."""
+    from searchenginesimple_spark.plans.merge import build_index_incremental
+
+    all_docs = docs_df(spark, 120)
+    base = all_docs.limit(60)
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_refill")))
+    build_index(spark, base, io, CFG)
+    delete_docs(io, [int(r["doc_id"]) for r in io.read("survivors").collect()])
+    res = compact_index(spark, io, CFG, purge_content=True)
+    assert res.n_docs == 0
+
+    delta = all_docs.subtract(base)
+    inc = build_index_incremental(spark, delta, io, CFG)
+    assert inc.n_docs > 0
+    # every table reads back post-merge and queries answer from the delta
+    postings, dsp, idx = load_index(io)
+    assert postings.count() > 0 and dsp.count() > 0
+    assert io.read("survivors").count() == inc.n_docs
+    assert _top_docs(io, spark)

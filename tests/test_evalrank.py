@@ -157,3 +157,21 @@ def test_no_python_in_plan(spark):
     for df in (per_q, summary):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_duplicate_qrels_resolve_to_max_grade(spark):
+    """Merged assessment pools carry duplicate (query, doc) judgments —
+    they must resolve to ONE row (max grade), never double-count."""
+    results = [(1, 1, 10), (1, 2, 20)]
+    qrels = [(1, 10, 1.0), (1, 10, 2.0), (1, 20, 1.0)]
+    per_q, _ = ranking_metrics(
+        spark.createDataFrame(results, RES_SCHEMA),
+        spark.createDataFrame(qrels, QREL_SCHEMA),
+        k=5,
+        grade_col="grade",
+    )
+    m = _pq(per_q)[1]
+    want = ranking_metrics_py(results, qrels, k=5)[1]
+    assert m == pytest.approx(want, abs=2e-6)
+    assert m["n_rel"] == 2          # two docs, not three judgments
+    assert m["p_at_k"] == pytest.approx(2 / 5)
