@@ -162,6 +162,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--chunk-tokens", type=int, default=512)
     c.add_argument("--overlap-lines", type=int, default=0)
 
+    cm = sub.add_parser(
+        "complete", help="type-ahead completions mined from a query/click log"
+    )
+    cm.add_argument("--log", required=True, help="parquet of logged queries (query col)")
+    cm.add_argument("--prefix", action="append", required=True, help="repeatable prefix")
+    cm.add_argument("--k", type=int, default=5)
+    cm.add_argument("--min-count", type=int, default=1)
+
     e = sub.add_parser(
         "eval", help="ranking metrics (MRR/MAP/NDCG/P/R@k) vs a qrels table"
     )
@@ -574,6 +582,26 @@ def main(argv: list[str] | None = None) -> int:
         ).write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"chunks": n, "output": args.output}))
+        return 0
+
+    if args.cmd == "complete":
+        from pyspark.sql import functions as F
+
+        from searchenginesimple_spark.operators.suggest import popular_completions
+
+        comp = popular_completions(
+            spark.read.parquet(args.log), k=args.k, min_count=args.min_count
+        )
+        wanted = [p.strip().lower() for p in args.prefix]
+        for r in (
+            comp.filter(F.col("prefix").isin(wanted))
+            .orderBy("prefix", "rank")
+            .collect()
+        ):
+            print(json.dumps({
+                "prefix": r["prefix"], "rank": r["rank"],
+                "completion": r["completion"], "count": r["count"],
+            }))
         return 0
 
     if args.cmd == "eval":

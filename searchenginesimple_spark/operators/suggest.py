@@ -102,3 +102,55 @@ def suggest_topk(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def popular_completions(
+    clicks: DataFrame,
+    k: int = 5,
+    max_prefix: int = 12,
+    min_count: int = 1,
+    query_col: str = "query",
+) -> DataFrame:
+    """→ (prefix, rank, completion, count): type-ahead completions mined
+    from the click/query log — the popularity signal the reference's
+    edit-distance suggester (suggest_topk) lacks.  A serving layer
+    broadcasts this table and answers a keystroke with one prefix lookup.
+
+    Scale shape: events COLLAPSE to (query, count) first (one hash agg over
+    the log — the only corpus-sized shuffle), the prefix fan-out then runs
+    over DISTINCT queries only and is bounded by ``max_prefix`` rows per
+    query (in-row ``sequence`` + ``substring``, map-side), and the
+    per-prefix top-k window ships at most k rows per prefix per map task
+    (rank <= k triggers the partial WindowGroupLimit, the per_key_cap
+    pattern).  ``min_count`` prunes one-off queries (typos) before the
+    fan-out.  Normalization: trim + lower + whitespace-collapse, so the
+    serving lookup must normalize its prefix the same way.
+    """
+    if k < 1 or max_prefix < 1:
+        raise ValueError("k and max_prefix must be >= 1")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(query_col))), r"\s+", " ")
+    counts = (
+        clicks.select(norm.alias("completion"))
+        .filter(F.length("completion") > 0)
+        .groupBy("completion")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    prefixes = counts.select(
+        "completion",
+        "count",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.length("completion"), F.lit(max_prefix))
+                ),
+                lambda n: F.substring(F.col("completion"), 1, n.cast("int")),
+            )
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("count"), F.asc("completion"))
+    return (
+        prefixes.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("prefix", F.col("rank").cast("int").alias("rank"), "completion", "count")
+    )

@@ -504,3 +504,21 @@ def test_cli_eval(spark, tmp_path, capsys):
     assert abs(s["mrr"] - 0.25) < 1e-9  # (0.5 + 0) / 2
     out = spark.read.parquet(str(pq))
     assert out.count() == 2
+
+
+def test_cli_complete(spark, tmp_path, capsys):
+    import searchenginesimple_spark.cli as cli
+
+    log = tmp_path / "log"
+    rows = [("spark sql",)] * 3 + [("spark window",)] * 2 + [("spa day",)]
+    spark.createDataFrame(rows, "query string").write.mode("overwrite").parquet(str(log))
+
+    rc = cli.main(
+        ["complete", "--log", str(log), "--prefix", "spark", "--prefix", "SPA ", "--k", "2"]
+    )
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    by = {(r["prefix"], r["rank"]): r for r in out}
+    assert by[("spark", 1)]["completion"] == "spark sql"
+    assert by[("spark", 2)]["completion"] == "spark window"
+    assert by[("spa", 1)]["count"] == 3  # prefix normalized like the log
