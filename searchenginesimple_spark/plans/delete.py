@@ -41,6 +41,16 @@ were suppressed at build time does not resurrect them (the LSM trade
 documented in plans/merge.py — the full rebuild is the semantics of
 record).
 
+Serving visibility: a compact rewrites shard partitions in place, and
+dynamic partition overwrite is atomic per PARTITION, not across the
+table — a distributed query scanning WHILE a compact commits can mix
+old and new partitions (it never sees torn files, and deleted docs are
+filtered by the tombstones it was given, so results stay correct; only
+score-affecting stats may briefly straddle).  The serving engines are
+immune by construction: they collect their slices at construction time
+(a point-in-time view, the Lucene searcher-reopen discipline) — reopen
+after compaction, exactly like refresh_tombstones after deletes.
+
 df-until-merge semantics (Lucene's): term_stats df/idf keep counting
 tombstoned docs until compaction — tombstones filter CANDIDATES, not
 statistics.  Consequently a term whose last live doc is tombstoned stays
