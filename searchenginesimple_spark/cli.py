@@ -169,6 +169,8 @@ def main(argv: list[str] | None = None) -> int:
     cm.add_argument("--prefix", action="append", required=True, help="repeatable prefix")
     cm.add_argument("--k", type=int, default=5)
     cm.add_argument("--min-count", type=int, default=1)
+    cm.add_argument("--max-prefix", type=int, default=12,
+                    help="longest prefix mined (longer lookups are an error)")
 
     e = sub.add_parser(
         "eval", help="ranking metrics (MRR/MAP/NDCG/P/R@k) vs a qrels table"
@@ -589,10 +591,25 @@ def main(argv: list[str] | None = None) -> int:
 
         from searchenginesimple_spark.operators.suggest import popular_completions
 
+        import re as _re
+
+        # normalize EXACTLY like the operator (lower, collapse whitespace),
+        # but keep a single trailing space — "spark " asks for continuations
+        # of the complete word, a distinct prefix the table does contain
+        wanted = [
+            _re.sub(r"\s+", " ", p.lower()).lstrip() for p in args.prefix
+        ]
+        too_long = [p for p in wanted if len(p) > args.max_prefix]
+        if too_long:
+            raise SystemExit(
+                f"prefix(es) longer than --max-prefix={args.max_prefix}: "
+                f"{too_long!r} — raise --max-prefix (longer prefixes are "
+                "never mined, so the lookup would silently return nothing)"
+            )
         comp = popular_completions(
-            spark.read.parquet(args.log), k=args.k, min_count=args.min_count
+            spark.read.parquet(args.log), k=args.k,
+            max_prefix=args.max_prefix, min_count=args.min_count,
         )
-        wanted = [p.strip().lower() for p in args.prefix]
         for r in (
             comp.filter(F.col("prefix").isin(wanted))
             .orderBy("prefix", "rank")

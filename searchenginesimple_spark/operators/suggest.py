@@ -123,12 +123,14 @@ def popular_completions(
     per-prefix top-k window ships at most k rows per prefix per map task
     (rank <= k triggers the partial WindowGroupLimit, the per_key_cap
     pattern).  ``min_count`` prunes one-off queries (typos) before the
-    fan-out.  Normalization: trim + lower + whitespace-collapse, so the
-    serving lookup must normalize its prefix the same way.
+    fan-out.  Normalization: lower + collapse ALL whitespace runs (tabs,
+    newlines included) to single spaces, THEN trim — collapse-before-trim,
+    or a tab-edged query keeps a space padding that splits its popularity
+    count.  The serving lookup must normalize its prefix the same way.
     """
     if k < 1 or max_prefix < 1:
         raise ValueError("k and max_prefix must be >= 1")
-    norm = F.regexp_replace(F.trim(F.lower(F.col(query_col))), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(query_col)), r"\s+", " "))
     counts = (
         clicks.select(norm.alias("completion"))
         .filter(F.length("completion") > 0)

@@ -514,11 +514,21 @@ def test_cli_complete(spark, tmp_path, capsys):
     spark.createDataFrame(rows, "query string").write.mode("overwrite").parquet(str(log))
 
     rc = cli.main(
-        ["complete", "--log", str(log), "--prefix", "spark", "--prefix", "SPA ", "--k", "2"]
+        ["complete", "--log", str(log), "--prefix", "spark", "--prefix", "SPA",
+         "--prefix", "spa ", "--k", "2"]
     )
     assert rc == 0
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     by = {(r["prefix"], r["rank"]): r for r in out}
     assert by[("spark", 1)]["completion"] == "spark sql"
     assert by[("spark", 2)]["completion"] == "spark window"
-    assert by[("spa", 1)]["count"] == 3  # prefix normalized like the log
+    assert by[("spa", 1)]["count"] == 3   # case normalized like the log
+    # a trailing space is a REAL prefix (word-boundary continuations only)
+    assert by[("spa ", 1)]["completion"] == "spa day"
+    assert ("spa ", 2) not in by
+
+    # a lookup beyond the mined prefix length fails loudly, not silently
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="max-prefix"):
+        cli.main(["complete", "--log", str(log),
+                  "--prefix", "a prefix well beyond twelve chars"])

@@ -24,7 +24,7 @@ def _twin(queries, k=5, max_prefix=12, min_count=1):
     import re
 
     counts = Counter(
-        re.sub(r"\s+", " ", q.strip().lower()) for q in queries
+        re.sub(r"\s+", " ", q.lower()).strip() for q in queries
     )
     counts.pop("", None)
     by_prefix = defaultdict(list)
@@ -54,7 +54,10 @@ def test_hand_checked(spark):
     assert m[("spark", 1)] == ("spark sql", 4)
     assert m[("spark", 2)] == ("spark window", 2)
     assert m[("spa", 1)] == ("spark sql", 4)
-    assert m[("spa", 3 if ("spa", 3) in m else 2)][0] in {"spark window", "spa day"}
+    # k=2 caps ranks at 2; the deterministic tie-break puts the count-2
+    # completion at rank 2 ahead of the count-1 one
+    assert m[("spa", 2)] == ("spark window", 2)
+    assert ("spa", 3) not in m
     # max_prefix=6 stops the fan-out ("spark w" never appears)
     assert all(len(p) <= 6 for p, _, _, _ in got)
 
@@ -86,3 +89,13 @@ def test_no_python_in_plan(spark):
     # partial top-k: the rank<=k filter pushes a WindowGroupLimit below the
     # shuffle (the per_key_cap pattern)
     assert "WindowGroupLimit" in plan
+
+
+def test_edge_whitespace_folds(spark):
+    """Tab/newline-edged logs fold into one completion (collapse-before-
+    trim) — and whitespace-only queries vanish rather than survive as ''."""
+    log = ["\tspark sql\n", "spark sql", "spark\t sql", " \t\n ", ""]
+    got = _rows(popular_completions(_df(spark, log), k=3, max_prefix=9))
+    assert got == _twin(log, k=3, max_prefix=9)
+    assert {c for _, _, c, _ in got} == {"spark sql"}
+    assert all(n == 3 for _, _, _, n in got)
