@@ -85,11 +85,127 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _q_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF hash-agg (SURVEY §2.4; reference Page.hpp:296,306)."""
+# Boolean query set for the zoekt-algebra entry: AND / OR / NOT, quoted
+# cross-token substrings, field atoms (lang: equality, path: substring),
+# re: regex atoms, sym: definition-site atoms, case: modifiers (ci query
+# over the unfolded index → scan route), and a short (<3 char) atom riding
+# its sibling's trigrams.  Routes covered: index (0-6, 8-9), scan (7).
+BOOL_QUERY_SET: list[tuple[int, str]] = [
+    (0, "spark window"),
+    (1, "spark OR dup"),
+    (2, "table -scan"),
+    (3, '"fast ta"'),
+    (4, "lang:en spark"),
+    (5, 're:"(fast|slow) ta"'),
+    (6, "sym:spark"),
+    (7, "case:no SPARK window"),
+    (8, "ta merge"),
+    (9, "path:src1/ dup OR path:src2/ value"),
+]
+
+
+def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query search — the zoekt query algebra over the trigram
+    index (operators/boolquery.py; §2-plus, the repo's code-search front
+    door; the reference's token index WebPageQuery.hpp:62-84 is AND-only
+    free text).  The exact-verify stage makes index-path output ≡ the
+    boolean brute-force scan for every query and knob, so the oracle is
+    per-query SQL predicates over the same synthesized columns.
+
+    The driver documents table is prose with lang/source metadata, so the
+    entry synthesizes the code-shaped columns deterministically (the
+    code_symbols pattern): ``path`` = source || '/' || doc_id || '.txt'
+    (field-atom substring target), ``repo`` = source, and one appended
+    definition line ``def <tok1>_fn(x):`` so ``sym:`` atoms have real
+    definition sites to match."""
+    from searchenginesimple_spark.operators.boolquery import boolean_search
+    from searchenginesimple_spark.operators.trigram import build_trigram_index
+
+    base = load_documents(spark, sf_dir)
+    docs = base.select(
+        "doc_id",
+        "lang",
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.col("source").alias("repo"),
+        F.concat(
+            F.col("content"),
+            F.lit("\ndef "),
+            F.split_part(F.col("content"), F.lit(" "), F.lit(1)),
+            F.lit("_fn(x):\n    return x\n"),
+        ).alias("content"),
+    )
+    postings, stats = build_trigram_index(docs)
+    return boolean_search(docs, postings, stats, BOOL_QUERY_SET)
+
+
+# Hybrid query set: (query_id, free text to rank, boolean filter or None).
+# Covers field-equality, AND+NOT, and quoted cross-token filters plus the
+# unfiltered pass-through leg.
+FILTERED_QUERY_SET: list[tuple[int, str, str | None]] = [
+    (0, "spark window", "lang:en"),
+    (1, "dup", None),
+    (2, "merge sort", "table -scan"),
+    (3, "spark", '"fast ta"'),
+]
+
+
+def _q_filtered_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (operators/hybrid.py::filtered_bm25_topk): BM25 ranks
+    the free text, the zoekt boolean algebra restricts WHICH docs compete —
+    a left-semi candidate join BEFORE the ranking window (filter-before-
+    rank), with non-scoring filter semantics (Elasticsearch filter
+    context): the filter never changes a surviving doc's score, and
+    statistics stay full-corpus.  Unfiltered queries ride the same call
+    and skip the restriction."""
+    from searchenginesimple_spark.operators.hybrid import filtered_bm25_topk
+    from searchenginesimple_spark.operators.trigram import build_trigram_index
+
     docs = load_documents(spark, sf_dir)
-    return tokens_of(docs).groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf")
+    idx = build_index_stats(docs)
+    postings, stats = build_trigram_index(docs)
+    return filtered_bm25_topk(docs, idx, postings, stats, FILTERED_QUERY_SET)
+
+
+def _q_evalrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking evaluation (operators/evalrank.py): MRR / MAP / NDCG / P@k /
+    R@k over the flagship BM25 results against a deterministic synthesized
+    qrels table — the tuning loop every other knob feeds.  Judgments:
+    doc d is relevant for query q iff d's token set contains q's FIRST
+    term and doc_id % 5 == 0, graded 1 + doc_id % 3 (independent of the
+    ranking, so the metrics are non-trivial).  Queries with no judged docs
+    (OOV first term) are ignored per the TREC convention.  Output: one
+    row per judged query plus the macro-average summary as query_id = -1
+    (n_rel carries n_queries on that row)."""
+    from searchenginesimple_spark.operators.evalrank import ranking_metrics
+
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs)
+    results = bm25_topk(idx, _queries_df(spark), keep_query_id=True)
+    first_term = F.lower(F.split_part(F.col("query"), F.lit(" "), F.lit(1)))
+    qfirst = _queries_df(spark).select("query_id", first_term.alias("term"))
+    tokset = tokens_of(docs).select("doc_id", "term").distinct()
+    qrels = (
+        qfirst.join(tokset, "term")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "query_id",
+            "doc_id",
+            (1 + F.col("doc_id") % 3).cast("double").alias("grade"),
+        )
+    )
+    per_query, summary = ranking_metrics(
+        results, qrels, k=DEFAULT.top_k, grade_col="grade"
+    )
+    return per_query.unionByName(
+        summary.select(
+            F.lit(-1).cast("long").alias("query_id"),
+            F.col("n_queries").cast("long").alias("n_rel"),
+            F.col("mrr").alias("rr"),
+            F.col("map").alias("ap"),
+            F.col("mean_p_at_k").alias("p_at_k"),
+            F.col("mean_r_at_k").alias("r_at_k"),
+            F.col("mean_ndcg").alias("ndcg"),
+        )
     )
 
 
@@ -162,26 +278,19 @@ def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship BM25 conjunctive top-k (SURVEY §2.3/§2.4/§2.5 composition)."""
-    docs = load_documents(spark, sf_dir)
-    idx = build_index_stats(docs)
-    return bm25_topk(idx, _queries_df(spark))
+    """Flagship BM25 top-k, BOTH execution paths in one entry (mode column —
+    the r4 slot merge; rank-identical by contract, so both legs share the
+    one BM25 oracle):
 
+    mode='dense': the DataFrame scorer (SURVEY §2.3/§2.4/§2.5 composition).
+    Its nmatch == n_terms candidate filter IS the reference's conjunctive
+    doc-set intersection (WebPageQuery.hpp:62-84) — the former standalone
+    ``conjunctive`` entry was folded in here (its output was exactly this
+    leg's candidate set before ranking).
 
-def _q_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Disjunctive (OR-mode) BM25 top-k: any doc matching ≥ 1 indexed query
-    term scores — the dense baseline the block-max pruned WAND path must
-    equal (operators/wand.py)."""
-    docs = load_documents(spark, sf_dir)
-    idx = build_index_stats(docs)
-    return bm25_topk(idx, _queries_df(spark), mode="or")
-
-
-def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPRESSED query path end-to-end under the driver hash gate:
-    tf → doc-range-sharded delta+varbyte postings with block-max metadata →
-    applyInPandas WAND kernel (rarest-first intersect) → global top-k.
-    Rank-identical to the dense path, so the oracle is the same BM25 SQL.
+    mode='wand': the COMPRESSED path end-to-end — tf → doc-range-sharded
+    delta+varbyte postings with block-max metadata → applyInPandas WAND
+    kernel (rarest-first intersect) → global top-k (operators/wand.py).
     Small shard_span/block_size so sf0.01 exercises multi-shard merge and
     block pruning, not a degenerate single group."""
     import dataclasses
@@ -192,26 +301,78 @@ def _q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from searchenginesimple_spark.operators.wand import bm25_topk_compressed
 
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs)
+    dense = bm25_topk(idx, _queries_df(spark)).select(
+        F.lit("dense").alias("mode"), "*"
+    )
+    cfg = dataclasses.replace(DEFAULT, shard_span=128, block_size=16)
+    idx2 = build_index_stats(docs, cfg=cfg)
+    postings = build_postings(idx2.tf, cfg)
+    dsp = build_doc_stats_packed(idx2.doc_stats, cfg)
+    wand = bm25_topk_compressed(postings, dsp, idx2, _queries_df(spark), cfg).select(
+        F.lit("wand").alias("mode"), "*"
+    )
+    return dense.unionByName(wand)
+
+
+def _q_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (OR-mode) BM25 top-k: any doc matching ≥ 1 indexed query
+    term scores — the dense baseline the block-max pruned WAND path must
+    equal (operators/wand.py; the OR wand kernel is hash-gated in the
+    ``bm25_deletes`` entry's wand_or leg)."""
+    docs = load_documents(spark, sf_dir)
+    idx = build_index_stats(docs)
+    return bm25_topk(idx, _queries_df(spark), mode="or")
+
+
+def _q_bm25_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document deletes under the driver hash gate (plans/delete.py's
+    tombstone discipline; the LSM/Lucene live-docs rule the rebuild-per-run
+    reference cannot express): a deterministic subset (doc_id % 7 == 3) is
+    tombstoned, then BM25 top-k runs with the tombstone table through THREE
+    paths whose outputs must all equal the oracle's filtered recomputation —
+
+    mode='dense':    the DataFrame scorer's pre-ranking anti-join
+                     (operators/bm25.py, ``tombstones=``);
+    mode='wand_and': the compressed AND kernel, driver fastpath — deleted
+                     ids dropped from the intersection inside the kernel
+                     (operators/wand.py:_make_kernel);
+    mode='wand_or':  the compressed OR kernel, DISTRIBUTED path
+                     (fastpath_max_bytes=None) — deleted docs stay in the
+                     candidate map but are excluded from the pruning
+                     threshold and the final cut, so block-max pruning
+                     stays exact.
+
+    df-until-merge semantics: term/corpus statistics keep counting the
+    tombstoned docs (only compaction rescales scores), so the oracle is the
+    full-corpus BM25 chain with deleted doc_ids filtered at the candidate
+    stage — survivors' scores unchanged, top-k backfilled with live docs."""
+    import dataclasses
+
+    from searchenginesimple_spark.operators.postings import (
+        build_doc_stats_packed,
+        build_postings,
+    )
+    from searchenginesimple_spark.operators.wand import bm25_topk_compressed
+
     cfg = dataclasses.replace(DEFAULT, shard_span=128, block_size=16)
     docs = load_documents(spark, sf_dir)
+    tomb = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
     idx = build_index_stats(docs, cfg=cfg)
+    dense = bm25_topk(idx, _queries_df(spark), cfg=cfg, tombstones=tomb).select(
+        F.lit("dense").alias("mode"), "*"
+    )
     postings = build_postings(idx.tf, cfg)
     dsp = build_doc_stats_packed(idx.doc_stats, cfg)
-    return bm25_topk_compressed(postings, dsp, idx, _queries_df(spark), cfg)
-
-
-def _q_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conjunctive doc intersection as a join+count (WebPageQuery.hpp:62-84)."""
-    docs = load_documents(spark, sf_dir)
-    terms = ["spark", "window"]
-    tf = tokens_of(docs).groupBy("doc_id", "term").count()
-    return (
-        tf.filter(F.col("term").isin(terms))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("nmatch"))
-        .filter(F.col("nmatch") == len(terms))
-        .select("doc_id")
-    )
+    wa = bm25_topk_compressed(
+        postings, dsp, idx, _queries_df(spark), cfg, mode="and", tombstones=tomb
+    ).select(F.lit("wand_and").alias("mode"), "*")
+    wo = bm25_topk_compressed(
+        postings, dsp, idx, _queries_df(spark), cfg, mode="or",
+        fastpath_max_bytes=None, tombstones=tomb,
+    ).select(F.lit("wand_or").alias("mode"), "*")
+    return dense.unionByName(wa).unionByName(wo)
 
 
 # Fixed phrase set (verified hit counts at sf0.01: 18/1/30/3/18/25/0/3 —
@@ -502,8 +663,11 @@ def _q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard, so the overlap path (decode → interleave → re-encode) and both
     pass-through paths all execute — then decode back to flat rows.  The
     oracle is plain tf over the WHOLE table: build → merge → decode must be
-    the identity.  Full-pipeline increments: plans/merge.py
-    (build_index_incremental), equivalence-tested in tests/test_merge.py."""
+    the identity.  (r4 slot merge: this entry therefore subsumes the former
+    standalone ``tf`` entry — same (doc_id, term, tf) schema, LITERALLY the
+    same oracle SQL, with the codec round-trip as a strictly harder path to
+    it.)  Full-pipeline increments: plans/merge.py (build_index_incremental),
+    equivalence-tested in tests/test_merge.py."""
     import dataclasses
 
     from searchenginesimple_spark.config import DEFAULT
@@ -529,32 +693,27 @@ def _q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k over the embeddings table."""
-    from searchenginesimple_spark.operators.ann import cosine_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk(emb, qv, k=10)
-
-
 def _q_ann_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BOTH approximate-ANN scale paths in one entry (method column, the
-    embed_neardup folding precedent): method='lsh' is the LSH-bucketed top-k
-    (integer hyperplanes + floor-quantized projections make the candidate
-    set deterministic) and method='ivf' is the IVF cell-probe top-k
-    (training-free integer centroids → n_probe candidate join → exact
-    re-rank).  Both fully DuckDB-hash-verified — buckets/cells, candidates
-    and re-rank reproduce bit-for-bit; recall vs brute force is measured in
-    tests/test_ann."""
-    from searchenginesimple_spark.operators.ann import ivf_topk, lsh_topk
+    """ALL THREE ANN paths in one entry (method column, the embed_neardup
+    folding precedent; r4 absorbed the former standalone ``ann_cosine``
+    entry as method='brute'): method='brute' is the exact cosine top-k
+    baseline, method='lsh' is the LSH-bucketed top-k (integer hyperplanes +
+    floor-quantized projections make the candidate set deterministic) and
+    method='ivf' is the IVF cell-probe top-k (training-free integer
+    centroids → n_probe candidate join → exact re-rank).  All fully
+    DuckDB-hash-verified — buckets/cells, candidates and re-rank reproduce
+    bit-for-bit; recall vs brute force is measured in tests/test_ann."""
+    from searchenginesimple_spark.operators.ann import cosine_topk, ivf_topk, lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") < 5)
+    brute = cosine_topk(emb, qv, k=10)
     lsh = lsh_topk(emb, qv, dim=64, k=10, n_planes=8)
     ivf = ivf_topk(emb, qv, dim=64, k=10, n_centroids=16, n_probe=4)
-    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
-        ivf.select(F.lit("ivf").alias("method"), "*")
+    return (
+        brute.select(F.lit("brute").alias("method"), "*")
+        .unionByName(lsh.select(F.lit("lsh").alias("method"), "*"))
+        .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
     )
 
 
@@ -1125,7 +1284,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``text_quality`` (one more per-doc projection leg) — freeing two slots
     for the graph family: ``dedup_clusters`` (connected components over
     near-dup pairs) and ``import_rank`` (integer-exact PageRank over a
-    synthesized module-import graph)."""
+    synthesized module-import graph).
+
+    r4 rotation (the r3 verdict's #1 item — the biggest driver-unverified
+    surfaces into the hash window, slots freed by consolidation, never by
+    dropping a verified rule): ``bm25_wand`` merged into ``bm25_topk``
+    (mode column; both legs are rank-identical to the ONE BM25 oracle),
+    ``conjunctive`` folded into ``bm25_topk`` (its output was that entry's
+    candidate set), ``ann_cosine`` into ``ann_approx`` (method='brute'),
+    and ``tf`` into ``index_merge`` (identical schema AND identical oracle
+    SQL — merge-decode must be the identity on tf).  The four freed slots
+    register ``boolean_search`` (the zoekt algebra), ``filtered_bm25``
+    (hybrid filter × BM25), ``evalrank`` (MRR/MAP/NDCG/P/R@k), and
+    ``bm25_deletes`` (tombstone-aware scoring, all three kernel paths)."""
     return {
         "sessionize": _q_sessionize,
         "json_parse": _q_json_parse,
@@ -1137,15 +1308,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "join_topk": _q_join_topk,
         "trigram_search": _q_trigram_search,
+        "boolean_search": _q_boolean_search,
+        "filtered_bm25": _q_filtered_bm25,
+        "evalrank": _q_evalrank,
+        "bm25_deletes": _q_bm25_deletes,
         "dedup_clusters": _q_dedup_clusters,
         "import_rank": _q_import_rank,
-        "tf": _q_tf,
         "term_idf": _q_term_idf,
         "doc_stats": _q_doc_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_or": _q_bm25_or,
-        "bm25_wand": _q_bm25_wand,
-        "conjunctive": _q_conjunctive,
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
         "cosine_topk": _q_cosine_topk,
@@ -1163,7 +1335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "contamination": _q_contamination,
         "embed_neardup": _q_embed_neardup,
-        "ann_cosine": _q_ann_cosine,
         "ann_approx": _q_ann_approx,
         "code_clones": _q_code_clones,
         "stratified_sample": _q_stratified_sample,
@@ -1185,13 +1356,22 @@ def _bm25_sql(
     conjunctive: bool = True,
     values_sql: str | None = None,
     phrase_restrict: bool = False,
+    delete_where: str | None = None,
+    tail: str | None = None,
 ) -> str:
     """Full BM25 top-k oracle over a pluggable tokenizer CTE (the
     stopword_filter entry swaps in the stop-filtered CTE; conjunctive=False
     drops the all-terms-match filter — the OR/disjunctive mode;
     phrase_restrict=True narrows candidates to docs containing the query as
-    a verbatim token sequence — the phrase_topk oracle)."""
+    a verbatim token sequence — the phrase_topk oracle; delete_where
+    filters candidates AFTER scoring but BEFORE ranking with statistics
+    untouched — the df-until-merge tombstone rule of the bm25_deletes
+    entry; tail, when given, replaces the final SELECT so a caller can
+    continue the WITH chain — the evalrank oracle builds its metric CTEs
+    on top of ``ranked``)."""
     conj_pred = "s.nmatch = qn.n_terms" if conjunctive else "TRUE"
+    if delete_where:
+        conj_pred = f"({conj_pred}) AND ({delete_where})"
     values_sql = values_sql or _SQL_QUERIES_VALUES
     cand_cte, cand_join = "", ""
     if phrase_restrict:
@@ -1244,18 +1424,197 @@ conj AS (
   SELECT s.* FROM scored s JOIN qn USING (query_id) {cand_join} WHERE {conj_pred}
 ),
 ranked AS (
-  SELECT query, doc_id, score,
+  SELECT query_id, query, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
   FROM conj
 )
-SELECT query, rank::int AS rank, doc_id::bigint AS "docID", score::double AS score
-FROM ranked WHERE rank <= {DEFAULT.top_k}
+{tail or f'''SELECT query, rank::int AS rank, doc_id::bigint AS "docID", score::double AS score
+FROM ranked WHERE rank <= {DEFAULT.top_k}'''}
 """
 
 
 _BM25_SQL = _bm25_sql(_SQL_TOK)
 _BM25_OR_SQL = _bm25_sql(_SQL_TOK, conjunctive=False)
 _BM25_STOPPED_SQL = _bm25_sql(_SQL_TOK_STOPPED)
+
+# Tombstone legs (bm25_deletes): full-corpus statistics, deleted candidates
+# filtered before ranking — the df-until-merge rule.
+_BM25_DEL_AND_SQL = _bm25_sql(_SQL_TOK, delete_where="s.doc_id % 7 <> 3")
+_BM25_DEL_OR_SQL = _bm25_sql(
+    _SQL_TOK, conjunctive=False, delete_where="s.doc_id % 7 <> 3"
+)
+
+# Ranking-evaluation oracle: the BM25 chain's `ranked` CTE continued with
+# the TREC metric CTEs (mirrors operators/evalrank.py::ranking_metrics:
+# qrels → ideal DCG window → cumulative-precision hits → per-query metrics,
+# macro-average summary row as query_id = -1).
+_EVALRANK_TAIL = f""",
+res AS (SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {DEFAULT.top_k}),
+tokset AS (SELECT DISTINCT doc_id, term FROM tok),
+qrels AS (
+  SELECT q.query_id, t.doc_id, (1 + t.doc_id % 3)::DOUBLE AS grade
+  FROM q JOIN tokset t ON t.term = lower(split_part(q.query, ' ', 1))
+  WHERE t.doc_id % 5 = 0
+),
+ideal AS (
+  SELECT query_id, count(*)::BIGINT AS n_rel,
+         sum(CASE WHEN irank <= {DEFAULT.top_k}
+                  THEN grade / log2(irank + 1) ELSE 0 END) AS idcg
+  FROM (SELECT query_id, doc_id, grade,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY grade DESC, doc_id ASC) AS irank
+        FROM qrels)
+  GROUP BY query_id
+),
+hits AS (
+  SELECT r.query_id, r.rank, qr.grade
+  FROM res r JOIN qrels qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+),
+per_hit AS (
+  SELECT query_id, rank, grade,
+         count(*) OVER (PARTITION BY query_id ORDER BY rank
+                        ROWS UNBOUNDED PRECEDING) AS cumrel
+  FROM hits
+),
+got AS (
+  SELECT query_id, max(1.0 / rank) AS rr_, sum(cumrel * 1.0 / rank) AS sum_prec,
+         count(*) AS nhit, sum(grade / log2(rank + 1)) AS dcg
+  FROM per_hit GROUP BY query_id
+),
+pq AS (
+  SELECT i.query_id, i.n_rel,
+         round(coalesce(g.rr_, 0), 6) AS rr,
+         round(coalesce(g.sum_prec / least(i.n_rel, {DEFAULT.top_k}), 0), 6) AS ap,
+         round(coalesce(g.nhit, 0) / {float(DEFAULT.top_k)}, 6) AS p_at_k,
+         round(coalesce(g.nhit, 0) * 1.0 / i.n_rel, 6) AS r_at_k,
+         round(coalesce(g.dcg, 0) / i.idcg, 6) AS ndcg
+  FROM ideal i LEFT JOIN got g USING (query_id)
+)
+SELECT query_id::BIGINT AS query_id, n_rel, rr::DOUBLE AS rr, ap::DOUBLE AS ap,
+       p_at_k::DOUBLE AS p_at_k, r_at_k::DOUBLE AS r_at_k, ndcg::DOUBLE AS ndcg
+FROM pq
+UNION ALL
+SELECT -1::BIGINT, count(*)::BIGINT, round(avg(rr), 6)::DOUBLE,
+       round(avg(ap), 6)::DOUBLE, round(avg(p_at_k), 6)::DOUBLE,
+       round(avg(r_at_k), 6)::DOUBLE, round(avg(ndcg), 6)::DOUBLE
+FROM pq
+"""
+
+_EVALRANK_SQL = _bm25_sql(_SQL_TOK, tail=_EVALRANK_TAIL)
+
+
+def _boolean_search_sql() -> str:
+    """Mirror of _q_boolean_search: the same synthesized path/definition
+    wrapper, then ONE hand-written predicate per query of BOOL_QUERY_SET —
+    the boolean semantics stated twice independently (the engine compiles
+    an AST; the oracle states each query's truth condition directly)."""
+    from searchenginesimple_spark.functions.code import SYMBOL_PATTERNS
+
+    sym_arrs = " || ".join(
+        f"regexp_extract_all(c, '{p.replace(chr(39), chr(39) * 2)}', 1)"
+        for p in SYMBOL_PATTERNS.values()
+    )
+    sym_spark = f"len(list_filter({sym_arrs}, s -> contains(s, 'spark'))) > 0"
+    preds = {
+        0: "contains(c, 'spark') AND contains(c, 'window')",
+        1: "contains(c, 'spark') OR contains(c, 'dup')",
+        2: "contains(c, 'table') AND NOT contains(c, 'scan')",
+        3: "contains(c, 'fast ta')",
+        4: "lower(lang) = 'en' AND contains(c, 'spark')",
+        5: "regexp_matches(c, '(fast|slow) ta')",
+        6: sym_spark,
+        7: "contains(lower(c), 'spark') AND contains(lower(c), 'window')",
+        8: "contains(c, 'ta') AND contains(c, 'merge')",
+        9: "(contains(path, 'src1/') AND contains(c, 'dup'))"
+           " OR (contains(path, 'src2/') AND contains(c, 'value'))",
+    }
+    branches = " UNION ALL ".join(
+        f"SELECT {qid}::BIGINT AS query_id, '{qs.replace(chr(39), chr(39) * 2)}' AS query, doc_id "
+        f"FROM d WHERE {preds[qid]}"
+        for qid, qs in BOOL_QUERY_SET
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source || '/' || doc_id || '.txt' AS path,
+         text || chr(10) || 'def ' || split_part(text, ' ', 1)
+              || '_fn(x):' || chr(10) || '    return x' || chr(10) AS c
+  FROM documents
+) {branches}"""
+
+
+_BOOLEAN_SEARCH_SQL = _boolean_search_sql()
+
+
+def _filtered_bm25_sql() -> str:
+    """Mirror of _q_filtered_bm25: the BM25 chain with a per-query
+    candidate restriction spliced between conj and ranked (filter-before-
+    rank, statistics full-corpus); the filter predicates are the
+    boolean-scan truth conditions of FILTERED_QUERY_SET's filters."""
+    q_vals = ", ".join(f"({i}, '{t}')" for i, t, _ in FILTERED_QUERY_SET)
+    f_vals = ", ".join(
+        f"({i}, '{f}')" for i, _, f in FILTERED_QUERY_SET if f is not None
+    )
+    return f"""
+WITH {_SQL_TOK},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl),
+dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, query) AS (VALUES {q_vals}),
+flt(query_id, filter) AS (VALUES {f_vals}),
+cand AS (
+  SELECT 0 AS query_id, doc_id FROM documents WHERE lower(lang) = 'en'
+  UNION ALL
+  SELECT 2, doc_id FROM documents
+  WHERE contains(text, 'table') AND NOT contains(text, 'scan')
+  UNION ALL
+  SELECT 3, doc_id FROM documents WHERE contains(text, 'fast ta')
+),
+qtok AS (
+  SELECT query_id, query,
+         unnest(regexp_extract_all(lower(query), '{TOKEN_RE}')) AS term
+  FROM q
+),
+qtf AS (SELECT query_id, query, term, count(*) AS qtf
+        FROM qtok GROUP BY query_id, query, term),
+qidx AS (SELECT qtf.*, dfv.df FROM qtf JOIN dfv USING (term)),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qidx GROUP BY query_id),
+contrib AS (
+  SELECT qi.query_id, qi.query, t.doc_id,
+         qi.qtf * ln((s.n_docs - qi.df + 0.5) / (qi.df + 0.5) + 1.0)
+           * (t.tf * ({DEFAULT.k1} + 1.0))
+           / (t.tf + {DEFAULT.k1} * (1.0 - {DEFAULT.b} + {DEFAULT.b} * dl.dlen / s.avgdl))
+           AS c
+  FROM qidx qi
+  JOIN tf t USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, query, doc_id, round(sum(c), 6) AS score, count(*) AS nmatch
+  FROM contrib GROUP BY query_id, query, doc_id
+),
+conj AS (
+  SELECT s.* FROM scored s JOIN qn USING (query_id) WHERE s.nmatch = qn.n_terms
+),
+restricted AS (
+  SELECT c2.* FROM conj c2 WHERE c2.query_id NOT IN (SELECT query_id FROM flt)
+  UNION ALL
+  SELECT c2.* FROM conj c2 JOIN cand USING (query_id, doc_id)
+),
+ranked AS (
+  SELECT query_id, query, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM restricted
+)
+SELECT r.query_id::BIGINT AS query_id, r.query, f.filter, r.rank::int AS rank,
+       r.doc_id::BIGINT AS doc_id, r.score::DOUBLE AS score
+FROM ranked r LEFT JOIN flt f USING (query_id) WHERE r.rank <= {DEFAULT.top_k}
+"""
+
+
+_FILTERED_BM25_SQL = _filtered_bm25_sql()
 
 _LANG_SQL = {
     "de": "'der','die','das','und','ist','nicht'",
@@ -1782,6 +2141,8 @@ SELECT a_id, b_id, cos::double AS cos FROM scored WHERE cos >= {threshold}
 
 
 _ANN_APPROX_SQL = f"""
+SELECT 'brute' AS method, * FROM ({_ANN_COSINE_SQL})
+UNION ALL
 SELECT 'lsh' AS method, * FROM ({_ann_lsh_sql()})
 UNION ALL
 SELECT 'ivf' AS method, * FROM ({_ann_ivf_sql()})
@@ -2312,7 +2673,6 @@ def oracle_sql() -> dict[str, str]:
                    sum(tf)::BIGINT AS n_tokens
             FROM tf GROUP BY shard""",
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
-        "ann_cosine": _ANN_COSINE_SQL,
         "embed_neardup": f"""
             SELECT 'exact' AS variant, e.* FROM ({_EMBED_NEARDUP_SQL}) e
             UNION ALL
@@ -2467,8 +2827,8 @@ SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
             SELECT r.c_mktsegment, r.rank::int AS rank, r.o_orderkey,
                    r.o_totalprice, seg.n_orders, seg.revenue
             FROM ranked r JOIN seg USING (c_mktsegment) WHERE r.rank <= 5""",
-        "tf": f"WITH {_SQL_TOK} SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term",
-        # build → merge → decode is the identity on tf (operators/merge.py)
+        # build → merge → decode is the identity on tf (operators/merge.py);
+        # this oracle IS the former tf entry's (r4 slot merge)
         "index_merge": f"WITH {_SQL_TOK} SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term",
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "contamination": _CONTAMINATION_SQL,
@@ -2497,13 +2857,21 @@ SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
             FROM tf CROSS JOIN stats s GROUP BY term""",
         "doc_stats": f"""WITH {_SQL_TOK}
             SELECT doc_id, count(*) AS dlen FROM tok GROUP BY doc_id""",
-        "bm25_topk": _BM25_SQL,
+        # both legs rank-identical to the ONE BM25 chain by contract
+        "bm25_topk": f"""
+            SELECT 'dense' AS mode, * FROM ({_BM25_SQL})
+            UNION ALL
+            SELECT 'wand' AS mode, * FROM ({_BM25_SQL})""",
         "bm25_or": _BM25_OR_SQL,
-        "bm25_wand": _BM25_SQL,
-        "conjunctive": f"""WITH {_SQL_TOK},
-            tf AS (SELECT doc_id, term FROM tok WHERE term IN ('spark','window')
-                   GROUP BY doc_id, term)
-            SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 2""",
+        "bm25_deletes": f"""
+            SELECT 'dense' AS mode, * FROM ({_BM25_DEL_AND_SQL})
+            UNION ALL
+            SELECT 'wand_and' AS mode, * FROM ({_BM25_DEL_AND_SQL})
+            UNION ALL
+            SELECT 'wand_or' AS mode, * FROM ({_BM25_DEL_OR_SQL})""",
+        "boolean_search": _BOOLEAN_SEARCH_SQL,
+        "filtered_bm25": _FILTERED_BM25_SQL,
+        "evalrank": _EVALRANK_SQL,
         "phrase_topk": _bm25_sql(
             _SQL_TOK, values_sql=_SQL_PHRASE_VALUES, phrase_restrict=True
         ),
