@@ -12,6 +12,9 @@ Components:
   bm25_batch        — compressed-path BM25 top-k, full query set, one batch
   bm25_p95_ms       — per-query p95 latency (ms) over repeated single-query runs
   driver_bm25_dense — dense-path flagship over $SPARK_GRAFT_SF_DIR documents
+  curate_pipeline   — plans/curate.py end-to-end (exact dedup → MinHash-LSH →
+                      connected components → quality → kept table) over the
+                      staged corpus, fresh root per rep
   scaling_build_*   — the SAME build job at N and 4N cores on the same staged
                       input.  Each run is a subprocess hard-capped with
                       sched_setaffinity (local[N] alone does not bound JVM
@@ -31,6 +34,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS (32),
      SPARK_GRAFT_SCALE_REPS (5, early-stop at efficiency ≥ 0.8 — the
      noisy-neighbor bursts last minutes, so min-of-reps needs room),
      SPARK_GRAFT_SKIP_SCALING (unset), SPARK_GRAFT_QSCALE_QUERIES (1000),
+     SPARK_GRAFT_TRIGRAM_REPS (2), SPARK_GRAFT_CURATE_REPS (2),
+     SPARK_GRAFT_CURATE_DOCS (50000 — doc_id-filtered input bound),
      SPARK_GRAFT_WORK_DIR (default /dev/shm if present, else $TMPDIR —
      staging on tmpfs keeps the measurement CPU-bound; a virtual disk's
      flat IO ceiling otherwise caps both runs and fakes a scaling loss).
@@ -286,24 +291,40 @@ def main() -> None:
         bm25_topk_compressed(
             postings, dsp, idx, queries_df(spark, [QUERY_SET[0]]), cfg
         ).collect()
-        t0 = time.time()
-        bm25_topk_compressed(postings, dsp, idx, queries_df(spark), cfg).collect()
-        queries["bm25_batch"] = round(time.time() - t0, 3)
+        # min-of-reps with the rep list shipped (r3 verdict #6: two rounds
+        # of small drift needed rep evidence to separate host noise from a
+        # real serving-path regression)
+        batch_walls = []
+        for _rep in range(3):
+            t0 = time.time()
+            bm25_topk_compressed(postings, dsp, idx, queries_df(spark), cfg).collect()
+            batch_walls.append(round(time.time() - t0, 3))
+        queries["bm25_batch"] = min(batch_walls)
+        extra["bm25_batch_reps"] = batch_walls
 
         # single-query latency through the SERVING path (Bm25QueryEngine):
         # a long-lived query process caches term slices across queries the
         # way the reference's in-RAM WebServer does; results bit-identical
-        # to the distributed plan (tests/test_postings.py)
+        # to the distributed plan (tests/test_postings.py).  Headline stays
+        # the overall mean (the BASELINE-comparable definition, cold round
+        # included); the per-round averages ship alongside so drift can be
+        # told from noise (r3 verdict #6) — round 1 carries the one-time
+        # plan-compile, rounds 2-3 are the steady state.
         engine = Bm25QueryEngine(postings, dsp, idx, cfg)
         lat: list[float] = []
+        round_avgs: list[float] = []
         for _rep in range(3):
+            rl: list[float] = []
             for q in QUERY_SET:
                 t0 = time.time()
                 engine.query([q])
-                lat.append(time.time() - t0)
+                rl.append(time.time() - t0)
+            round_avgs.append(round(sum(rl) / len(rl), 3))
+            lat.extend(rl)
         lat.sort()
         extra["bm25_p95_ms"] = round(lat[int(0.95 * len(lat)) - 1] * 1000, 1)
         queries["bm25_single_avg"] = round(sum(lat) / len(lat), 3)
+        extra["bm25_single_avg_rounds"] = round_avgs
 
         # --- flagship over the driver testdata -----------------------------
         from searchenginesimple_spark.operators.bm25 import bm25_topk, build_index_stats
@@ -341,10 +362,22 @@ def main() -> None:
             .cache()
         )
         tri_docs.count()
-        t0 = time.time()
-        tri_raw, _ = build_trigram_index(tri_docs)
-        tri_post, tri_stats = write_trigram_index(tri_raw, f"{work}/tri_idx")
-        queries["trigram_build"] = round(time.time() - t0, 3)
+        # min-of-reps (r3 verdict #5: BASELINE's 106-212 s spread makes a
+        # one-shot trigram build a draw); early-stop once a rep is clearly
+        # uncontended, same policy as build_full
+        tri_reps = int(os.environ.get("SPARK_GRAFT_TRIGRAM_REPS", "2"))
+        tri_walls: list[float] = []
+        for rep in range(tri_reps):
+            t0 = time.time()
+            tri_raw, _ = build_trigram_index(tri_docs)
+            tri_post, tri_stats = write_trigram_index(
+                tri_raw, f"{work}/tri_idx_{rep}"
+            )
+            tri_walls.append(round(time.time() - t0, 3))
+            if rep > 0 and tri_walls[-1] <= min(tri_walls[:-1]) * 0.65:
+                break
+        queries["trigram_build"] = min(tri_walls)
+        extra["trigram_build_reps"] = tri_walls
         tri_needles = spark.createDataFrame(
             [(0, "return ident"), (1, "loc_42_7"), (2, "zz_absent_zz"),
              (3, "ident_00")],
@@ -424,6 +457,33 @@ def main() -> None:
         connected_components(pairs, "a_id", "b_id").count()
         queries["clone_cluster"] = round(time.time() - t0, 3)
         pairs.unpersist()
+
+        # --- curation pipeline (plans/curate.py) ----------------------------
+        # The only major path without a bench row until r4: exact sha dedup →
+        # MinHash-LSH banding → connected components → map-side quality →
+        # kept-table materialization, end-to-end over the same staged corpus.
+        # Fresh TableIO root per rep (the pipeline is resume-gated — a reused
+        # root would time the skip path, not the work).
+        from searchenginesimple_spark.plans.curate import CurateConfig, curate
+        from searchenginesimple_spark.sources.io import TableIO as _TableIO
+
+        cur_reps = int(os.environ.get("SPARK_GRAFT_CURATE_REPS", "2"))
+        # deterministic input bound (doc_id filter, not limit — limit picks
+        # arbitrary rows, which would make reps incomparable)
+        cur_docs_n = int(os.environ.get("SPARK_GRAFT_CURATE_DOCS", "50000"))
+        from pyspark.sql import functions as _F
+
+        cur_docs = tri_docs.filter(_F.col("doc_id") < cur_docs_n)
+        cur_walls: list[float] = []
+        for rep in range(cur_reps):
+            cio = _TableIO(spark, f"{work}/curate_{rep}")
+            t0 = time.time()
+            curate(spark, cur_docs, cio, CurateConfig())
+            cur_walls.append(round(time.time() - t0, 3))
+            if rep > 0 and cur_walls[-1] <= min(cur_walls[:-1]) * 0.65:
+                break
+        queries["curate_pipeline"] = min(cur_walls)
+        extra["curate_pipeline_reps"] = cur_walls
         tri_docs.unpersist()
 
         # --- N → 4N scaling (hard-capped subprocesses, same staged input) ---

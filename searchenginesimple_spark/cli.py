@@ -599,6 +599,12 @@ def main(argv: list[str] | None = None) -> int:
         wanted = [
             _re.sub(r"\s+", " ", p.lower()).lstrip() for p in args.prefix
         ]
+        if any(not p for p in wanted):
+            raise SystemExit(
+                "empty (or whitespace-only) --prefix — the completion table "
+                "has no empty-prefix rows, so the lookup would silently "
+                "return nothing"
+            )
         too_long = [p for p in wanted if len(p) > args.max_prefix]
         if too_long:
             raise SystemExit(

@@ -79,5 +79,16 @@ class EngineConfig:
     # Filter mirroring the reference's short-document drop (Page.hpp:137-146).
     min_content_len: int = 10
 
+    # --- tombstone scale guard (plans/delete.py, operators/wand.py) --------
+    # Max deleted doc_ids the query paths will COLLECT to the driver (the
+    # kernel fastpath / serving engines carry the set as per-shard arrays).
+    # Past this, every path falls back to the distributed _del_by_shard_df
+    # join — correct at any size, just not sub-second — and delete_docs
+    # appends via a Spark write instead of a driver collect.  A mass
+    # takedown (whole-repo delete, 10^6–10^8 ids) therefore degrades
+    # latency, never the driver.  needs_compaction() trips at the same
+    # threshold: compaction is the cure, the guard is the tourniquet.
+    tombstone_fastpath_max: int = 100_000
+
 
 DEFAULT = EngineConfig()

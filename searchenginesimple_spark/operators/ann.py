@@ -273,15 +273,23 @@ def embedding_neardup_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    force: bool = False,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (all-pairs baseline).
 
     → (a_id, b_id, cos) with a_id < b_id and round(cos, decimals) ≥ threshold.
     O(N²) — the correctness baseline; at scale use
     :func:`embedding_neardup_pairs` (LSH-bucketed, same re-rank filter).
-    The threshold is applied to the ROUNDED cosine in both this plan and the
-    DuckDB oracle so float64 summation-order noise cannot straddle the cut.
+    GUARDED: above EXACT_PATH_MAX_ROWS input vectors this refuses without
+    force=True.  The threshold is applied to the ROUNDED cosine in both
+    this plan and the DuckDB oracle so float64 summation-order noise cannot
+    straddle the cut.
     """
+    from searchenginesimple_spark.operators.dedup import _guard_exact_path
+
+    _guard_exact_path(
+        embeddings, "embedding_neardup_exact", "embedding_neardup_pairs", force
+    )
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     a, b = e.alias("a"), e.alias("b")
     return (

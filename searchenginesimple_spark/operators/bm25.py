@@ -295,11 +295,14 @@ def bm25_topk(
         scored = scored.filter(F.col("doc_id") != F.col("query_id"))
     if tombstones is not None:
         # deleted docs (plans/delete.py) drop BEFORE ranking, so top-k
-        # backfills with live docs — the broadcast anti-join is tiny by the
-        # compaction contract
-        scored = scored.join(
-            F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
-        )
+        # backfills with live docs.  Broadcast only under the guard — an
+        # over-cap set (mass takedown awaiting compaction) shuffle-joins
+        from searchenginesimple_spark.operators.wand import _tombstones_small
+
+        tomb = tombstones.select("doc_id")
+        if _tombstones_small(tomb, cfg):
+            tomb = F.broadcast(tomb)
+        scored = scored.join(tomb, "doc_id", "left_anti")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     cols = [
         F.col(query_col).alias("query"),

@@ -326,12 +326,34 @@ def simhash_dedup_verifiable(
     return fp.filter(F.col("simhash") != 0).join(dropped, "doc_id", "left_anti")
 
 
+# Row guard shared by the documented O(N²)-family exact baselines: above
+# this, the LSH twin is the production path and the exact path must be
+# opted into explicitly (force=True) — a 100× scale-up must not silently
+# default into an all-pairs plan.
+EXACT_PATH_MAX_ROWS = 100_000
+
+
+def _guard_exact_path(df: DataFrame, op: str, scale_twin: str, force: bool) -> None:
+    """Refuse the exact O(N²)-family path past EXACT_PATH_MAX_ROWS input
+    rows unless force=True.  limit-count: short-circuits, never scans a
+    web-scale table to completion just to refuse it."""
+    if force:
+        return
+    if df.limit(EXACT_PATH_MAX_ROWS + 1).count() > EXACT_PATH_MAX_ROWS:
+        raise ValueError(
+            f"{op}: exact all-pairs baseline refused above "
+            f"{EXACT_PATH_MAX_ROWS} input rows — use {scale_twin} (the "
+            "LSH-bucketed scale path) or pass force=True to insist"
+        )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 5,
     threshold: float = 0.8,
     text_col: str = "content",
     id_col: str = "doc_id",
+    force: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (a_id < b_id, jaccard ≥ threshold).
 
@@ -339,9 +361,13 @@ def ngram_jaccard_pairs(
     on shingle → |A∩B| per pair → Jaccard from per-doc shingle counts.  Exact
     (no hashing); at 100 TB the MinHash path below replaces the raw shingle
     join (common shingles fan out), but high thresholds keep this tractable
-    because only pairs sharing ≥ 1 shingle ever materialize.
+    because only pairs sharing ≥ 1 shingle ever materialize.  GUARDED: above
+    EXACT_PATH_MAX_ROWS input docs this refuses without force=True — the
+    MinHash-LSH twin (minhash_dup_pairs) is the scale path.
     """
     from searchenginesimple_spark.functions.text import shingles
+
+    _guard_exact_path(docs, "ngram_jaccard_pairs", "minhash_dup_pairs", force)
 
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("sh")

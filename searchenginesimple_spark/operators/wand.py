@@ -211,13 +211,32 @@ def _del_by_shard_df(tombstones: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+# Sentinel: the tombstone set exceeded cfg.tombstone_fastpath_max, so it was
+# NOT collected — callers must route through the distributed join path.
+DEL_TOO_BIG = object()
+
+
+def _tombstones_small(tombstones: DataFrame, cfg: EngineConfig) -> bool:
+    """True iff the deleted set fits under the driver-collect guard.  A
+    limit(cap+1).count() — short-circuits at cap+1 rows, never scans a
+    10^8-id takedown set to completion."""
+    cap = cfg.tombstone_fastpath_max
+    return tombstones.select("doc_id").limit(cap + 1).count() <= cap
+
+
 def _collect_del_by_shard(
     tombstones: DataFrame | None, cfg: EngineConfig
-) -> dict[int, list] | None:
+) -> dict[int, list] | None | object:
     """Driver-side (shard → sorted deleted doc_ids) map for the fastpath /
-    serving kernels.  Tombstone sets are compaction-bounded (small)."""
+    serving kernels.  Tombstone sets are compaction-bounded by contract,
+    and this is where the contract is ENFORCED: past
+    cfg.tombstone_fastpath_max the set is not collected at all — the
+    DEL_TOO_BIG sentinel comes back and callers fall to the distributed
+    _del_by_shard_df join (same grouping rule, so results are identical)."""
     if tombstones is None:
         return None
+    if not _tombstones_small(tombstones, cfg):
+        return DEL_TOO_BIG
     rows = _del_by_shard_df(tombstones, cfg).collect()
     return {int(r["shard"]): list(r["del_ids"]) for r in rows}
 
@@ -363,9 +382,14 @@ class Bm25QueryEngine:
         self.corpus_row = index.corpus.collect()[0]
         # live-docs filter (plans/delete.py): collected ONCE — deletes made
         # after construction need refresh_tombstones() (the same visibility
-        # point a Lucene searcher reopen gives)
+        # point a Lucene searcher reopen gives).  A tombstone set past
+        # cfg.tombstone_fastpath_max is NOT collected: the engine pins
+        # every query to the distributed path until compaction shrinks it
+        # (correct at any size; compact_index is the latency cure).
         self._tombstones = tombstones
-        self._del_by_shard = _collect_del_by_shard(tombstones, cfg)
+        dbs = _collect_del_by_shard(tombstones, cfg)
+        self._del_too_big = dbs is DEL_TOO_BIG
+        self._del_by_shard = None if dbs is DEL_TOO_BIG else dbs
         # meta rows are ~64 B each; nbytes=1 per entry makes max_bytes an
         # entry-count cap
         self._meta = LruBytesCache(meta_max_terms)
@@ -427,7 +451,7 @@ class Bm25QueryEngine:
         meta = self._ensure_terms(all_terms)
         live = [t for t in all_terms if meta[t] is not self._OOV]
         est = sum(meta[t]["df"] for t in live) * self.BYTES_PER_POSTING
-        if est > self.cap:
+        if est > self.cap or self._del_too_big:
             spark = self.index.term_stats.sparkSession
             qdf = spark.createDataFrame(
                 list(enumerate(queries)), "query_id long, query string"
@@ -450,9 +474,12 @@ class Bm25QueryEngine:
 
     def refresh_tombstones(self, tombstones: DataFrame | None) -> None:
         """Make a new tombstone set visible to this engine (postings/stats
-        caches are unaffected — deletes filter at score time)."""
+        caches are unaffected — deletes filter at score time).  An over-cap
+        set pins queries to the distributed path (see __init__)."""
         self._tombstones = tombstones
-        self._del_by_shard = _collect_del_by_shard(tombstones, self.cfg)
+        dbs = _collect_del_by_shard(tombstones, self.cfg)
+        self._del_too_big = dbs is DEL_TOO_BIG
+        self._del_by_shard = None if dbs is DEL_TOO_BIG else dbs
 
     def query_df(self, spark, queries: list[str]) -> DataFrame:
         return spark.createDataFrame(self.query(queries), _OUT_SCHEMA)
@@ -495,7 +522,12 @@ def bm25_topk_compressed(
         terms = [r["term"] for r in qt.select("term").distinct().collect()]
         postings = postings.filter(F.col("term").isin(terms))
 
-    if fastpath_max_bytes is not None:
+    # one guard decision shared by the fastpath gate and the distributed
+    # join's broadcast hint: an over-cap tombstone set is never collected
+    # and never broadcast (the dict itself is only materialized if the
+    # fastpath is actually taken)
+    del_small = tombstones is None or _tombstones_small(tombstones, cfg)
+    if fastpath_max_bytes is not None and del_small:
         sz_row = postings.agg(
             F.sum(F.length("ids") + F.length("tfs")).alias("sz")
         ).collect()[0]
@@ -528,7 +560,13 @@ def bm25_topk_compressed(
         .crossJoin(F.broadcast(index.corpus.select("avgdl")))
     )
     if tombstones is not None:
-        rows = rows.join(F.broadcast(_del_by_shard_df(tombstones, cfg)), "shard", "left")
+        # per-shard arrays are bounded at shard_span ids each, but an
+        # over-cap TOTAL set would be a multi-GB broadcast — shuffle-join
+        # it on shard instead (kernel input is identical either way)
+        dbs = _del_by_shard_df(tombstones, cfg)
+        if del_small:
+            dbs = F.broadcast(dbs)
+        rows = rows.join(dbs, "shard", "left")
     kernel = _make_kernel(cfg, mode)
     local = rows.groupBy("query_id", "shard").applyInPandas(kernel, _KERNEL_SCHEMA)
 

@@ -39,6 +39,7 @@ Scale discipline:
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,10 +114,36 @@ def curate(
     ``curate_kept`` table).  Every rule is deterministic — same input ⇒ same
     kept set at any parallelism.
 
-    Resume trusts committed stage tables: re-running with a CHANGED config
-    (or changed input) against the same ``io`` root silently keeps the old
-    committed stages — use a fresh root per (input, config), the same
-    contract as plans/build.py's checkpoints."""
+    Resume trusts committed stage tables — and ENFORCES the one-root-per-
+    config contract: the first run commits a config fingerprint
+    (``curate_config`` table) and every resume checks it, so re-running
+    with a changed config against the same ``io`` root raises instead of
+    silently keeping the old committed stages (e.g. enabling
+    despan_min_tokens after curate_kept committed would otherwise append a
+    'despan' metrics row while the kept table keeps the dirty text).
+    Changed INPUT is still the caller's responsibility — use a fresh root
+    per input, the same contract as plans/build.py's checkpoints."""
+    import hashlib
+    from dataclasses import asdict as _asdict
+
+    fp = hashlib.sha256(
+        json.dumps(
+            {"cfg": _asdict(cfg), "text_col": text_col},
+            sort_keys=True,
+            default=str,
+        ).encode()
+    ).hexdigest()
+    if io.exists("curate_config"):
+        committed_fp = io.read("curate_config").collect()[0]["fingerprint"]
+        if committed_fp != fp:
+            raise ValueError(
+                "curate config changed against a root with committed stage "
+                f"tables (fingerprint {committed_fp[:12]} != {fp[:12]}): "
+                "resume would silently keep stages computed under the old "
+                "config — use a fresh io root for the new config"
+            )
+    else:
+        io.overwrite_rows([(fp,)], "fingerprint string", "curate_config")
     from searchenginesimple_spark.functions.text import (
         quality_features,
         repetition_features,

@@ -36,11 +36,27 @@ is the curation-level twin of the index's LSM merge (plans/merge.py):
              LAST, so a crashed increment re-runs as itself and
              re-overwrites its own partitions (the merge.py recipe).
 
-Contract: every delta doc_id must exceed every base doc_id (the caller
-assigns ids monotonically, e.g. with_doc_ids over an offset range — the
-same contract merge.py states); violating it raises.  The optional
-chunk/repo-pack/despan terminal stages are batch-only — run them over the
-full kept table when needed.
+Contract: every delta doc_id must exceed every previously SEEN doc_id —
+kept or dropped (the caller assigns ids monotonically, e.g. with_doc_ids
+over an offset range — the same contract merge.py states); violating it
+raises.  Each increment records its true input max in the generation
+marker row (``max_id``), so the check covers ids that prior increments
+saw and dropped; the one blind spot is ids the gen-0 BATCH run dropped
+(it predates the marker table — only its kept max is recoverable).
+
+Dedup scope — KEPT-ONLY, a deliberate divergence from batch: delta docs
+dedup against the sha/MinHash state of ADMITTED docs.  A delta doc that
+near-duplicates a base doc which quality/sampling REJECTED is admitted
+here, where the batch pipeline over base ∪ delta would have deduped it
+first (neardup runs before quality) and then rejected the whole cluster.
+Persisting sigs for rejected docs would close the gap at the cost of
+state growing with the REJECTED volume (typically ≫ kept at web scale);
+kept-only is the production trade.  Increment ≡ batch therefore holds
+exactly for the exact-dup case and for near-dups of kept docs — the
+equivalences the tests pin.
+
+The optional chunk/repo-pack/despan terminal stages are batch-only — run
+them over the full kept table when needed.
 """
 
 from __future__ import annotations
@@ -107,12 +123,26 @@ def curate_increment(
         raise ValueError("curate_increment needs a committed base curation run")
 
     # ---- generation number + idempotent backfill of the LSM state ---------
-    gens = (
-        [int(r["gen"]) for r in io.read("curate_generations").collect()]
+    markers = (
+        io.read("curate_generations").collect()
         if io.exists("curate_generations")
         else []
     )
+    gens = [int(r["gen"]) for r in markers]
     g = (max(gens) + 1) if gens else 1
+    # true max INPUT id per prior increment (admitted or not) — recorded in
+    # the marker rows so a delta id can never collide with a doc_id a prior
+    # generation saw and dropped.  (Gen 0's batch run predates the marker
+    # table, so its dropped ids are validated against only via the kept
+    # table — the documented residual weakness of the backfilled base.)
+    seen_max = max(
+        (
+            int(r["max_id"])
+            for r in markers
+            if "max_id" in r and r["max_id"] is not None
+        ),
+        default=None,
+    )
     # backfill gate checks BOTH tables, and sigs write FIRST: a crash
     # between the two writes must re-trigger the backfill on retry, never
     # read a partial signature set (which would silently ADMIT delta docs
@@ -134,15 +164,25 @@ def curate_increment(
     kept_prior = io.read("curate_kept_gen").filter(F.col("gen") < g)
     sigs_prior = io.read("curate_sigs").filter(F.col("gen") < g).drop("gen")
 
-    # ---- id contract: every delta id beyond every base id ------------------
-    base_max = kept_prior.agg(F.max("doc_id")).collect()[0][0]
-    delta_min = new_docs.agg(F.min("doc_id")).collect()[0][0]
+    # ---- id contract: every delta id beyond every id EVER SEEN -------------
+    # (kept max ∪ recorded per-generation input maxes — a delta id colliding
+    # with a doc a prior increment saw and DROPPED would corrupt any table
+    # keyed on historical ids)
+    kept_max = kept_prior.agg(F.max("doc_id")).collect()[0][0]
+    base_max = max(
+        (m for m in (kept_max, seen_max) if m is not None), default=None
+    )
+    mm = new_docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    delta_min, delta_max = mm["mn"], mm["mx"]
     if delta_min is None:
         raise ValueError("curate_increment: empty delta")
     if base_max is not None and delta_min <= base_max:
         raise ValueError(
-            f"curate_increment: delta doc_ids must exceed the base max "
-            f"({delta_min} <= {base_max}) — the min-id survivor rule needs it"
+            f"curate_increment: delta doc_ids must exceed every previously "
+            f"seen id ({delta_min} <= {base_max}) — the min-id survivor "
+            f"rule needs it"
         )
 
     def _t(name: str) -> str:
@@ -313,8 +353,8 @@ def curate_increment(
     n_in = new_docs.count()
     n_out = final_ids.count()
     io.append_rows(
-        [(g, n_in, n_out, time.time())],
-        "gen int, docs_in long, docs_out long, ts double",
+        [(g, n_in, n_out, int(delta_max), time.time())],
+        "gen int, docs_in long, docs_out long, max_id long, ts double",
         "curate_generations",
     )
     return io.read("curate_kept_gen").filter(F.col("gen") == g).drop("gen")

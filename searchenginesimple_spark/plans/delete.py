@@ -92,23 +92,48 @@ class CompactResult:
     wall_ms: int
 
 
-def delete_docs(io: TableIO, doc_ids) -> int:
+def delete_docs(io: TableIO, doc_ids, cfg: EngineConfig = DEFAULT) -> int:
     """Tombstone ``doc_ids`` (a list of ints or a (doc_id) DataFrame).
 
     Append-only and idempotent under repeats (readers dedup); the append is
     driver-side parquet — zero Spark jobs for a list, one collect for a
-    DataFrame (tombstone sets are compaction-bounded, and collecting ONCE
-    means the appended ids and the returned count come from the same
-    evaluation — a nondeterministic input frame cannot report one set and
-    store another)."""
+    DataFrame (collecting ONCE means the appended ids and the returned
+    count come from the same evaluation — a nondeterministic input frame
+    cannot report one set and store another).
+
+    SIZE-GUARDED (the mass-takedown path): a DataFrame past
+    cfg.tombstone_fastpath_max ids is never collected — it is persisted
+    once (count and append then read the same materialization) and appended
+    as a distributed Spark write.  A whole-repo takedown of 10^8 ids costs
+    executor memory, not driver memory.  After such a delete,
+    needs_compaction() is true and the query paths run in their distributed
+    tombstone mode until compact_index() folds the set in."""
     if isinstance(doc_ids, DataFrame):
-        doc_ids = [
-            int(r["doc_id"])
-            for r in doc_ids.select(F.col("doc_id").cast("long")).collect()
-        ]
+        ids_df = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+        cap = cfg.tombstone_fastpath_max
+        if ids_df.limit(cap + 1).count() > cap:
+            ids_df = ids_df.persist()
+            try:
+                n = ids_df.count()
+                io.append(ids_df, "tombstones")
+            finally:
+                ids_df.unpersist()
+            return n
+        doc_ids = [int(r["doc_id"]) for r in ids_df.collect()]
     rows = [(int(d),) for d in doc_ids]
     io.append_rows(rows, "doc_id long", "tombstones")
     return len(rows)
+
+
+def needs_compaction(io: TableIO, cfg: EngineConfig = DEFAULT) -> bool:
+    """True when the pending tombstone set exceeds the fastpath guard —
+    the signal an operator (or a scheduled janitor) uses to trigger
+    compact_index().  Short-circuiting limit-count: never scans a huge set
+    to completion."""
+    if not io.exists("tombstones"):
+        return False
+    cap = cfg.tombstone_fastpath_max
+    return io.read("tombstones").limit(cap + 1).count() > cap
 
 
 def load_tombstones(io: TableIO) -> DataFrame | None:
@@ -198,17 +223,31 @@ def compact_index(
     snap_files = _list_parquet_files(io, "tombstones")
     if not snap_files:
         return CompactResult(run_id, 0, [], [], -1, 0)
-    t_ids = sorted(
-        int(r["doc_id"])
-        for r in spark.read.parquet(*snap_files).select("doc_id").distinct().collect()
-    )
-    if not t_ids:
+    # The deleted set stays DISTRIBUTED end-to-end — a 10^8-id takedown is
+    # exactly when compaction runs, so this path must not collect it.
+    # persist() pins one evaluation for the count, the shard list and every
+    # anti-join below; only the distinct SHARD list (bounded by the shard
+    # count, not the id count) ever reaches the driver.
+    from searchenginesimple_spark.operators.postings import shard_of
+
+    tomb = spark.read.parquet(*snap_files).select("doc_id").distinct().persist()
+    n_del = tomb.count()
+    if n_del == 0:
+        tomb.unpersist()
         return CompactResult(run_id, 0, [], [], -1, 0)
-    tomb = spark.createDataFrame([(d,) for d in t_ids], "doc_id long")
-    affected = sorted({d // cfg.shard_span for d in t_ids})
+    affected = sorted(
+        int(r["shard"])
+        for r in tomb.select(shard_of(F.col("doc_id"), cfg).alias("shard"))
+        .distinct()
+        .collect()
+    )
+    # over-guard sets are too big to broadcast into the anti-joins
+    tomb_b = (
+        F.broadcast(tomb) if n_del <= cfg.tombstone_fastpath_max else tomb
+    )
 
     m = _Metrics(io)
-    lineage = json.dumps({"config": asdict(cfg), "compact_deleted": len(t_ids)})
+    lineage = json.dumps({"config": asdict(cfg), "compact_deleted": n_del})
 
     with _aqe(spark, False):
         # survivors minus tombstones, affected partitions only.  A shard
@@ -217,7 +256,7 @@ def compact_index(
         # and would leave the old files in place
         surv = io.read("survivors")
         surv_aff = surv.filter(F.col("shard").isin(affected)).join(
-            F.broadcast(tomb), "doc_id", "left_anti"
+            tomb_b, "doc_id", "left_anti"
         )
         remaining = {
             int(r["shard"]): int(r["n"])
@@ -236,7 +275,7 @@ def compact_index(
                 kept = (
                     io.read(table)
                     .filter(F.col("shard").isin(affected))
-                    .join(F.broadcast(tomb), "doc_id", "left_anti")
+                    .join(tomb_b, "doc_id", "left_anti")
                 )
                 io.overwrite_partitions(kept, table, "shard")
 
@@ -310,7 +349,14 @@ def compact_index(
     # even ones landing at this very instant — are not in the snapshot
     # list and survive for the next compact: no read-modify-write window.
     # The empty append first keeps the table readable once the last
-    # snapshot file is gone.
+    # snapshot file is gone.  Known reader race: a load_tombstones that
+    # LISTED the directory before this clear can still try to OPEN a
+    # just-deleted part file and fail mid-scan with FileNotFoundException —
+    # harmless (the ids it would have read are already folded into the
+    # index), so a concurrent reader should simply retry/reopen; on a
+    # catalog deployment Iceberg snapshot isolation removes the race
+    # entirely.  Renaming to a trash dir first would not help: the files
+    # vanish from their listed paths either way.
     io.append_rows([], "doc_id long", "tombstones")
     fs, _ = _fs(io, io.path("tombstones"))
     jvm = spark.sparkContext._jvm
@@ -326,4 +372,5 @@ def compact_index(
             for s in affected
         ]
     )
-    return CompactResult(run_id, len(t_ids), affected, emptied, n_docs, wall)
+    tomb.unpersist()
+    return CompactResult(run_id, n_del, affected, emptied, n_docs, wall)

@@ -532,3 +532,6 @@ def test_cli_complete(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="max-prefix"):
         cli.main(["complete", "--log", str(log),
                   "--prefix", "a prefix well beyond twelve chars"])
+    # whitespace-only normalizes to the empty prefix — same loud contract
+    with _pytest.raises(SystemExit, match="empty"):
+        cli.main(["complete", "--log", str(log), "--prefix", "   "])

@@ -267,3 +267,17 @@ def test_curate_despan_stage(spark, tmp_path):
     # resume: re-running with the same root is a no-op with identical output
     kept2 = curate(spark, docs, io, _cfg(despan_min_tokens=10))
     assert {r["doc_id"]: r["content"] for r in kept2.collect()} == got
+
+
+def test_curate_config_change_against_committed_root_raises(spark, corpus, tmp_path):
+    """Resume with a CHANGED config is a loud error, not a silent keep of
+    the old committed stages (e.g. enabling despan after curate_kept
+    committed used to append a despan metrics row over dirty text)."""
+    io = TableIO(spark, str(tmp_path))
+    first = {r["doc_id"] for r in curate(spark, corpus, io, _cfg()).collect()}
+    # identical config resumes fine
+    assert {r["doc_id"] for r in curate(spark, corpus, io, _cfg()).collect()} == first
+    with pytest.raises(ValueError, match="config changed"):
+        curate(spark, corpus, io, _cfg(despan_min_tokens=4))
+    with pytest.raises(ValueError, match="config changed"):
+        curate(spark, corpus, io, _cfg(min_tokens=7))

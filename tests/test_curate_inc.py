@@ -144,3 +144,31 @@ def test_id_contract_and_double_submit(spark, base_root):
     # (its ids are now part of the base)
     with pytest.raises(ValueError, match="doc_ids must exceed"):
         curate_increment(spark, delta, io, _cfg())
+
+
+def test_id_contract_covers_dropped_delta_ids(spark, base_root):
+    """The monotone-id check validates against every id a prior increment
+    SAW, not just the ones it kept: a new delta reusing an id that a prior
+    generation dropped (quality) fails loudly."""
+    io = base_root
+    delta = _docs(
+        spark,
+        [
+            (40, "fresh unique tokens never seen before at all", "en", "s"),
+            (45, "x y", "en", "s"),  # quality-dropped, but SEEN
+        ],
+    )
+    kept = curate_increment(spark, delta, io, _cfg())
+    assert [r["doc_id"] for r in kept.collect()] == [40]
+    clash = _docs(
+        spark,
+        [(42, "totally different clean content words arriving here now", "en", "s")],
+    )
+    with pytest.raises(ValueError, match="previously\\s+seen"):
+        curate_increment(spark, clash, io, _cfg())
+    # beyond the true seen max (45) is fine even though kept max is 40
+    ok = _docs(
+        spark,
+        [(46, "yet another clean unique document with plenty words", "en", "s")],
+    )
+    assert [r["doc_id"] for r in curate_increment(spark, ok, io, _cfg()).collect()] == [46]

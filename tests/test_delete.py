@@ -402,3 +402,108 @@ def test_merge_into_fully_emptied_index(spark, tmp_path_factory):
     assert postings.count() > 0 and dsp.count() > 0
     assert io.read("survivors").count() == inc.n_docs
     assert _top_docs(io, spark)
+
+
+def test_mass_delete_guard_never_collects_to_driver(spark, built, monkeypatch):
+    """A 10^6-id takedown (verdict r3 finding #1): past
+    cfg.tombstone_fastpath_max no query path collects the deleted set to
+    the driver — the kernel fastpath and serving engine route to the
+    distributed _del_by_shard_df join, the dense scorer drops its broadcast
+    hint — and results still match the small-set paths exactly."""
+    import searchenginesimple_spark.operators.wand as wand_mod
+    from searchenginesimple_spark.operators.wand import (
+        DEL_TOO_BIG,
+        _collect_del_by_shard,
+    )
+
+    io = built
+    victims = sorted(set(_first_hits(io, spark).values()))
+    # 10^6 synthetic ids OUTSIDE the corpus range plus the real victims:
+    # result sets must equal the victims-only tombstoning
+    tomb_small = spark.createDataFrame([(d,) for d in victims], "doc_id long")
+    tomb_big = (
+        spark.range(1_000_000)
+        .select((F.col("id") + 1_000_000).alias("doc_id"))
+        .unionAll(tomb_small)
+    )
+
+    # the guard itself: over-cap set is detected, not collected
+    assert _collect_del_by_shard(tomb_big, CFG) is DEL_TOO_BIG
+    assert _collect_del_by_shard(tomb_small, CFG) is not DEL_TOO_BIG
+
+    # any driver-side materialization of the big set now fails the test
+    real_collect = wand_mod._collect_del_by_shard
+
+    def guarded(tombstones, cfg):
+        out = real_collect(tombstones, cfg)
+        assert out is None or out is DEL_TOO_BIG or sum(
+            len(v) for v in out.values()
+        ) <= cfg.tombstone_fastpath_max
+        return out
+
+    monkeypatch.setattr(wand_mod, "_collect_del_by_shard", guarded)
+
+    postings, dsp, idx = load_index(io)
+    dense = _dense_idx(io)
+    qs = [r["query"] for r in queries_df(spark).collect()]
+    for mode in ("and", "or"):
+        want = _res(
+            bm25_topk(dense, queries_df(spark), CFG, use_pandas_udf=False,
+                      mode=mode, tombstones=tomb_small)
+        )
+        assert want and not {r[2] for r in want} & set(victims)
+        # dense with the huge set (non-broadcast anti-join)
+        got_dense = _res(
+            bm25_topk(dense, queries_df(spark), CFG, use_pandas_udf=False,
+                      mode=mode, tombstones=tomb_big)
+        )
+        assert got_dense == want, mode
+        # compressed path: fastpath REQUESTED but guard must route distributed
+        got = _top_docs(io, spark, mode=mode, tomb=tomb_big,
+                        fastpath_max_bytes=256 * 1024 * 1024)
+        assert got == want, mode
+        # serving engine: construction must not collect; queries fall back
+        eng = Bm25QueryEngine(postings, dsp, idx, CFG, mode=mode,
+                              tombstones=tomb_big)
+        assert eng._del_too_big and eng._del_by_shard is None
+        got_eng = sorted(
+            map(tuple, eng.query(qs)[["query", "rank", "docID", "score"]]
+                .itertuples(index=False))
+        )
+        assert got_eng == want, mode
+        # refresh back to a small set re-enables the fastpath dict
+        eng.refresh_tombstones(tomb_small)
+        assert not eng._del_too_big and eng._del_by_shard is not None
+
+
+def test_mass_delete_docs_appends_distributed(spark, tmp_path_factory):
+    """delete_docs with an over-cap DataFrame appends via a Spark write
+    (no driver collect) and needs_compaction() trips; compact_index folds
+    the distributed set without collecting the ids."""
+    import dataclasses as dc
+
+    from searchenginesimple_spark.plans.delete import needs_compaction
+
+    cfg = dc.replace(CFG, tombstone_fastpath_max=200)
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_massdel")))
+    build_index(spark, docs_df(spark, N_DOCS), io, cfg)
+    n_before = io.read("survivors").count()
+
+    # 1000 ids (> cap): every 3rd survivor plus out-of-corpus ids
+    surv = io.read("survivors").select("doc_id")
+    in_corpus = surv.filter(F.col("doc_id") % 3 == 0)
+    n_in = in_corpus.count()
+    ids_df = in_corpus.unionAll(
+        spark.range(1000 - n_in).select((F.col("id") + 10_000).alias("doc_id"))
+    )
+    n = delete_docs(io, ids_df, cfg)
+    assert n == 1000
+    assert needs_compaction(io, cfg)
+    stored = {r["doc_id"] for r in io.read("tombstones").collect()}
+    assert stored == {r["doc_id"] for r in ids_df.collect()}
+
+    res = compact_index(spark, io, cfg)
+    assert res.n_deleted == 1000
+    assert io.read("survivors").count() == n_before - n_in
+    assert not needs_compaction(io, cfg)
+    assert io.read("tombstones").count() == 0

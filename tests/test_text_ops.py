@@ -64,6 +64,33 @@ def test_ngram_jaccard_planted_pair(spark):
     assert len(pairs) == 1 and pairs[0]["a_id"] == 0 and pairs[0]["b_id"] == 1
 
 
+def test_exact_path_guard_refuses_at_scale(spark, monkeypatch):
+    """The O(N²)-family exact baselines refuse past the row guard without
+    force=True (r3 verdict #7) — the LSH twins are the scale path."""
+    import pytest
+
+    import searchenginesimple_spark.operators.dedup as dd
+    from searchenginesimple_spark.operators.ann import embedding_neardup_exact
+    from searchenginesimple_spark.operators.dedup import ngram_jaccard_pairs
+
+    monkeypatch.setattr(dd, "EXACT_PATH_MAX_ROWS", 10)
+    big_docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some words here number "), F.col("id")).alias("content"),
+    )
+    with pytest.raises(ValueError, match="minhash_dup_pairs"):
+        ngram_jaccard_pairs(big_docs, n=3, threshold=0.5)
+    assert ngram_jaccard_pairs(big_docs, n=3, threshold=0.5, force=True).count() >= 0
+
+    big_emb = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("float"), F.lit(1.0).cast("float")).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="embedding_neardup_pairs"):
+        embedding_neardup_exact(big_emb)
+    assert embedding_neardup_exact(big_emb, force=True).count() >= 0
+
+
 def test_minhash_estimates_jaccard(spark):
     from searchenginesimple_spark.operators.dedup import minhash_dup_pairs
 
