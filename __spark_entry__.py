@@ -117,9 +117,22 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     code_symbols pattern): ``path`` = source || '/' || doc_id || '.txt'
     (field-atom substring target), ``repo`` = source, and one appended
     definition line ``def <tok1>_fn(x):`` so ``sym:`` atoms have real
-    definition sites to match."""
+    definition sites to match.
+
+    r4 slot merge: the former standalone ``trigram_search`` entry rides
+    along as the mode='substring' (rarest-first + exact verify,
+    operators/trigram.py — pos carries the 1-based first hit) and
+    mode='regex' (Cox compiler, operators/trigram_regex.py) legs over the
+    RAW documents and their own trigram index; the algebra is the
+    mode='bool' leg.  All three code-search query routes in one hash row."""
     from searchenginesimple_spark.operators.boolquery import boolean_search
-    from searchenginesimple_spark.operators.trigram import build_trigram_index
+    from searchenginesimple_spark.operators.trigram import (
+        build_trigram_index,
+        trigram_search,
+    )
+    from searchenginesimple_spark.operators.trigram_regex import (
+        trigram_regex_search,
+    )
 
     base = load_documents(spark, sf_dir)
     docs = base.select(
@@ -135,7 +148,29 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     postings, stats = build_trigram_index(docs)
-    return boolean_search(docs, postings, stats, BOOL_QUERY_SET)
+    booll = boolean_search(docs, postings, stats, BOOL_QUERY_SET).select(
+        F.lit("bool").alias("mode"), "query_id", "query", "doc_id",
+        F.lit(0).cast("long").alias("pos"),
+    )
+    raw_postings, raw_stats = build_trigram_index(base)
+    needles = spark.createDataFrame(
+        _TRIGRAM_NEEDLES, "needle_id long, needle string"
+    )
+    sub = trigram_search(base, raw_postings, raw_stats, needles).select(
+        F.lit("substring").alias("mode"),
+        F.col("needle_id").alias("query_id"),
+        F.col("needle").alias("query"),
+        "doc_id",
+        "pos",
+    )
+    rex = trigram_regex_search(base, raw_postings, raw_stats, _TRIGRAM_REGEXES).select(
+        F.lit("regex").alias("mode"),
+        F.col("needle_id").alias("query_id"),
+        F.col("needle").alias("query"),
+        "doc_id",
+        F.lit(0).cast("long").alias("pos"),
+    )
+    return booll.unionByName(sub).unionByName(rex)
 
 
 # Hybrid query set: (query_id, free text to rank, boolean filter or None).
@@ -233,32 +268,6 @@ _TRIGRAM_REGEXES: list[tuple[int, str]] = [
 ]
 
 
-def _q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring search through the trigram index (code-search design,
-    operators/trigram.py; §2-plus — the reference's token index
-    include/InvertIndex.hpp cannot answer cross-token or partial-identifier
-    needles).  The verify stage makes output ≡ brute-force scan, so the
-    oracle IS the scan."""
-    from searchenginesimple_spark.operators.trigram import (
-        build_trigram_index,
-        trigram_search,
-    )
-    from searchenginesimple_spark.operators.trigram_regex import (
-        trigram_regex_search,
-    )
-
-    docs = load_documents(spark, sf_dir)
-    postings, stats = build_trigram_index(docs)
-    needles = spark.createDataFrame(
-        _TRIGRAM_NEEDLES, "needle_id long, needle string"
-    )
-    sub = trigram_search(docs, postings, stats, needles)
-    rex = trigram_regex_search(docs, postings, stats, _TRIGRAM_REGEXES)
-    return sub.unionByName(
-        rex.withColumn("pos", F.lit(0).cast("long"))
-    )
-
-
 def _q_term_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 IDF per term (SURVEY §2.4 IDF+weight; scorer per §7)."""
     docs = load_documents(spark, sf_dir)
@@ -292,7 +301,13 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta+varbyte postings with block-max metadata → applyInPandas WAND
     kernel (rarest-first intersect) → global top-k (operators/wand.py).
     Small shard_span/block_size so sf0.01 exercises multi-shard merge and
-    block pruning, not a degenerate single group."""
+    block pruning, not a degenerate single group.
+
+    mode='or': the disjunctive dense scorer (second r4 slot merge — the
+    former standalone ``bm25_or`` entry): any doc matching ≥ 1 indexed
+    query term scores — the baseline the block-max pruned OR kernel must
+    equal (that kernel is hash-gated in ``bm25_deletes``' wand_or leg).
+    Its oracle leg is the BM25 chain without the all-terms-match filter."""
     import dataclasses
 
     from searchenginesimple_spark.operators.postings import (
@@ -306,6 +321,9 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = bm25_topk(idx, _queries_df(spark)).select(
         F.lit("dense").alias("mode"), "*"
     )
+    disj = bm25_topk(idx, _queries_df(spark), mode="or").select(
+        F.lit("or").alias("mode"), "*"
+    )
     cfg = dataclasses.replace(DEFAULT, shard_span=128, block_size=16)
     idx2 = build_index_stats(docs, cfg=cfg)
     postings = build_postings(idx2.tf, cfg)
@@ -313,17 +331,7 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wand = bm25_topk_compressed(postings, dsp, idx2, _queries_df(spark), cfg).select(
         F.lit("wand").alias("mode"), "*"
     )
-    return dense.unionByName(wand)
-
-
-def _q_bm25_or(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Disjunctive (OR-mode) BM25 top-k: any doc matching ≥ 1 indexed query
-    term scores — the dense baseline the block-max pruned WAND path must
-    equal (operators/wand.py; the OR wand kernel is hash-gated in the
-    ``bm25_deletes`` entry's wand_or leg)."""
-    docs = load_documents(spark, sf_dir)
-    idx = build_index_stats(docs)
-    return bm25_topk(idx, _queries_df(spark), mode="or")
+    return dense.unionByName(wand).unionByName(disj)
 
 
 def _q_bm25_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,14 +548,6 @@ def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_stats(idx.tf, cfg)
 
 
-def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (SURVEY §2.6 family)."""
-    from searchenginesimple_spark.operators.dedup import ngram_jaccard_pairs
-
-    docs = load_documents(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, n=5, threshold=0.5)
-
-
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment — the stage after pair mining that the
     reference never reaches (its simhash dedup stops at pairwise "seen
@@ -604,14 +604,34 @@ def _q_import_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates, fully DuckDB-hash-verified: the
-    affine polynomial family (h_i = (a_i·polyhash31(shingle) + b_i) mod p,
-    seeded constants inlined in the oracle SQL) through the SAME banding →
-    bucket-join → estimated-Jaccard filter as the production xxhash64 path."""
-    from searchenginesimple_spark.operators.dedup import minhash_dup_pairs
+    """Near-dup pair mining, BOTH Jaccard paths in one entry (method
+    column — r4 slot merge; the former standalone ``ngram_jaccard`` entry
+    is the method='ngram_exact' leg):
+
+    method='minhash': MinHash-LSH candidates, fully DuckDB-hash-verified —
+    the affine polynomial family (h_i = (a_i·polyhash31(shingle) + b_i)
+    mod p, seeded constants inlined in the oracle SQL) through the SAME
+    banding → bucket-join → estimated-Jaccard filter as the production
+    xxhash64 path; ``sim`` is the signature-estimated Jaccard.
+
+    method='ngram_exact': the exact shingle-inverted-index baseline
+    (SURVEY §2.6 family; guarded at scale — operators/dedup.py::
+    EXACT_PATH_MAX_ROWS); ``sim`` is the true n-gram Jaccard."""
+    from searchenginesimple_spark.operators.dedup import (
+        minhash_dup_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = load_documents(spark, sf_dir)
-    return minhash_dup_pairs(docs, threshold=0.5, hash_family="poly")
+    mh = minhash_dup_pairs(docs, threshold=0.5, hash_family="poly").select(
+        F.lit("minhash").alias("method"), "a_id", "b_id",
+        F.col("est_jaccard").alias("sim"),
+    )
+    ng = ngram_jaccard_pairs(docs, n=5, threshold=0.5).select(
+        F.lit("ngram_exact").alias("method"), "a_id", "b_id",
+        F.col("jaccard").alias("sim"),
+    )
+    return mh.unionByName(ng)
 
 
 def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,6 +1063,111 @@ def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_topk(d, ci, qdf)
 
 
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data curation pipeline under the driver hash gate
+    (plans/curate.py; §2-plus flagship, pytest-only until r4): exact sha256
+    dedup (min-id survivor) → MinHash-LSH pairs (the SQL-reproducible poly
+    family) → connected-components clustering → cluster-min survivor →
+    map-side quality thresholds → deterministic stratified sample →
+    per-source quota.  Output is the SURVIVOR-ID set of every stage
+    (stage, doc_id), so the oracle re-derives each stage's rule as one CTE
+    chain — every boundary of the pipeline is hash-checked, not just the
+    final kept set.  Runs against a fresh temp TableIO root per call (the
+    resume machinery itself is pinned in tests/test_curate.py)."""
+    import tempfile
+
+    from searchenginesimple_spark.plans.curate import CurateConfig, curate
+    from searchenginesimple_spark.sources.io import TableIO
+
+    docs = load_documents(spark, sf_dir)
+    io = TableIO(spark, tempfile.mkdtemp(prefix="curate_entry_"))
+    cfg = CurateConfig(
+        minhash_threshold=0.5,
+        minhash_family="poly",
+        sample_rates={"en": 0.5, "de": 0.25, "fr": 0.1},
+        default_sample_rate=0.05,
+        per_source_cap=10,
+    )
+    curate(spark, docs, io, cfg)
+    out = None
+    for stage in ("exact", "neardup", "quality", "sample"):
+        leg = io.read(f"curate_{stage}_ids").select(
+            F.lit(stage).alias("stage"), "doc_id"
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def _q_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-ahead completions mined from a query log (operators/suggest.py::
+    popular_completions — the popularity signal the reference's edit-
+    distance suggester lacks; §2-plus, pytest-only until r4): one hash agg
+    collapses the log to (query, count), the per-character prefix fan-out
+    runs over DISTINCT queries bounded by max_prefix, and the per-prefix
+    top-k window ships ≤ k rows per prefix per map task (WindowGroupLimit).
+    The log is synthesized deterministically from the documents table
+    (query = first 20 chars of content; popular_completions then applies
+    its own lower/collapse-whitespace/trim normalization), min_count=2
+    prunes one-offs so counts are non-trivial."""
+    from searchenginesimple_spark.operators.suggest import popular_completions
+
+    docs = load_documents(spark, sf_dir)
+    log = docs.select(F.substring("content", 1, 20).alias("query"))
+    return popular_completions(log, k=3, max_prefix=8, min_count=2)
+
+
+def _q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample packing, BOTH greedy folds in one entry (mode
+    column; §2-plus, pytest-only until r4).  Both share the identical
+    greedy rule (a unit whose tokens no longer fit starts the next bin; an
+    over-budget unit becomes its own bin, never split) implemented as a
+    zero-shuffle F.aggregate fold — the oracle re-states the rule as a
+    per-group recursive walk.
+
+    mode='chunk' (operators/chunk.py): line-aligned context-window chunks.
+    The prose documents are single-line, so the entry rewrites spaces to
+    newlines (word-per-line — deterministic in both engines) and chunks at
+    7 tokens; key = doc_id, part_id = chunk_id, n_parts = n_chunks,
+    text = the chunk.
+
+    mode='repopack' (operators/repopack.py): repo-level greedy packing
+    over (repo = source, path = source/doc_id.txt) with 200-token samples;
+    key = repo, part_id = sample_id, n_parts = n_files IN the sample,
+    text = the '### path\\n content' blocks joined."""
+    from searchenginesimple_spark.operators.chunk import chunk_documents
+    from searchenginesimple_spark.operators.repopack import pack_repo_samples
+
+    docs = load_documents(spark, sf_dir)
+    multiline = docs.select(
+        "doc_id", F.regexp_replace("content", " ", "\n").alias("content")
+    )
+    chunks = chunk_documents(multiline, chunk_tokens=7).select(
+        F.lit("chunk").alias("mode"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("chunk_id").alias("part_id"),
+        F.col("n_chunks").alias("n_parts"),
+        "n_tokens",
+        F.col("chunk").alias("text"),
+    )
+    repo_docs = docs.select(
+        "doc_id",
+        "content",
+        F.col("source").alias("repo"),
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id"), F.lit(".txt")).alias(
+            "path"
+        ),
+    )
+    packs = pack_repo_samples(repo_docs, sample_tokens=200).select(
+        F.lit("repopack").alias("mode"),
+        F.col("repo").alias("key"),
+        F.col("sample_id").alias("part_id"),
+        F.col("n_files").cast("long").alias("n_parts"),
+        "n_tokens",
+        F.col("sample").alias("text"),
+    )
+    return chunks.unionByName(packs)
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based event sessionization (operators/sessions.py): per-user
     window + running sum of gap breaks + per-session aggregation — the batch
@@ -1296,7 +1421,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SQL — merge-decode must be the identity on tf).  The four freed slots
     register ``boolean_search`` (the zoekt algebra), ``filtered_bm25``
     (hybrid filter × BM25), ``evalrank`` (MRR/MAP/NDCG/P/R@k), and
-    ``bm25_deletes`` (tombstone-aware scoring, all three kernel paths)."""
+    ``bm25_deletes`` (tombstone-aware scoring, all three kernel paths).
+
+    r4 rotation 2 (same consolidation discipline): ``bm25_or`` merged into
+    ``bm25_topk`` (mode='or'), ``ngram_jaccard`` into ``minhash_pairs``
+    (method column, shared ``sim`` alias), and ``trigram_search`` into
+    ``boolean_search`` (mode='substring'/'regex' legs over the raw docs —
+    all three code-search query routes in one row).  The three freed slots
+    register ``curate`` (the FULL curation pipeline, every stage boundary
+    hash-checked via one CTE-chain oracle), ``completions`` (type-ahead
+    mining), and ``chunk_pack`` (both greedy packing folds, oracle =
+    per-group recursive walks)."""
     return {
         "sessionize": _q_sessionize,
         "json_parse": _q_json_parse,
@@ -1305,9 +1440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_index": _q_char_index,
         "suggest": _q_suggest,
         "dict": _q_dict,
+        "curate": _q_curate,
+        "completions": _q_completions,
+        "chunk_pack": _q_chunk_pack,
         "events_window": _q_events_window,
         "join_topk": _q_join_topk,
-        "trigram_search": _q_trigram_search,
         "boolean_search": _q_boolean_search,
         "filtered_bm25": _q_filtered_bm25,
         "evalrank": _q_evalrank,
@@ -1317,7 +1454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_idf": _q_term_idf,
         "doc_stats": _q_doc_stats,
         "bm25_topk": _q_bm25_topk,
-        "bm25_or": _q_bm25_or,
         "phrase_match": _q_phrase_match,
         "phrase_topk": _q_phrase_topk,
         "cosine_topk": _q_cosine_topk,
@@ -1332,7 +1468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "minhash_pairs": _q_minhash_pairs,
-        "ngram_jaccard": _q_ngram_jaccard,
         "contamination": _q_contamination,
         "embed_neardup": _q_embed_neardup,
         "ann_approx": _q_ann_approx,
@@ -2470,6 +2605,171 @@ cps AS (SELECT DISTINCT dict_id, ascii(ch) AS cp FROM chars)
 SELECT cp, string_agg(dict_id::varchar, ',' ORDER BY dict_id) AS ids_csv FROM cps GROUP BY cp
 """
 
+# Type-ahead completions oracle: mirrors _q_completions — the synthesized
+# log (first 20 chars of content), the operator's own lower / collapse-
+# whitespace / trim normalization, min_count=2 prune, per-character prefix
+# fan-out bounded by max_prefix=8, top-3 per prefix with the (count DESC,
+# completion ASC) tie-break.
+_COMPLETIONS_SQL = """
+WITH log AS (
+  SELECT trim(regexp_replace(lower(substring(text, 1, 20)), '\\s+', ' ', 'g')) AS completion
+  FROM documents
+),
+counts AS (
+  SELECT completion, count(*) AS cnt
+  FROM log WHERE len(completion) > 0
+  GROUP BY completion HAVING count(*) >= 2
+),
+pref AS (
+  SELECT completion, cnt,
+         unnest([substring(completion, 1, n)
+                 for n in range(1, least(len(completion), 8) + 1)]) AS prefix
+  FROM counts
+),
+ranked AS (
+  SELECT prefix, completion, cnt,
+         row_number() OVER (PARTITION BY prefix
+                            ORDER BY cnt DESC, completion ASC) AS rank
+  FROM pref
+)
+SELECT prefix, rank::INT AS rank, completion, cnt::BIGINT AS count
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _chunk_pack_sql() -> str:
+    """Mirror of _q_chunk_pack: the greedy fold re-stated as a per-group
+    recursive walk carrying (bin, fill) — new bin iff fill + tc > budget
+    AND fill > 0 (an over-budget unit becomes its own bin), exactly
+    operators/chunk.py::_greedy_bins.  Leg 1 walks word-per-line lines per
+    doc at budget 7; leg 2 walks (path, doc_id)-ordered files per repo at
+    budget 200."""
+    return f"""
+WITH RECURSIVE
+ml AS (
+  SELECT doc_id, regexp_replace(text, ' ', chr(10), 'g') AS content FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(content, chr(10)), 1) - 1 AS li,
+         unnest(string_split(content, chr(10))) AS ln
+  FROM ml
+),
+ltc AS (
+  SELECT doc_id, li, ln,
+         len(regexp_extract_all(lower(ln), '{TOKEN_RE}'))::BIGINT AS tc
+  FROM lines
+),
+cwalk AS (
+  SELECT doc_id, li, ln, tc, 0::BIGINT AS bin, tc AS fill FROM ltc WHERE li = 0
+  UNION ALL
+  SELECT l.doc_id, l.li, l.ln, l.tc,
+         CASE WHEN w.fill + l.tc > 7 AND w.fill > 0 THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill + l.tc > 7 AND w.fill > 0 THEN l.tc ELSE w.fill + l.tc END
+  FROM cwalk w JOIN ltc l ON l.doc_id = w.doc_id AND l.li = w.li + 1
+),
+cchunks AS (
+  SELECT doc_id, bin AS chunk_id, sum(tc)::BIGINT AS n_tokens,
+         string_agg(ln, chr(10) ORDER BY li) AS text
+  FROM cwalk GROUP BY doc_id, bin
+),
+cn AS (SELECT doc_id, count(*)::BIGINT AS n_parts FROM cchunks GROUP BY doc_id),
+files AS (
+  SELECT source AS repo, source || '/' || doc_id || '.txt' AS path, doc_id,
+         text AS content,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT AS tc
+  FROM documents
+),
+franked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo ORDER BY path, doc_id) - 1 AS fi
+  FROM files
+),
+pwalk AS (
+  SELECT repo, fi, path, doc_id, content, tc, 0::BIGINT AS bin, tc AS fill
+  FROM franked WHERE fi = 0
+  UNION ALL
+  SELECT f.repo, f.fi, f.path, f.doc_id, f.content, f.tc,
+         CASE WHEN w.fill + f.tc > 200 AND w.fill > 0 THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill + f.tc > 200 AND w.fill > 0 THEN f.tc ELSE w.fill + f.tc END
+  FROM pwalk w JOIN franked f ON f.repo = w.repo AND f.fi = w.fi + 1
+),
+psamples AS (
+  SELECT repo, bin AS sample_id, count(*)::BIGINT AS n_parts,
+         sum(tc)::BIGINT AS n_tokens,
+         string_agg('### ' || path || chr(10) || content, chr(10)
+                    ORDER BY path, doc_id) AS text
+  FROM pwalk GROUP BY repo, bin
+)
+SELECT 'chunk' AS mode, c.doc_id::VARCHAR AS key, c.chunk_id AS part_id,
+       n.n_parts, c.n_tokens, c.text
+FROM cchunks c JOIN cn n USING (doc_id)
+UNION ALL
+SELECT 'repopack' AS mode, repo AS key, sample_id AS part_id, n_parts,
+       n_tokens, text
+FROM psamples
+"""
+
+
+_CHUNK_PACK_SQL = _chunk_pack_sql()
+
+
+def _curate_sql() -> str:
+    """Mirror of _q_curate: the pipeline's stage rules as ONE CTE chain —
+    sha256 min-id survivors; the poly-family MinHash pair oracle
+    (_MINHASH_SQL) filtered to exact survivors (banding and estimated
+    Jaccard are per-pair, so subsetting endpoints ≡ re-mining over the
+    subset); transitive closure → cluster-min drops; the quality / 
+    repetition predicates of _QUALITY_SQL/_REPETITION_SQL; the polyhash62
+    stratified gate; the per-source rank quota over the sample survivors."""
+    return f"""
+WITH RECURSIVE
+sha AS (SELECT doc_id, sha256(text) AS h FROM documents),
+exact AS (SELECT min(doc_id) AS doc_id FROM sha GROUP BY h),
+mhp AS (
+  SELECT p.a_id, p.b_id FROM ({_MINHASH_SQL}) p
+  JOIN exact ea ON ea.doc_id = p.a_id
+  JOIN exact eb ON eb.doc_id = p.b_id
+),
+cnodes AS (SELECT a_id AS node FROM mhp UNION SELECT b_id FROM mhp),
+ced AS (SELECT a_id AS a, b_id AS b FROM mhp UNION SELECT b_id, a_id FROM mhp),
+creach AS (
+  SELECT node, node AS r FROM cnodes
+  UNION
+  SELECT e.b AS node, creach.r FROM creach JOIN ced e ON e.a = creach.node
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM creach GROUP BY node),
+neardup AS (
+  SELECT e.doc_id FROM exact e
+  LEFT JOIN comp c ON c.doc_id = e.doc_id
+  WHERE c.doc_id IS NULL OR c.cluster_id = e.doc_id
+),
+qpass AS (
+  SELECT q.doc_id FROM ({_QUALITY_SQL}) q
+  JOIN ({_REPETITION_SQL}) r USING (doc_id)
+  WHERE q.n_tokens >= 5 AND q.alpha_ratio >= 0.2 AND r.top_token_frac <= 0.5
+),
+quality AS (SELECT n.doc_id FROM neardup n JOIN qpass USING (doc_id)),
+strat AS (
+  SELECT q.doc_id, d.lang, d.source FROM quality q JOIN documents d USING (doc_id)
+  WHERE {_polyhash62_sql("CAST(q.doc_id AS VARCHAR)")} % 1000000
+        < (CASE d.lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                       WHEN 'fr' THEN 100000 ELSE 50000 END)
+),
+samp AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+    FROM strat
+  ) WHERE rk <= 10
+)
+SELECT 'exact' AS stage, doc_id FROM exact
+UNION ALL SELECT 'neardup', doc_id FROM neardup
+UNION ALL SELECT 'quality', doc_id FROM quality
+UNION ALL SELECT 'sample', doc_id FROM samp
+"""
+
+
+
 _SUGGEST_SQL = f"""
 WITH tok AS (
   SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word FROM documents
@@ -2672,7 +2972,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_postings,
                    sum(tf)::BIGINT AS n_tokens
             FROM tf GROUP BY shard""",
-        "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "embed_neardup": f"""
             SELECT 'exact' AS variant, e.* FROM ({_EMBED_NEARDUP_SQL}) e
             UNION ALL
@@ -2705,7 +3004,14 @@ SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
                    array_to_string(subs, ' ') AS subtok_str
             FROM s""",
         "simhash_dedup": _SIMHASH_DEDUP_SQL,
-        "minhash_pairs": _MINHASH_SQL,
+        # method='minhash' (LSH estimate) + method='ngram_exact' (true
+        # Jaccard) — the r4 slot merge of the former ngram_jaccard entry
+        "minhash_pairs": f"""
+            SELECT 'minhash' AS method, a_id, b_id, est_jaccard AS sim
+            FROM ({_MINHASH_SQL})
+            UNION ALL
+            SELECT 'ngram_exact' AS method, a_id, b_id, jaccard AS sim
+            FROM ({_NGRAM_JACCARD_SQL})""",
         "ann_approx": _ANN_APPROX_SQL,
         "code_clones": _CODE_CLONES_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
@@ -2713,6 +3019,9 @@ SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
         "dict": _DICT_SQL,
         "char_index": _CHAR_INDEX_SQL,
         "suggest": _SUGGEST_SQL,
+        "curate": _curate_sql(),
+        "completions": _COMPLETIONS_SQL,
+        "chunk_pack": _CHUNK_PACK_SQL,
         "events_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
@@ -2835,19 +3144,6 @@ SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
         # brute-force scans — the trigram index only prunes (verify stage is
         # exact), so scan ≡ engine output by construction; substring needles
         # via strpos, regex needles via regexp_matches (pos pinned to 0)
-        "trigram_search": f"""
-            SELECT q.needle_id::BIGINT AS needle_id, q.needle, d.doc_id,
-                   strpos(d.text, q.needle)::BIGINT AS pos
-            FROM documents d
-            CROSS JOIN (VALUES {", ".join(f"({i}, '{n}')" for i, n in _TRIGRAM_NEEDLES)})
-                 q(needle_id, needle)
-            WHERE strpos(d.text, q.needle) > 0
-            UNION ALL
-            SELECT r.needle_id::BIGINT, r.needle, d.doc_id, 0::BIGINT AS pos
-            FROM documents d
-            CROSS JOIN (VALUES {", ".join(f"({i}, '{n}')" for i, n in _TRIGRAM_REGEXES)})
-                 r(needle_id, needle)
-            WHERE regexp_matches(d.text, r.needle)""",
         "term_idf": f"""WITH {_SQL_TOK},
             tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
             dl AS (SELECT doc_id FROM tf GROUP BY doc_id),
@@ -2861,15 +3157,36 @@ SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
         "bm25_topk": f"""
             SELECT 'dense' AS mode, * FROM ({_BM25_SQL})
             UNION ALL
-            SELECT 'wand' AS mode, * FROM ({_BM25_SQL})""",
-        "bm25_or": _BM25_OR_SQL,
+            SELECT 'wand' AS mode, * FROM ({_BM25_SQL})
+            UNION ALL
+            SELECT 'or' AS mode, * FROM ({_BM25_OR_SQL})""",
         "bm25_deletes": f"""
             SELECT 'dense' AS mode, * FROM ({_BM25_DEL_AND_SQL})
             UNION ALL
             SELECT 'wand_and' AS mode, * FROM ({_BM25_DEL_AND_SQL})
             UNION ALL
             SELECT 'wand_or' AS mode, * FROM ({_BM25_DEL_OR_SQL})""",
-        "boolean_search": _BOOLEAN_SEARCH_SQL,
+        # mode='bool' (the zoekt algebra over synthesized code columns) +
+        # mode='substring'/'regex' (the former trigram_search entry, raw
+        # documents) — the r4 slot merge of all three code-search routes
+        "boolean_search": f"""
+            SELECT 'bool' AS mode, query_id, query, doc_id, 0::BIGINT AS pos
+            FROM ({_BOOLEAN_SEARCH_SQL})
+            UNION ALL
+            SELECT 'substring' AS mode, q.needle_id::BIGINT AS query_id,
+                   q.needle AS query, d.doc_id,
+                   strpos(d.text, q.needle)::BIGINT AS pos
+            FROM documents d
+            CROSS JOIN (VALUES {", ".join(f"({i}, '{n}')" for i, n in _TRIGRAM_NEEDLES)})
+                 q(needle_id, needle)
+            WHERE strpos(d.text, q.needle) > 0
+            UNION ALL
+            SELECT 'regex' AS mode, r.needle_id::BIGINT AS query_id,
+                   r.needle AS query, d.doc_id, 0::BIGINT AS pos
+            FROM documents d
+            CROSS JOIN (VALUES {", ".join(f"({i}, '{n}')" for i, n in _TRIGRAM_REGEXES)})
+                 r(needle_id, needle)
+            WHERE regexp_matches(d.text, r.needle)""",
         "filtered_bm25": _FILTERED_BM25_SQL,
         "evalrank": _EVALRANK_SQL,
         "phrase_topk": _bm25_sql(

@@ -50,11 +50,14 @@ from searchenginesimple_spark.sources.io import TableIO
 
 @dataclass(frozen=True)
 class CurateConfig:
-    # neardup stage (MinHash-LSH banding)
+    # neardup stage (MinHash-LSH banding).  minhash_family: "xxhash"
+    # (production default) or "poly" (the affine family every value of
+    # which a SQL oracle can reproduce — operators/dedup.py)
     minhash_threshold: float = 0.7
     minhash_hashes: int = 64
     minhash_bands: int = 16
     shingle_n: int = 5
+    minhash_family: str = "xxhash"
     # quality stage
     min_tokens: int = 5
     min_alpha_ratio: float = 0.2
@@ -215,6 +218,7 @@ def curate(
             shingle_n=cfg.shingle_n,
             threshold=cfg.minhash_threshold,
             text_col=text_col,
+            hash_family=cfg.minhash_family,
         )
         cc = connected_components(pairs, "a_id", "b_id")
         # clustered non-minimum members are the drops; everything else stays

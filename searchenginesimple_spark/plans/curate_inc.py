@@ -86,7 +86,8 @@ def _sigs(docs: DataFrame, cfg: CurateConfig, text_col: str) -> DataFrame:
         "doc_id", F.sha2(F.col(text_col), 256).alias("sha256")
     )
     sig = minhash_signatures(
-        docs, cfg.minhash_hashes, cfg.shingle_n, text_col=text_col
+        docs, cfg.minhash_hashes, cfg.shingle_n, text_col=text_col,
+        hash_family=cfg.minhash_family,
     )
     return sha.join(sig, "doc_id", "left")  # empty docs have no shingles
 
@@ -96,7 +97,9 @@ def _banded(sigs: DataFrame, cfg: CurateConfig) -> DataFrame:
     # within-delta and delta-vs-base candidate generators cannot diverge
     from searchenginesimple_spark.operators.dedup import minhash_banded
 
-    return minhash_banded(sigs, cfg.minhash_hashes, cfg.minhash_bands)
+    return minhash_banded(
+        sigs, cfg.minhash_hashes, cfg.minhash_bands, cfg.minhash_family
+    )
 
 
 def curate_increment(
@@ -249,6 +252,7 @@ def curate_increment(
             shingle_n=cfg.shingle_n,
             threshold=cfg.minhash_threshold,
             text_col=text_col,
+            hash_family=cfg.minhash_family,
         )
         cc = connected_components(pairs, "a_id", "b_id")
         drops_within = cc.filter(F.col("node") != F.col("component")).select(
