@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from searchenginesimple_spark.config import DEFAULT, TOKEN_RE
@@ -124,11 +124,23 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/trigram.py — pos carries the 1-based first hit) and
     mode='regex' (Cox compiler, operators/trigram_regex.py) legs over the
     RAW documents and their own trigram index; the algebra is the
-    mode='bool' leg.  All three code-search query routes in one hash row."""
+    mode='bool' leg.
+
+    The two results-page surfaces ride along too (previously pytest-twin
+    only), reusing the SAME synthesized index: mode='ranked' =
+    trigram_search_topk_ranked (zoekt's symbol>path>count boost ladder;
+    pos = rank, detail = 'symbol_match|path_match|n_occurrences'; the
+    ranked corpus re-synthesizes path with the doc's 3rd word so the
+    path-boost dimension actually varies) and mode='lines' =
+    trigram_search_lines (grep-style per-line matches; pos = 1-based
+    line_no, detail = the line).  All five code-search query routes in
+    one hash row."""
     from searchenginesimple_spark.operators.boolquery import boolean_search
     from searchenginesimple_spark.operators.trigram import (
         build_trigram_index,
         trigram_search,
+        trigram_search_lines,
+        trigram_search_topk_ranked,
     )
     from searchenginesimple_spark.operators.trigram_regex import (
         trigram_regex_search,
@@ -140,17 +152,13 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.concat(F.col("source"), F.lit("/"), F.col("doc_id"), F.lit(".txt")).alias("path"),
         F.col("source").alias("repo"),
-        F.concat(
-            F.col("content"),
-            F.lit("\ndef "),
-            F.split_part(F.col("content"), F.lit(" "), F.lit(1)),
-            F.lit("_fn(x):\n    return x\n"),
-        ).alias("content"),
+        _synth_code_content(F.col("content")).alias("content"),
     )
     postings, stats = build_trigram_index(docs)
     booll = boolean_search(docs, postings, stats, BOOL_QUERY_SET).select(
         F.lit("bool").alias("mode"), "query_id", "query", "doc_id",
         F.lit(0).cast("long").alias("pos"),
+        F.lit("").alias("detail"),
     )
     raw_postings, raw_stats = build_trigram_index(base)
     needles = spark.createDataFrame(
@@ -162,6 +170,7 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("needle").alias("query"),
         "doc_id",
         "pos",
+        F.lit("").alias("detail"),
     )
     rex = trigram_regex_search(base, raw_postings, raw_stats, _TRIGRAM_REGEXES).select(
         F.lit("regex").alias("mode"),
@@ -169,8 +178,51 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("needle").alias("query"),
         "doc_id",
         F.lit(0).cast("long").alias("pos"),
+        F.lit("").alias("detail"),
     )
-    return booll.unionByName(sub).unionByName(rex)
+    # ranked leg: same synthesized content (⇒ same trigram index is
+    # sound), path re-synthesized with the 3rd word so path_match varies
+    ranked_docs = base.select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("/"),
+            F.split_part(F.col("content"), F.lit(" "), F.lit(3)),
+            F.lit("/"), F.col("doc_id"), F.lit(".txt"),
+        ).alias("path"),
+        _synth_code_content(F.col("content")).alias("content"),
+    )
+    rneedles = spark.createDataFrame(
+        _RANKED_NEEDLES, "needle_id long, needle string"
+    )
+    ranked = trigram_search_topk_ranked(
+        ranked_docs, postings, stats, rneedles, k=10
+    ).select(
+        F.lit("ranked").alias("mode"),
+        F.col("needle_id").alias("query_id"),
+        F.col("needle").alias("query"),
+        "doc_id",
+        F.col("rank").cast("long").alias("pos"),
+        F.concat_ws(
+            "|", F.col("symbol_match"), F.col("path_match"), F.col("n_occurrences")
+        ).alias("detail"),
+    )
+    lneedles = spark.createDataFrame(
+        _LINES_NEEDLES, "needle_id long, needle string"
+    )
+    lines = trigram_search_lines(docs, postings, stats, lneedles).select(
+        F.lit("lines").alias("mode"),
+        F.col("needle_id").alias("query_id"),
+        F.col("needle").alias("query"),
+        "doc_id",
+        F.col("line_no").alias("pos"),
+        F.col("line").alias("detail"),
+    )
+    return (
+        booll.unionByName(sub)
+        .unionByName(rex)
+        .unionByName(ranked)
+        .unionByName(lines)
+    )
 
 
 # Hybrid query set: (query_id, free text to rank, boolean filter or None).
@@ -265,6 +317,43 @@ _TRIGRAM_REGEXES: list[tuple[int, str]] = [
     (6, "(fast|slow) ta"),       # alternation → two branches
     (7, "hash .*value"),         # wildcard gap → two required segments
     (8, "scan (slow|missing_zz)"),  # one matching + one absent branch
+]
+
+
+def _synth_code_content(content: Column) -> Column:
+    """The synthesized code shape shared by every boolean_search leg:
+    the prose line + one definition line ``def <tok1>_fn(x):`` + its body
+    — so ``sym:`` atoms, the symbol-boost ladder, and multi-line grep
+    semantics all have real structure to match."""
+    return F.concat(
+        content,
+        F.lit("\ndef "),
+        F.split_part(content, F.lit(" "), F.lit(1)),
+        F.lit("_fn(x):\n    return x\n"),
+    )
+
+
+# Needles for the mode='ranked' boost-ladder leg (zoekt ordering:
+# symbol_match > path_match > n_occurrences > doc_id).  '_fn' lives in
+# every synthesized symbol (symbol dimension saturated — ordering falls
+# through to occurrences); 'merge'/'spark'/'window' hit symbols only where
+# the doc's FIRST word is that word, hit the path only where its THIRD
+# word is (the re-synthesized ranked path) — all three dimensions vary.
+_RANKED_NEEDLES: list[tuple[int, str]] = [
+    (0, "_fn"),
+    (1, "merge"),
+    (2, "spark"),
+    (3, "window"),
+]
+
+# Needles for the mode='lines' grep leg over the 3-line synthesized docs:
+# prose hits on line 1, definition-line hits on line 2 ('def '), body
+# hits on line 3 ('return x'); 'spark' additionally hits line 2 when the
+# first word is 'spark' (symbol name contains it).
+_LINES_NEEDLES: list[tuple[int, str]] = [
+    (0, "def "),
+    (1, "return x"),
+    (2, "spark"),
 ]
 
 
@@ -1678,6 +1767,76 @@ WITH d AS (
 
 
 _BOOLEAN_SEARCH_SQL = _boolean_search_sql()
+
+
+_SQL_SYNTH_CODE = (
+    "text || chr(10) || 'def ' || split_part(text, ' ', 1)"
+    " || '_fn(x):' || chr(10) || '    return x' || chr(10)"
+)
+
+
+def _ranked_sql() -> str:
+    """Mirror of the mode='ranked' leg: zoekt's boost ladder re-stated as
+    plain SQL — symbol defs from the SAME regex battery the engine uses
+    (functions/code.py::SYMBOL_PATTERNS), path/occurrence arithmetic
+    inline, one window per needle with the full 4-key ordering."""
+    from searchenginesimple_spark.functions.code import SYMBOL_PATTERNS
+
+    sym_arrs = " || ".join(
+        f"regexp_extract_all(d2.c, '{p.replace(chr(39), chr(39) * 2)}', 1)"
+        for p in SYMBOL_PATTERNS.values()
+    )
+    n_vals = ", ".join(f"({i}, '{n}')" for i, n in _RANKED_NEEDLES)
+    return f"""
+WITH d2 AS (
+  SELECT doc_id,
+         source || '/' || split_part(text, ' ', 3) || '/' || doc_id || '.txt' AS path,
+         {_SQL_SYNTH_CODE} AS c
+  FROM documents
+),
+n(needle_id, needle) AS (VALUES {n_vals}),
+m AS (
+  SELECT n.needle_id, n.needle, d2.doc_id,
+         (len(list_filter({sym_arrs}, s -> strpos(s, n.needle) > 0)) > 0)::INT AS symbol_match,
+         (strpos(d2.path, n.needle) > 0)::INT AS path_match,
+         ((length(d2.c) - length(replace(d2.c, n.needle, ''))) / length(n.needle))::BIGINT AS n_occurrences
+  FROM d2 CROSS JOIN n
+  WHERE strpos(d2.c, n.needle) > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY needle_id
+      ORDER BY symbol_match DESC, path_match DESC, n_occurrences DESC, doc_id ASC) AS rnk
+  FROM m
+)
+SELECT needle_id::BIGINT AS query_id, needle AS query, doc_id,
+       rnk::BIGINT AS pos,
+       symbol_match::VARCHAR || '|' || path_match::VARCHAR || '|' || n_occurrences::VARCHAR AS detail
+FROM r WHERE rnk <= 10"""
+
+
+def _lines_sql() -> str:
+    """Mirror of the mode='lines' leg: grep semantics directly — split the
+    synthesized content on newlines with 1-based ordinals, keep lines
+    containing the needle."""
+    n_vals = ", ".join(f"({i}, '{n}')" for i, n in _LINES_NEEDLES)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, string_split({_SQL_SYNTH_CODE}, chr(10)) AS ls FROM documents
+),
+x AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(generate_series(1, len(ls))) AS ln
+  FROM dl
+),
+n(needle_id, needle) AS (VALUES {n_vals})
+SELECT n.needle_id::BIGINT AS query_id, n.needle AS query, x.doc_id,
+       x.ln::BIGINT AS pos, x.line AS detail
+FROM x CROSS JOIN n
+WHERE strpos(x.line, n.needle) > 0"""
+
+
+_RANKED_SQL = _ranked_sql()
+_LINES_SQL = _lines_sql()
 
 
 def _filtered_bm25_sql() -> str:
@@ -3170,23 +3329,28 @@ SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
         # mode='substring'/'regex' (the former trigram_search entry, raw
         # documents) — the r4 slot merge of all three code-search routes
         "boolean_search": f"""
-            SELECT 'bool' AS mode, query_id, query, doc_id, 0::BIGINT AS pos
+            SELECT 'bool' AS mode, query_id, query, doc_id, 0::BIGINT AS pos,
+                   '' AS detail
             FROM ({_BOOLEAN_SEARCH_SQL})
             UNION ALL
             SELECT 'substring' AS mode, q.needle_id::BIGINT AS query_id,
                    q.needle AS query, d.doc_id,
-                   strpos(d.text, q.needle)::BIGINT AS pos
+                   strpos(d.text, q.needle)::BIGINT AS pos, '' AS detail
             FROM documents d
             CROSS JOIN (VALUES {", ".join(f"({i}, '{n}')" for i, n in _TRIGRAM_NEEDLES)})
                  q(needle_id, needle)
             WHERE strpos(d.text, q.needle) > 0
             UNION ALL
             SELECT 'regex' AS mode, r.needle_id::BIGINT AS query_id,
-                   r.needle AS query, d.doc_id, 0::BIGINT AS pos
+                   r.needle AS query, d.doc_id, 0::BIGINT AS pos, '' AS detail
             FROM documents d
             CROSS JOIN (VALUES {", ".join(f"({i}, '{n}')" for i, n in _TRIGRAM_REGEXES)})
                  r(needle_id, needle)
-            WHERE regexp_matches(d.text, r.needle)""",
+            WHERE regexp_matches(d.text, r.needle)
+            UNION ALL
+            SELECT 'ranked' AS mode, * FROM ({_RANKED_SQL})
+            UNION ALL
+            SELECT 'lines' AS mode, * FROM ({_LINES_SQL})""",
         "filtered_bm25": _FILTERED_BM25_SQL,
         "evalrank": _EVALRANK_SQL,
         "phrase_topk": _bm25_sql(

@@ -361,15 +361,38 @@ def build_index(
     )
 
 
-def read_docstore(io: TableIO) -> DataFrame:
+def read_docstore(io: TableIO, verify_sha: bool = False) -> DataFrame:
     """The logical docstore = raw staged docs ∩ dedup survivors (with simhash).
 
     Content bytes are stored once (docstore_raw); the survivors table is
     (doc_id, simhash, shard) only.
+
+    ``verify_sha=True`` enforces the north rule's per-row invariant —
+    content sha256 equality against the hash stamped at stage time
+    (input_hint: "per-row invariant vs the reference: content sha256
+    equality").  The check is a map-side projection (``sha2`` ≡ the stored
+    column, else a distributed ``raise_error`` that fails the reading task
+    on the FIRST corrupt row) — no extra action, no collect, and the scan
+    still prunes/pushes down around it, so it is safe to leave on for
+    fetch paths at any scale.
     """
-    return io.read("docstore_raw").join(
+    out = io.read("docstore_raw").join(
         io.read("survivors").select("doc_id", "simhash"), "doc_id", "inner"
     )
+    if verify_sha:
+        ok = F.sha2(F.col("content"), 256) == F.col("sha256")
+        out = out.withColumn(
+            "content",
+            F.when(ok, F.col("content")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("docstore corruption: content sha256 mismatch for doc_id="),
+                        F.col("doc_id").cast("string"),
+                    )
+                )
+            ),
+        )
+    return out
 
 
 def load_index(io: TableIO) -> tuple[DataFrame, DataFrame, IndexStats]:

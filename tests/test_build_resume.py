@@ -92,6 +92,45 @@ def test_noop_resume_rebuilds_nothing(spark, raw_docs, tmp_path_factory):
     assert r2.resumed_shards == r1.n_shards
 
 
+def test_read_docstore_verify_sha(spark, raw_docs, tmp_path_factory):
+    """North-rule per-row invariant: read_docstore(verify_sha=True) is a
+    no-op projection on a clean store, and fails the reading TASK (via a
+    distributed raise_error, no collect) on the first corrupt row."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401  (doc aid)
+
+    from searchenginesimple_spark.plans.build import read_docstore
+
+    io = TableIO(spark, str(tmp_path_factory.mktemp("idx_sha")))
+    build_index(spark, raw_docs, io, CFG)
+
+    clean = read_docstore(io).toPandas().sort_values("doc_id").reset_index(drop=True)
+    checked = (
+        read_docstore(io, verify_sha=True)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(clean, checked)
+
+    # corrupt exactly one row's content in place (hash stamp left stale)
+    store = io.read("docstore_raw")
+    bad_id = store.select(F.min("doc_id")).first()[0]
+    corrupted = store.withColumn(
+        "content",
+        F.when(F.col("doc_id") == bad_id, F.lit("tampered")).otherwise(F.col("content")),
+    )
+    corrupted.write.mode("overwrite").parquet(io.path("docstore_corrupt"))
+    spark.read.parquet(io.path("docstore_corrupt")).write.mode("overwrite").parquet(
+        io.path("docstore_raw")
+    )
+
+    with pytest.raises(Exception, match="sha256 mismatch"):
+        read_docstore(io, verify_sha=True).select("doc_id", "content").collect()
+    # without the flag the corruption sails through silently — the flag is
+    # the contract, not the storage layer
+    assert read_docstore(io).count() == len(clean)
+
+
 def test_exists_probe_semantics(spark, tmp_path_factory):
     """fs-level exists(): False for absent, True for written tables; with
     committed=True a directory missing the _SUCCESS job-commit marker (the
