@@ -1152,6 +1152,20 @@ def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_topk(d, ci, qdf)
 
 
+# Shared passage injected onto a deterministic ~1/16 of the corpus by the
+# curate entry (and its oracle's docs0 CTE — byte-identical f-string const):
+# the synthetic documents table has no shared passages left after DOC-level
+# dedup, so without it the span-dedup leg is vacuously empty.  22 tokens —
+# long enough that winnowing (k=5, w=4) selects several fingerprints fully
+# inside the shared region on every carrier, short enough that carriers stay
+# below the MinHash 0.5 near-dup threshold for all but the shortest docs
+# (those cluster and drop at the neardup stage, identically on both sides).
+_CURATE_HEADER = (
+    "license header this file is part of the shared corpus released "
+    "under the apache license version two zero for span dedup testing "
+)
+
+
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL training-data curation pipeline under the driver hash gate
     (plans/curate.py; §2-plus flagship, pytest-only until r4): exact sha256
@@ -1162,13 +1176,32 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stage, doc_id), so the oracle re-derives each stage's rule as one CTE
     chain — every boundary of the pipeline is hash-checked, not just the
     final kept set.  Runs against a fresh temp TableIO root per call (the
-    resume machinery itself is pinned in tests/test_curate.py)."""
+    resume machinery itself is pinned in tests/test_curate.py).
+
+    r4: the SPAN-LEVEL dedup stage rides along (despan_min_tokens=6,
+    hash-gated for the first time — operators/spandedup.py, the Lee et
+    al. 2022 exact-substring cut, span discovery via winnowing with the
+    SQL-reproducible poly family).  The 'despan' leg emits the rewritten
+    docs with content_sha = sha256 of the CLEANED text, so the oracle
+    must reproduce the byte-exact cut (removed token i takes its
+    following inter-token gap with it), and the quality/sample legs
+    downstream shift with the cleaned text — the despan→quality boundary
+    is hash-pinned, not just the rewritten id set.  _CURATE_HEADER is
+    prepended to doc_id % 16 == 3 docs on BOTH sides so the cut has a
+    real shared passage to find (the synthetic corpus has none left
+    after doc-level dedup)."""
     import tempfile
 
     from searchenginesimple_spark.plans.curate import CurateConfig, curate
     from searchenginesimple_spark.sources.io import TableIO
 
-    docs = load_documents(spark, sf_dir)
+    docs = load_documents(spark, sf_dir).withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") % 16 == 3,
+            F.concat(F.lit(_CURATE_HEADER), F.col("content")),
+        ).otherwise(F.col("content")),
+    )
     io = TableIO(spark, tempfile.mkdtemp(prefix="curate_entry_"))
     cfg = CurateConfig(
         minhash_threshold=0.5,
@@ -1176,14 +1209,20 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_rates={"en": 0.5, "de": 0.25, "fr": 0.1},
         default_sample_rate=0.05,
         per_source_cap=10,
+        despan_min_tokens=6,
+        despan_hash_family="poly",
     )
     curate(spark, docs, io, cfg)
-    out = None
+    out = io.read("curate_despan").select(
+        F.lit("despan").alias("stage"),
+        "doc_id",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
     for stage in ("exact", "neardup", "quality", "sample"):
         leg = io.read(f"curate_{stage}_ids").select(
-            F.lit(stage).alias("stage"), "doc_id"
+            F.lit(stage).alias("stage"), "doc_id", F.lit("").alias("content_sha")
         )
-        out = leg if out is None else out.unionByName(leg)
+        out = out.unionByName(leg)
     return out
 
 
@@ -2502,10 +2541,12 @@ WHERE p.shared >= 1
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     """MinHash-LSH oracle: affine polynomial family with the engine's seeded
     constants inlined as a VALUES table — mirrors
-    operators/dedup.py::minhash_dup_pairs(hash_family='poly')."""
+    operators/dedup.py::minhash_dup_pairs(hash_family='poly').  ``src`` is
+    the table/CTE holding (doc_id, text) — the curate oracle passes its
+    header-injected ``docs0`` CTE."""
     from searchenginesimple_spark.operators.dedup import (
         BAND_FOLD_MULT,
         MINHASH_P,
@@ -2516,7 +2557,7 @@ def _minhash_sql() -> str:
     consts = ", ".join(f"({i}, {a[i]}, {b[i]})" for i in range(64))
     return f"""
 WITH tokd AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM {src}
 ),
 sh AS (
   SELECT doc_id,
@@ -2877,15 +2918,33 @@ def _curate_sql() -> str:
     sha256 min-id survivors; the poly-family MinHash pair oracle
     (_MINHASH_SQL) filtered to exact survivors (banding and estimated
     Jaccard are per-pair, so subsetting endpoints ≡ re-mining over the
-    subset); transitive closure → cluster-min drops; the quality / 
-    repetition predicates of _QUALITY_SQL/_REPETITION_SQL; the polyhash62
-    stratified gate; the per-source rank quota over the sample survivors."""
+    subset); transitive closure → cluster-min drops; the r4 despan stage
+    (winnow fingerprints → shared-fp pairs → gap-merged spans on the
+    b side → byte-exact token cut, sha256-pinned); quality/repetition
+    predicates over the CLEANED text; the polyhash62 stratified gate; the
+    per-source rank quota over the sample survivors.
+
+    Despan constants mirror the entry's CurateConfig + operator defaults:
+    k=5, w=4 (the code_clones winnow mirror), clone_pairs min_shared=2
+    with fp df ≤ 64 (min_similarity=0 ⇒ no size join needed), clone_spans
+    max_gap=12 / end_tok=max_pos+k−1, min_span_tokens=6.  The rebuild is
+    the spandedup fold re-stated: toks/gaps from the SAME (?i) token
+    regex, removed token i drops toks[i]||gaps[i+1], survivors keep
+    gaps[0] as prefix."""
+    ci_re = "(?i)" + TOKEN_RE
     return f"""
 WITH RECURSIVE
-sha AS (SELECT doc_id, sha256(text) AS h FROM documents),
+docs0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 16 = 3 THEN '{_CURATE_HEADER}' || text
+              ELSE text END AS text,
+         lang, source
+  FROM documents
+),
+sha AS (SELECT doc_id, sha256(text) AS h FROM docs0),
 exact AS (SELECT min(doc_id) AS doc_id FROM sha GROUP BY h),
 mhp AS (
-  SELECT p.a_id, p.b_id FROM ({_MINHASH_SQL}) p
+  SELECT p.a_id, p.b_id FROM ({_minhash_sql("docs0")}) p
   JOIN exact ea ON ea.doc_id = p.a_id
   JOIN exact eb ON eb.doc_id = p.b_id
 ),
@@ -2902,14 +2961,110 @@ neardup AS (
   LEFT JOIN comp c ON c.doc_id = e.doc_id
   WHERE c.doc_id IS NULL OR c.cluster_id = e.doc_id
 ),
+ndocs AS (SELECT d.doc_id, d.text FROM docs0 d JOIN neardup USING (doc_id)),
+wtok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM ndocs
+),
+wgrams AS (
+  SELECT doc_id, unnest([{{'pos': i-1, 'g': array_to_string(toks[i:i+4], ' ')}}
+                         for i in range(1, len(toks)-3)], recursive := true)
+  FROM wtok WHERE len(toks) >= 5
+),
+whashed AS (
+  SELECT doc_id, pos,
+    list_reduce(list_prepend(7::BIGINT,
+        list_transform(regexp_extract_all(g, '(?s).'), c -> ascii(c)::BIGINT)),
+      (acc,c) -> (acc*31 + c) % 2147483647) * 2147483648
+    + list_reduce(list_prepend(11::BIGINT,
+        list_transform(regexp_extract_all(g, '(?s).'), c -> ascii(c)::BIGINT)),
+      (acc,c) -> (acc*37 + c) % 2147483647) AS h
+  FROM wgrams
+),
+wkeyed AS (
+  SELECT doc_id, pos, h,
+         (h % 68719476736) * 33554432 + (33554431 - pos) AS key
+  FROM whashed
+),
+wsel AS (
+  SELECT DISTINCT doc_id,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS skey
+  FROM wkeyed
+  QUALIFY pos >= least(4, count(*) OVER (PARTITION BY doc_id)) - 1
+),
+wfp AS (
+  SELECT DISTINCT k.doc_id, k.pos, k.h AS fp
+  FROM wsel s JOIN wkeyed k
+    ON k.doc_id = s.doc_id AND k.pos = 33554431 - (s.skey % 33554432)
+),
+wkept AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+    FROM (SELECT DISTINCT doc_id, fp FROM wfp)
+  ) WHERE df <= 64
+),
+wpairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+),
+wmatch AS (
+  SELECT DISTINCT p.a_id, p.b_id, fb.pos
+  FROM wpairs p
+  JOIN (SELECT DISTINCT doc_id, fp FROM wfp) fa ON fa.doc_id = p.a_id
+  JOIN wfp fb ON fb.doc_id = p.b_id AND fb.fp = fa.fp
+),
+wspan AS (
+  SELECT a_id, b_id, min(pos) AS s, max(pos) + 4 AS e
+  FROM (
+    SELECT a_id, b_id, pos,
+           sum(brk) OVER (PARTITION BY a_id, b_id ORDER BY pos) AS span_id
+    FROM (
+      SELECT a_id, b_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY a_id, b_id ORDER BY pos) > 12
+                  THEN 1 ELSE 0 END AS brk
+      FROM wmatch)
+  ) GROUP BY a_id, b_id, span_id
+),
+cut AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS spans FROM (
+    SELECT DISTINCT b_id AS doc_id, s, e FROM wspan WHERE e - s + 1 >= 6
+  ) GROUP BY doc_id
+),
+rw AS (
+  SELECT doc_id,
+         g[1] || array_to_string(
+           [CASE WHEN len(list_filter(spans, sp -> (i-1) >= sp.s AND (i-1) <= sp.e)) > 0
+                 THEN '' ELSE t[i] || g[i+1] END
+            for i in range(1, len(t)+1)], '') AS new_text
+  FROM (
+    SELECT c.doc_id, c.spans,
+           regexp_extract_all(n.text, '{ci_re}') AS t,
+           regexp_split_to_array(n.text, '{ci_re}') AS g
+    FROM cut c JOIN ndocs n USING (doc_id))
+),
+cleaned AS (
+  SELECT d.doc_id, coalesce(rw.new_text, d.text) AS text
+  FROM docs0 d LEFT JOIN rw USING (doc_id)
+),
+qfeat AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM cleaned
+),
 qpass AS (
-  SELECT q.doc_id FROM ({_QUALITY_SQL}) q
-  JOIN ({_REPETITION_SQL}) r USING (doc_id)
-  WHERE q.n_tokens >= 5 AND q.alpha_ratio >= 0.2 AND r.top_token_frac <= 0.5
+  SELECT doc_id FROM qfeat
+  WHERE len(toks) >= 5
+    AND (CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+         ELSE 0.0 END) >= 0.2
+    AND (CASE WHEN len(toks) > 0
+         THEN list_max(list_transform(list_distinct(toks),
+              u -> len(list_filter(toks, x -> x = u))))::DOUBLE / len(toks)
+         ELSE 0.0 END) <= 0.5
 ),
 quality AS (SELECT n.doc_id FROM neardup n JOIN qpass USING (doc_id)),
 strat AS (
-  SELECT q.doc_id, d.lang, d.source FROM quality q JOIN documents d USING (doc_id)
+  SELECT q.doc_id, d.lang, d.source FROM quality q JOIN docs0 d USING (doc_id)
   WHERE {_polyhash62_sql("CAST(q.doc_id AS VARCHAR)")} % 1000000
         < (CASE d.lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                        WHEN 'fr' THEN 100000 ELSE 50000 END)
@@ -2921,10 +3076,11 @@ samp AS (
     FROM strat
   ) WHERE rk <= 10
 )
-SELECT 'exact' AS stage, doc_id FROM exact
-UNION ALL SELECT 'neardup', doc_id FROM neardup
-UNION ALL SELECT 'quality', doc_id FROM quality
-UNION ALL SELECT 'sample', doc_id FROM samp
+SELECT 'despan' AS stage, doc_id, sha256(new_text) AS content_sha FROM rw
+UNION ALL SELECT 'exact', doc_id, '' FROM exact
+UNION ALL SELECT 'neardup', doc_id, '' FROM neardup
+UNION ALL SELECT 'quality', doc_id, '' FROM quality
+UNION ALL SELECT 'sample', doc_id, '' FROM samp
 """
 
 

@@ -86,6 +86,11 @@ class CurateConfig:
     despan_k: int = 5
     despan_w: int = 4
     despan_min_shared: int = 2
+    # winnow hash family for the despan fingerprints — "xx" (xxhash64,
+    # production default) or "poly" (polyhash62: slower but reproducible
+    # in plain SQL, the oracle-verification family; the minhash_family
+    # precedent)
+    despan_hash_family: str = "xx"
     # prefilter stage (all defaults off → stage is a pass-through and
     # writes no table): the "not first-party human code" exclusions of
     # functions/code.py — license allow-list, vendored paths, generated
@@ -255,7 +260,11 @@ def curate(
 
             d = docs.join(neardup_ids, "doc_id", "left_semi")
             fps = winnow_fingerprints(
-                d, k=cfg.despan_k, w=cfg.despan_w, content_col=text_col
+                d,
+                k=cfg.despan_k,
+                w=cfg.despan_w,
+                content_col=text_col,
+                hash_family=cfg.despan_hash_family,
             )
             spans = clone_spans(
                 fps,
