@@ -98,11 +98,17 @@ def connected_components(
     Raises if the star-contraction has not converged after ``max_rounds``
     alternations (2·log₂(n) rounds suffice in theory; real graphs converge
     in a handful)."""
+    # Materialize the input ONCE before anything derives from it: nodes and
+    # e below would otherwise each re-execute the caller's full edge lineage
+    # (for curate's neardup stage that lineage is the whole MinHash-LSH pair
+    # mine — measured 116 s at 50k docs, paid twice = the dominant cost of
+    # the curate_pipeline bench before this checkpoint existed).
     raw = edges.select(
         F.col(a).cast("long").alias("a"), F.col(b).cast("long").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     # Node universe from the RAW endpoints, BEFORE the self-loop drop: a
-    # node whose only edge is (x, x) still gets its singleton row.
+    # node whose only edge is (x, x) still gets its singleton row.  Derived
+    # from the checkpoint, so this is one cheap distinct, not a re-mine.
     nodes = (
         raw.select(F.col("a").alias("node"))
         .unionAll(raw.select(F.col("b").alias("node")))
