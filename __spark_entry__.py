@@ -1189,10 +1189,31 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-pinned, not just the rewritten id set.  _CURATE_HEADER is
     prepended to doc_id % 16 == 3 docs on BOTH sides so the cut has a
     real shared passage to find (the synthetic corpus has none left
-    after doc-level dedup)."""
+    after doc-level dedup).
+
+    r4 leg 2 — INCREMENTAL curation (plans/curate_inc.py, the last
+    pytest-only LLM-pipeline family): after the batch run commits, a
+    deterministic DELTA is admitted through curate_increment against the
+    same root — doc_id%16==1 docs re-submitted verbatim under new ids
+    (+1e7: the exact-dup-of-base case, where kept-only scope decides —
+    copies of KEPT docs die on the sha anti-join / band join, copies of
+    REJECTED docs are re-adjudicated) and doc_id%16==6 docs under a
+    vowel-substitution cipher (+2e7, translate aeiou→uoiea: similarity to
+    the Latin-script base is destroyed deterministically; zh docs pass
+    through unchanged and exercise the cross-set dedup again).  The
+    inc_* legs hash every incremental stage boundary: within-delta
+    min-id + base-sha anti-join (inc_exact), within-delta CC plus the
+    banded signature join against the PERSISTED base state — which holds
+    sha/sigs of the despan-CLEANED kept text, so the oracle's base side
+    is the cleaned text too (inc_neardup), delta-only quality
+    (inc_quality), and the stratified gate + GLOBAL per-source quota
+    (remaining budget = cap − batch-kept-per-source) through the
+    generation-partitioned commit (inc_kept, read back from
+    curate_kept_gen gen=1)."""
     import tempfile
 
     from searchenginesimple_spark.plans.curate import CurateConfig, curate
+    from searchenginesimple_spark.plans.curate_inc import curate_increment
     from searchenginesimple_spark.sources.io import TableIO
 
     docs = load_documents(spark, sf_dir).withColumn(
@@ -1213,6 +1234,41 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         despan_hash_family="poly",
     )
     curate(spark, docs, io, cfg)
+
+    raw = load_documents(spark, sf_dir)
+    delta = (
+        raw.filter(F.col("doc_id") % 16 == 1)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "content",
+            "lang",
+            "source",
+        )
+        .unionByName(
+            raw.filter(F.col("doc_id") % 16 == 6).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                F.translate(F.col("content"), "aeiou", "uoiea").alias(
+                    "content"
+                ),
+                "lang",
+                "source",
+            )
+        )
+        .unionByName(
+            # header-injected docs resubmitted WITH the header: their kept
+            # base text was despan-CLEANED, so the sha anti-join misses and
+            # the banded signature join against the persisted base state
+            # must make the drop — the cross-set near-dup path fires
+            docs.filter(F.col("doc_id") % 16 == 3).select(
+                (F.col("doc_id") + 30_000_000).alias("doc_id"),
+                "content",
+                "lang",
+                "source",
+            )
+        )
+    )
+    curate_increment(spark, delta, io, cfg)
+
     out = io.read("curate_despan").select(
         F.lit("despan").alias("stage"),
         "doc_id",
@@ -1223,7 +1279,23 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(stage).alias("stage"), "doc_id", F.lit("").alias("content_sha")
         )
         out = out.unionByName(leg)
-    return out
+    for stage in ("exact", "neardup", "quality"):
+        leg = io.read(f"curate_g1_{stage}_ids").select(
+            F.lit(f"inc_{stage}").alias("stage"),
+            "doc_id",
+            F.lit("").alias("content_sha"),
+        )
+        out = out.unionByName(leg)
+    kept1 = (
+        io.read("curate_kept_gen")
+        .filter(F.col("gen") == 1)
+        .select(
+            F.lit("inc_kept").alias("stage"),
+            "doc_id",
+            F.lit("").alias("content_sha"),
+        )
+    )
+    return out.unionByName(kept1)
 
 
 def _q_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2930,7 +3002,20 @@ def _curate_sql() -> str:
     max_gap=12 / end_tok=max_pos+k−1, min_span_tokens=6.  The rebuild is
     the spandedup fold re-stated: toks/gaps from the SAME (?i) token
     regex, removed token i drops toks[i]||gaps[i+1], survivors keep
-    gaps[0] as prefix."""
+    gaps[0] as prefix.
+
+    r4 leg 2 — the incremental generation (plans/curate_inc.py) re-derived
+    from the raw tables: the delta is rebuilt verbatim (%16==1 copies at
+    +1e7, %16==6 vowel-ciphered at +2e7 — both untouched by the header
+    injection, so `documents` is read directly); the base state the engine
+    persisted (curate_sigs backfilled from curate_kept) is sha/sig of the
+    despan-CLEANED kept text, so `basekept` joins samp → cleaned; ONE
+    _minhash_sql pass over basekept ∪ delta yields both the within-delta
+    pairs (endpoints both in iexact) and the cross band-join drops
+    (banding and estimated Jaccard are per-pair, the batch oracle's
+    subsetting argument) — base never drops, only the delta endpoint; the
+    per-source quota ranks the delta's stratified survivors into
+    cap − used(batch samp) per source."""
     ci_re = "(?i)" + TOKEN_RE
     return f"""
 WITH RECURSIVE
@@ -3043,7 +3128,7 @@ rw AS (
            regexp_split_to_array(n.text, '{ci_re}') AS g
     FROM cut c JOIN ndocs n USING (doc_id))
 ),
-cleaned AS (
+cleaned AS MATERIALIZED (
   SELECT d.doc_id, coalesce(rw.new_text, d.text) AS text
   FROM docs0 d LEFT JOIN rw USING (doc_id)
 ),
@@ -3069,18 +3154,103 @@ strat AS (
         < (CASE d.lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                        WHEN 'fr' THEN 100000 ELSE 50000 END)
 ),
-samp AS (
+samp AS MATERIALIZED (
   SELECT doc_id FROM (
     SELECT doc_id,
            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
     FROM strat
   ) WHERE rk <= 10
+),
+delta AS MATERIALIZED (
+  SELECT doc_id + 10000000 AS doc_id, text, lang, source
+  FROM documents WHERE doc_id % 16 = 1
+  UNION ALL
+  SELECT doc_id + 20000000, translate(text, 'aeiou', 'uoiea'), lang, source
+  FROM documents WHERE doc_id % 16 = 6
+  UNION ALL
+  SELECT doc_id + 30000000, text, lang, source
+  FROM docs0 WHERE doc_id % 16 = 3
+),
+basekept AS MATERIALIZED (SELECT s.doc_id, c.text FROM samp s JOIN cleaned c USING (doc_id)),
+bsha AS MATERIALIZED (SELECT DISTINCT sha256(text) AS h FROM basekept),
+dsha AS MATERIALIZED (SELECT doc_id, sha256(text) AS h FROM delta),
+iexact AS MATERIALIZED (
+  SELECT doc_id FROM (SELECT h, min(doc_id) AS doc_id FROM dsha GROUP BY h)
+  WHERE h NOT IN (SELECT h FROM bsha)
+),
+bunion AS MATERIALIZED (
+  SELECT doc_id, text FROM basekept UNION ALL SELECT doc_id, text FROM delta
+),
+ipr AS MATERIALIZED (SELECT a_id, b_id FROM ({_minhash_sql("bunion")})),
+iwp AS MATERIALIZED (
+  SELECT p.a_id, p.b_id FROM ipr p
+  JOIN iexact ia ON ia.doc_id = p.a_id
+  JOIN iexact ib ON ib.doc_id = p.b_id
+),
+inodes AS (SELECT a_id AS node FROM iwp UNION SELECT b_id FROM iwp),
+ied AS (SELECT a_id AS a, b_id AS b FROM iwp UNION SELECT b_id, a_id FROM iwp),
+ireach AS (
+  SELECT node, node AS r FROM inodes
+  UNION
+  SELECT e.b AS node, ireach.r FROM ireach JOIN ied e ON e.a = ireach.node
+),
+icomp AS (SELECT node AS doc_id, min(r) AS comp FROM ireach GROUP BY node),
+iwithin AS MATERIALIZED (
+  SELECT e.doc_id FROM iexact e
+  LEFT JOIN icomp c ON c.doc_id = e.doc_id
+  WHERE c.doc_id IS NULL OR c.comp = e.doc_id
+),
+idrop AS (
+  SELECT DISTINCT p.b_id AS doc_id FROM ipr p
+  JOIN iwithin w ON w.doc_id = p.b_id
+  JOIN basekept bk ON bk.doc_id = p.a_id
+),
+ineardup AS MATERIALIZED (
+  SELECT doc_id FROM iwithin WHERE doc_id NOT IN (SELECT doc_id FROM idrop)
+),
+iqf AS (
+  SELECT d.doc_id, d.text,
+         regexp_extract_all(lower(d.text), '{TOKEN_RE}') AS toks
+  FROM delta d JOIN ineardup USING (doc_id)
+),
+iquality AS MATERIALIZED (
+  SELECT doc_id FROM iqf
+  WHERE len(toks) >= 5
+    AND (CASE WHEN length(text) > 0
+         THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)
+         ELSE 0.0 END) >= 0.2
+    AND (CASE WHEN len(toks) > 0
+         THEN list_max(list_transform(list_distinct(toks),
+              u -> len(list_filter(toks, x -> x = u))))::DOUBLE / len(toks)
+         ELSE 0.0 END) <= 0.5
+),
+istrat AS MATERIALIZED (
+  SELECT q.doc_id, d.lang, d.source FROM iquality q JOIN delta d USING (doc_id)
+  WHERE {_polyhash62_sql("CAST(q.doc_id AS VARCHAR)")} % 1000000
+        < (CASE d.lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                       WHEN 'fr' THEN 100000 ELSE 50000 END)
+),
+iused AS (
+  SELECT d.source, count(*) AS used
+  FROM samp s JOIN docs0 d USING (doc_id) GROUP BY d.source
+),
+ikept AS (
+  SELECT doc_id FROM (
+    SELECT t.doc_id,
+           row_number() OVER (PARTITION BY t.source ORDER BY t.doc_id) AS rk,
+           coalesce(u.used, 0) AS used
+    FROM istrat t LEFT JOIN iused u ON u.source = t.source
+  ) WHERE rk <= 10 - used
 )
 SELECT 'despan' AS stage, doc_id, sha256(new_text) AS content_sha FROM rw
 UNION ALL SELECT 'exact', doc_id, '' FROM exact
 UNION ALL SELECT 'neardup', doc_id, '' FROM neardup
 UNION ALL SELECT 'quality', doc_id, '' FROM quality
 UNION ALL SELECT 'sample', doc_id, '' FROM samp
+UNION ALL SELECT 'inc_exact', doc_id, '' FROM iexact
+UNION ALL SELECT 'inc_neardup', doc_id, '' FROM ineardup
+UNION ALL SELECT 'inc_quality', doc_id, '' FROM iquality
+UNION ALL SELECT 'inc_kept', doc_id, '' FROM ikept
 """
 
 
