@@ -1165,6 +1165,20 @@ _CURATE_HEADER = (
     "under the apache license version two zero for span dedup testing "
 )
 
+# Stage-0 prefilter plants (disjoint doc_id%16 classes from the despan
+# header's ==3 and the incremental delta's ==1/==6).  Each plant trips
+# exactly one functions/code.py rule; the MIT plant carries a GPL phrase
+# too, pinning detect_license's PRIORITY-order first-hit (mit outranks
+# gpl in LICENSE_PATTERNS) and the allow-list keep.  The GPL plant is
+# upper-case to pin the case-folding.  ASCII-only so the SQL literals
+# match byte-for-byte.
+_GPL_PLANT = "GNU GENERAL PUBLIC LICENSE\n"  # %16==4  -> dropped
+_MIT_PLANT = (
+    "MIT License - but also gnu general public license text\n"
+)  # %16==12 -> kept (priority)
+_GEN_PLANT = "// Code generated by synthgen. DO NOT EDIT.\n"  # %16==9 -> drop
+_MIN_PLANT_CHARS = 1000  # %16==14: one 1000-char line -> minified, dropped
+
 
 def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL training-data curation pipeline under the driver hash gate
@@ -1216,12 +1230,45 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchenginesimple_spark.plans.curate_inc import curate_increment
     from searchenginesimple_spark.sources.io import TableIO
 
-    docs = load_documents(spark, sf_dir).withColumn(
-        "content",
-        F.when(
-            F.col("doc_id") % 16 == 3,
-            F.concat(F.lit(_CURATE_HEADER), F.col("content")),
-        ).otherwise(F.col("content")),
+    docs = (
+        load_documents(spark, sf_dir)
+        .withColumn(
+            "content",
+            F.when(
+                F.col("doc_id") % 16 == 3,
+                F.concat(F.lit(_CURATE_HEADER), F.col("content")),
+            )
+            .when(
+                F.col("doc_id") % 16 == 4,
+                F.concat(F.lit(_GPL_PLANT), F.col("content")),
+            )
+            .when(
+                F.col("doc_id") % 16 == 12,
+                F.concat(F.lit(_MIT_PLANT), F.col("content")),
+            )
+            .when(
+                F.col("doc_id") % 16 == 9,
+                F.concat(F.lit(_GEN_PLANT), F.col("content")),
+            )
+            .when(
+                F.col("doc_id") % 16 == 14,
+                F.concat(
+                    F.repeat(F.lit("x"), _MIN_PLANT_CHARS),
+                    F.lit("\n"),
+                    F.col("content"),
+                ),
+            )
+            .otherwise(F.col("content")),
+        )
+        .withColumn(
+            "path",
+            F.when(
+                F.col("doc_id") % 16 == 7,
+                F.concat(F.lit("vendor/f"), F.col("doc_id"), F.lit(".py")),
+            ).otherwise(
+                F.concat(F.lit("src/f"), F.col("doc_id"), F.lit(".py"))
+            ),
+        )
     )
     io = TableIO(spark, tempfile.mkdtemp(prefix="curate_entry_"))
     cfg = CurateConfig(
@@ -1232,6 +1279,10 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_source_cap=10,
         despan_min_tokens=6,
         despan_hash_family="poly",
+        allowed_licenses=("mit", "unknown"),
+        drop_vendored=True,
+        drop_generated=True,
+        drop_minified=True,
     )
     curate(spark, docs, io, cfg)
 
@@ -1274,12 +1325,12 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.sha2(F.col("content"), 256).alias("content_sha"),
     )
-    for stage in ("exact", "neardup", "quality", "sample"):
+    for stage in ("prefilter", "exact", "neardup", "quality", "sample"):
         leg = io.read(f"curate_{stage}_ids").select(
             F.lit(stage).alias("stage"), "doc_id", F.lit("").alias("content_sha")
         )
         out = out.unionByName(leg)
-    for stage in ("exact", "neardup", "quality"):
+    for stage in ("prefilter", "exact", "neardup", "quality"):
         leg = io.read(f"curate_g1_{stage}_ids").select(
             F.lit(f"inc_{stage}").alias("stage"),
             "doc_id",
@@ -3015,18 +3066,61 @@ def _curate_sql() -> str:
     (banding and estimated Jaccard are per-pair, the batch oracle's
     subsetting argument) — base never drops, only the delta endpoint; the
     per-source quota ranks the delta's stratified survivors into
-    cap − used(batch samp) per source."""
+    cap − used(batch samp) per source.
+
+    r4 leg 3 — the stage-0 prefilter: docs0 carries the planted GPL /
+    MIT-priority / generated / minified heads and the vendor-path column
+    (entry plants, disjoint %16 classes), and `pre` / `ipre` restate
+    detect_license + flag_autogenerated from the SAME pattern constants
+    the engine compiles (functions/code.py — imported here, so the two
+    sides cannot drift).  The delta side has no path column, mirroring
+    flag_autogenerated's path_col=None contract (vendored ≡ false)."""
+    from searchenginesimple_spark.functions.code import (
+        GENERATED_RE,
+        LICENSE_PATTERNS,
+        MINIFIED_LINE_CHARS,
+        VENDOR_PATH_RE,
+    )
+
+    def _lic_case(txt: str) -> str:
+        whens = "\n          ".join(
+            f"WHEN regexp_matches(lower(substring({txt}, 1, 2048)), "
+            f"'{pat}') THEN '{kind}'"
+            for kind, pat in LICENSE_PATTERNS
+        )
+        return f"(CASE {whens}\n          ELSE 'unknown' END)"
+
+    min_re = f"[^\\n]{{{MINIFIED_LINE_CHARS},}}"
+    gen_guard = (
+        f"NOT regexp_matches(lower(substring(text, 1, 2048)), "
+        f"'{GENERATED_RE}')\n    AND NOT regexp_matches(text, '{min_re}')"
+    )
     ci_re = "(?i)" + TOKEN_RE
     return f"""
 WITH RECURSIVE
 docs0 AS (
   SELECT doc_id,
          CASE WHEN doc_id % 16 = 3 THEN '{_CURATE_HEADER}' || text
+              WHEN doc_id % 16 = 4 THEN '{_GPL_PLANT[:-1]}' || chr(10) || text
+              WHEN doc_id % 16 = 12 THEN '{_MIT_PLANT[:-1]}' || chr(10) || text
+              WHEN doc_id % 16 = 9 THEN '{_GEN_PLANT[:-1]}' || chr(10) || text
+              WHEN doc_id % 16 = 14
+                THEN repeat('x', {_MIN_PLANT_CHARS}) || chr(10) || text
               ELSE text END AS text,
+         CASE WHEN doc_id % 16 = 7 THEN 'vendor/f' || doc_id || '.py'
+              ELSE 'src/f' || doc_id || '.py' END AS path,
          lang, source
   FROM documents
 ),
-sha AS (SELECT doc_id, sha256(text) AS h FROM docs0),
+pre AS MATERIALIZED (
+  SELECT doc_id FROM docs0
+  WHERE {_lic_case('text')} IN ('mit', 'unknown')
+    AND NOT regexp_matches(lower(path), '{VENDOR_PATH_RE}')
+    AND {gen_guard}
+),
+sha AS (
+  SELECT d.doc_id, sha256(text) AS h FROM docs0 d JOIN pre USING (doc_id)
+),
 exact AS (SELECT min(doc_id) AS doc_id FROM sha GROUP BY h),
 mhp AS (
   SELECT p.a_id, p.b_id FROM ({_minhash_sql("docs0")}) p
@@ -3173,7 +3267,14 @@ delta AS MATERIALIZED (
 ),
 basekept AS MATERIALIZED (SELECT s.doc_id, c.text FROM samp s JOIN cleaned c USING (doc_id)),
 bsha AS MATERIALIZED (SELECT DISTINCT sha256(text) AS h FROM basekept),
-dsha AS MATERIALIZED (SELECT doc_id, sha256(text) AS h FROM delta),
+ipre AS MATERIALIZED (
+  SELECT doc_id FROM delta
+  WHERE {_lic_case('text')} IN ('mit', 'unknown')
+    AND {gen_guard}
+),
+dsha AS MATERIALIZED (
+  SELECT d.doc_id, sha256(text) AS h FROM delta d JOIN ipre USING (doc_id)
+),
 iexact AS MATERIALIZED (
   SELECT doc_id FROM (SELECT h, min(doc_id) AS doc_id FROM dsha GROUP BY h)
   WHERE h NOT IN (SELECT h FROM bsha)
@@ -3247,6 +3348,8 @@ UNION ALL SELECT 'exact', doc_id, '' FROM exact
 UNION ALL SELECT 'neardup', doc_id, '' FROM neardup
 UNION ALL SELECT 'quality', doc_id, '' FROM quality
 UNION ALL SELECT 'sample', doc_id, '' FROM samp
+UNION ALL SELECT 'prefilter', doc_id, '' FROM pre
+UNION ALL SELECT 'inc_prefilter', doc_id, '' FROM ipre
 UNION ALL SELECT 'inc_exact', doc_id, '' FROM iexact
 UNION ALL SELECT 'inc_neardup', doc_id, '' FROM ineardup
 UNION ALL SELECT 'inc_quality', doc_id, '' FROM iquality
