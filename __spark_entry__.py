@@ -1025,10 +1025,21 @@ def _q_code_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
     include/require).  The driver's documents table is prose, so the entry
     synthesizes a deterministic code wrapper per document from its own
     first tokens (the established rss_parse/json_parse pattern); the oracle
-    runs the identical RE2-safe regexes through DuckDB."""
+    runs the identical RE2-safe regexes through DuckDB.
+
+    r4 leg: symbol_references (find-usages, functions/code.py:
+    defs ⋈ map-side run-length tf on the token key — pytest-only until
+    now) rides as kind='xref' rows: (def_doc_id→doc_id, symbol,
+    use_doc_id, n_uses), case-insensitive by the token spec.  Documents
+    sharing leading words define the SAME wrapper symbols, so the
+    cross-reference is dense enough to exercise the in-operator fan-out
+    cap — max_uses_per_symbol=3 with the (n_uses desc, use_doc_id asc)
+    tie-break, hash-checked.  The def/import legs carry use_doc_id=-1 /
+    n_uses=0 sentinels to share the one output schema."""
     from searchenginesimple_spark.functions.code import (
         extract_imports,
         extract_symbols,
+        symbol_references,
     )
 
     docs = load_documents(spark, sf_dir)
@@ -1046,9 +1057,24 @@ def _q_code_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".h>\nx = require('"), sp(8), F.lit("_js')\n"),
     )
     wrapped = docs.select("doc_id", code.alias("code"))
-    return extract_symbols(wrapped, "code").unionByName(
-        extract_imports(wrapped, "code").withColumnRenamed("module", "symbol")
+    base = (
+        extract_symbols(wrapped, "code")
+        .unionByName(
+            extract_imports(wrapped, "code").withColumnRenamed(
+                "module", "symbol"
+            )
+        )
+        .withColumn("use_doc_id", F.lit(-1).cast("long"))
+        .withColumn("n_uses", F.lit(0).cast("long"))
     )
+    xref = symbol_references(wrapped, "code", max_uses_per_symbol=3).select(
+        F.col("def_doc_id").alias("doc_id"),
+        F.lit("xref").alias("kind"),
+        "symbol",
+        F.col("use_doc_id").cast("long").alias("use_doc_id"),
+        "n_uses",
+    )
+    return base.unionByName(xref)
 
 
 def _q_streaming_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2896,15 +2922,45 @@ def _code_symbols_sql() -> str:
         f" '#include <' || split_part(text, ' ', 7) || '.h>' || {nl} ||"
         f" 'x = require(''' || split_part(text, ' ', 8) || '_js'')' || {nl}"
     )
-    branches = " UNION ALL ".join(
-        # DuckDB string literals are standard SQL: backslash is NOT an
-        # escape, so the Python pattern embeds verbatim ('' for quotes only)
-        "SELECT doc_id, '{k}' AS kind, unnest(regexp_extract_all(code, '{p}', 1)) AS symbol FROM d".format(
-            k=k, p=p.replace("'", "''")
+    def _branches(patterns) -> str:
+        return " UNION ALL ".join(
+            # DuckDB string literals are standard SQL: backslash is NOT an
+            # escape, so the Python pattern embeds verbatim ('' for quotes
+            # only)
+            "SELECT doc_id, '{k}' AS kind, unnest(regexp_extract_all(code, '{p}', 1)) AS symbol FROM d".format(
+                k=k, p=p.replace("'", "''")
+            )
+            for k, p in patterns.items()
         )
-        for k, p in list(SYMBOL_PATTERNS.items()) + list(IMPORT_PATTERNS.items())
-    )
-    return f"WITH d AS (SELECT doc_id, {code} AS code FROM documents) {branches}"
+
+    from searchenginesimple_spark.config import TOKEN_RE as _tok_re
+
+    return f"""
+WITH d AS (SELECT doc_id, {code} AS code FROM documents),
+syms AS MATERIALIZED ({_branches(SYMBOL_PATTERNS)}),
+imps AS MATERIALIZED ({_branches(IMPORT_PATTERNS)}),
+defs AS (SELECT DISTINCT doc_id AS def_doc_id, lower(symbol) AS term FROM syms),
+tfx AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(code), '{_tok_re}')) AS term
+    FROM d
+  ) GROUP BY doc_id, term
+),
+xr AS (
+  SELECT df.term AS symbol, df.def_doc_id, t.doc_id AS use_doc_id,
+         t.tf AS n_uses,
+         row_number() OVER (PARTITION BY df.term, df.def_doc_id
+                            ORDER BY t.tf DESC, t.doc_id ASC) AS rk
+  FROM defs df JOIN tfx t ON t.term = df.term AND t.doc_id <> df.def_doc_id
+)
+SELECT doc_id, kind, symbol,
+       CAST(-1 AS BIGINT) AS use_doc_id, CAST(0 AS BIGINT) AS n_uses FROM syms
+UNION ALL
+SELECT doc_id, kind, symbol, CAST(-1 AS BIGINT), CAST(0 AS BIGINT) FROM imps
+UNION ALL
+SELECT def_doc_id AS doc_id, 'xref' AS kind, symbol, use_doc_id,
+       CAST(n_uses AS BIGINT) FROM xr WHERE rk <= 3
+"""
 
 
 _CODE_SYMBOLS_SQL = _code_symbols_sql()
