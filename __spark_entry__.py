@@ -134,8 +134,22 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     path-boost dimension actually varies) and mode='lines' =
     trigram_search_lines (grep-style per-line matches; pos = 1-based
     line_no, detail = the line).  All five code-search query routes in
-    one hash row."""
-    from searchenginesimple_spark.operators.boolquery import boolean_search
+    one hash row.
+
+    r4 leg 6 — mode='branked': boolean_search_topk_ranked with a PRIORITY
+    signal (operators/boolquery.py:836 — the zoekt repo-priority
+    analogue, pytest-only until now) over queries {0, 6, 7, 9}: plain
+    AND, a pure sym: query (symbol boost with zero content atoms), a
+    case:no query (boost arithmetic AND symbol extraction over the FOLDED
+    content), and the field-scoped OR (path: atoms are match conditions,
+    not boosts).  priority = (doc_id*37) % 97, deterministic on both
+    sides; it sits BELOW the quality ladder and ABOVE the doc_id
+    tie-break, so the hash pins exactly the "reorders ties only"
+    contract.  detail = sym|path|occ|priority."""
+    from searchenginesimple_spark.operators.boolquery import (
+        boolean_search,
+        boolean_search_topk_ranked,
+    )
     from searchenginesimple_spark.operators.trigram import (
         build_trigram_index,
         trigram_search,
@@ -217,11 +231,36 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("line_no").alias("pos"),
         F.col("line").alias("detail"),
     )
+    prio = docs.select(
+        "doc_id", ((F.col("doc_id") * 37) % 97).alias("rank")
+    )
+    branked = boolean_search_topk_ranked(
+        docs,
+        postings,
+        stats,
+        [q for q in BOOL_QUERY_SET if q[0] in (0, 6, 7, 9)],
+        k=10,
+        priority=prio,
+    ).select(
+        F.lit("branked").alias("mode"),
+        "query_id",
+        "query",
+        "doc_id",
+        F.col("rank").cast("long").alias("pos"),
+        F.concat_ws(
+            "|",
+            F.col("symbol_match"),
+            F.col("path_match"),
+            F.col("n_occurrences"),
+            F.col("priority"),
+        ).alias("detail"),
+    )
     return (
         booll.unionByName(sub)
         .unionByName(rex)
         .unionByName(ranked)
         .unionByName(lines)
+        .unionByName(branked)
     )
 
 
@@ -2023,8 +2062,77 @@ FROM x CROSS JOIN n
 WHERE strpos(x.line, n.needle) > 0"""
 
 
+def _branked_sql() -> str:
+    """Mirror of the mode='branked' leg: boolean_search_topk_ranked with a
+    priority signal — per-query match predicate (the _boolean_search_sql
+    truth conditions), boost arithmetic summed over the query's POSITIVE
+    content leaves, symbol extraction over raw vs FOLDED content per the
+    query's case mode, and the 5-key ladder (sym > path > occ > priority >
+    doc_id)."""
+    from searchenginesimple_spark.functions.code import SYMBOL_PATTERNS
+
+    def syms(expr: str) -> str:
+        return " || ".join(
+            f"regexp_extract_all({expr}, '{p.replace(chr(39), chr(39) * 2)}', 1)"
+            for p in SYMBOL_PATTERNS.values()
+        )
+
+    def occ(c: str, a: str) -> str:
+        return (
+            f"((length({c}) - length(replace({c}, '{a}', ''))) / {len(a)})::BIGINT"
+        )
+
+    def symflag(expr: str, atoms: list[str]) -> str:
+        cond = " OR ".join(f"strpos(s, '{a}') > 0" for a in atoms)
+        return f"(len(list_filter({syms(expr)}, s -> {cond})) > 0)::INT"
+
+    sym_spark = f"len(list_filter({syms('c')}, s -> contains(s, 'spark'))) > 0"
+    q9 = BOOL_QUERY_SET[9][1].replace("'", "''")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source || '/' || doc_id || '.txt' AS path,
+         {_SQL_SYNTH_CODE} AS c,
+         (doc_id * 37) % 97 AS prio
+  FROM documents
+),
+m AS (
+  SELECT 0::BIGINT AS query_id, 'spark window' AS query, doc_id,
+         {symflag('c', ['spark', 'window'])} AS symbol_match,
+         (strpos(path, 'spark') > 0 OR strpos(path, 'window') > 0)::INT AS path_match,
+         ({occ('c', 'spark')} + {occ('c', 'window')}) AS n_occurrences, prio
+  FROM d WHERE contains(c, 'spark') AND contains(c, 'window')
+  UNION ALL
+  SELECT 6, 'sym:spark', doc_id,
+         {symflag('c', ['spark'])}, 0, 0::BIGINT, prio
+  FROM d WHERE {sym_spark}
+  UNION ALL
+  SELECT 7, 'case:no SPARK window', doc_id,
+         {symflag('lower(c)', ['spark', 'window'])},
+         (strpos(lower(path), 'spark') > 0 OR strpos(lower(path), 'window') > 0)::INT,
+         ({occ('lower(c)', 'spark')} + {occ('lower(c)', 'window')}), prio
+  FROM d WHERE contains(lower(c), 'spark') AND contains(lower(c), 'window')
+  UNION ALL
+  SELECT 9, '{q9}', doc_id,
+         {symflag('c', ['dup', 'value'])},
+         (strpos(path, 'dup') > 0 OR strpos(path, 'value') > 0)::INT,
+         ({occ('c', 'dup')} + {occ('c', 'value')}), prio
+  FROM d WHERE (contains(path, 'src1/') AND contains(c, 'dup'))
+            OR (contains(path, 'src2/') AND contains(c, 'value'))
+)
+SELECT 'branked' AS mode, query_id, query, doc_id, rnk::BIGINT AS pos,
+       symbol_match::VARCHAR || '|' || path_match::VARCHAR || '|'
+         || n_occurrences::VARCHAR || '|' || prio::VARCHAR AS detail
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY symbol_match DESC, path_match DESC, n_occurrences DESC,
+               prio DESC, doc_id ASC) AS rnk
+  FROM m
+) WHERE rnk <= 10"""
+
+
 _RANKED_SQL = _ranked_sql()
 _LINES_SQL = _lines_sql()
+_BRANKED_SQL = _branked_sql()
 
 
 def _filtered_bm25_sql() -> str:
@@ -3835,7 +3943,9 @@ SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
             UNION ALL
             SELECT 'ranked' AS mode, * FROM ({_RANKED_SQL})
             UNION ALL
-            SELECT 'lines' AS mode, * FROM ({_LINES_SQL})""",
+            SELECT 'lines' AS mode, * FROM ({_LINES_SQL})
+            UNION ALL
+            SELECT * FROM ({_BRANKED_SQL})""",
         "filtered_bm25": _FILTERED_BM25_SQL,
         "evalrank": _EVALRANK_SQL,
         "phrase_topk": _bm25_sql(
