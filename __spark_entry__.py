@@ -145,9 +145,27 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     not boosts).  priority = (doc_id*37) % 97, deterministic on both
     sides; it sits BELOW the quality ladder and ABOVE the doc_id
     tie-break, so the hash pins exactly the "reorders ties only"
-    contract.  detail = sym|path|occ|priority."""
+    contract.  detail = sym|path|occ|priority.
+
+    r4 leg 7 — mode='facets': boolean_search_facets (the code-search
+    sidebar aggregation — per-query matching-doc counts by repo and
+    lang) over the full query set; doc_id=-1 sentinel, pos carries the
+    count, detail = facet:value.  The oracle groups the same per-query
+    predicate matches by the same metadata columns.
+
+    r4 legs 8-9 — mode='delta'/'compact': LSM index maintenance
+    (append_trigram_delta / read_trigram_index / compact_trigram_index,
+    operators/trigram.py:193,232,275 — pytest-twin only until now).  The
+    raw-docs base index gets a REPLACEMENT delta (every doc_id % 7 == 3,
+    its 'table' tokens rewritten so the base's stale postings must die in
+    exact verify and the supersede anti-join must drop the duplicate
+    (trigram, doc) pairs) and an APPEND delta (re-keyed copies of
+    doc_id % 11 == 5), then the same needle set runs over base ∪ open
+    deltas AND again after compaction — both hash-checked against the
+    oracle's scan of the CURRENT corpus."""
     from searchenginesimple_spark.operators.boolquery import (
         boolean_search,
+        boolean_search_facets,
         boolean_search_topk_ranked,
     )
     from searchenginesimple_spark.operators.trigram import (
@@ -255,12 +273,82 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("priority"),
         ).alias("detail"),
     )
+    facets = boolean_search_facets(docs, postings, stats, BOOL_QUERY_SET).select(
+        F.lit("facets").alias("mode"),
+        "query_id",
+        "query",
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("n_docs").cast("long").alias("pos"),
+        F.concat_ws(":", "facet", "value").alias("detail"),
+    )
+    # r4 legs 8-9 — LSM maintenance (operators/trigram.py:193,232,275;
+    # pytest-twin only until now).  Base index over the RAW documents, then
+    # two deltas: d001 REPLACES every doc_id % 7 == 3 (its 'table' tokens
+    # rewritten, so the base's stale postings for those docs must be pruned
+    # by exact verify), d002 APPENDS re-keyed copies of doc_id % 11 == 5.
+    # mode='delta' searches base ∪ open deltas; mode='compact' repeats the
+    # SAME needles after compact_trigram_index folds the deltas in — both
+    # must equal the oracle's scan over the CURRENT corpus.
+    import tempfile
+
+    from searchenginesimple_spark.operators.trigram import (
+        append_trigram_delta,
+        compact_trigram_index,
+        read_trigram_index,
+        write_trigram_index,
+    )
+
+    work = tempfile.mkdtemp(prefix="bool_delta_entry_")
+    idx = f"{work}/tri"
+    write_trigram_index(raw_postings, idx)
+    repl = base.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id",
+        F.concat(
+            F.lit("deltav2 "),
+            F.replace(F.col("content"), F.lit("table"), F.lit("tbl_replaced")),
+        ).alias("content"),
+    )
+    adds = base.filter(F.col("doc_id") % 11 == 5).select(
+        (F.col("doc_id") + 10_000_000).cast("long").alias("doc_id"),
+        F.concat(F.lit("newdoc "), F.col("content")).alias("content"),
+    )
+    append_trigram_delta(repl, idx, "d001")
+    append_trigram_delta(adds, idx, "d002")
+    current = (
+        base.filter(F.col("doc_id") % 7 != 3)
+        .select("doc_id", "content")
+        .unionByName(repl)
+        .unionByName(adds)
+    )
+    dneedles = spark.createDataFrame(
+        _DELTA_NEEDLES, "needle_id long, needle string"
+    )
+
+    def _delta_leg(mode: str, postings_d: DataFrame, stats_d: DataFrame) -> DataFrame:
+        return trigram_search(current, postings_d, stats_d, dneedles).select(
+            F.lit(mode).alias("mode"),
+            F.col("needle_id").alias("query_id"),
+            F.col("needle").alias("query"),
+            "doc_id",
+            "pos",
+            F.lit("").alias("detail"),
+        )
+
+    dp, ds = read_trigram_index(spark, idx)
+    # compaction CLEARS the open-delta directories this leg's lazy plan
+    # reads, so pin the delta-side result before compacting (entry-sized)
+    delta = _delta_leg("delta", dp, ds).localCheckpoint()
+    cp, cs = compact_trigram_index(spark, idx)
+    compacted = _delta_leg("compact", cp, cs)
     return (
         booll.unionByName(sub)
         .unionByName(rex)
         .unionByName(ranked)
         .unionByName(lines)
         .unionByName(branked)
+        .unionByName(facets)
+        .unionByName(delta)
+        .unionByName(compacted)
     )
 
 
@@ -345,6 +433,20 @@ _TRIGRAM_NEEDLES: list[tuple[int, str]] = [
     (3, "hash value tab"),
     (4, "zz_absent_zz"),
     (5, "ta"),
+]
+
+# Needles for the LSM delta/compact legs, over the CURRENT corpus (base
+# minus replaced content, plus the two deltas).  'table' is the stale-
+# postings probe: the replaced docs' base postings still carry it, so the
+# index path must prune them in exact verify; 'tbl_replaced'/'deltav2' live
+# only in delta d001, 'newdoc' only in d002.
+_DELTA_NEEDLES: list[tuple[int, str]] = [
+    (20, "table"),
+    (21, "deltav2"),
+    (22, "tbl_replaced"),
+    (23, "newdoc"),
+    (24, "fast ta"),
+    (25, "zz_absent_zz"),
 ]
 
 # Regex needles riding the same entry through trigram_regex_search (Cox
@@ -3945,7 +4047,37 @@ SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
             UNION ALL
             SELECT 'lines' AS mode, * FROM ({_LINES_SQL})
             UNION ALL
-            SELECT * FROM ({_BRANKED_SQL})""",
+            SELECT * FROM ({_BRANKED_SQL})
+            UNION ALL
+            SELECT 'facets' AS mode, b.query_id, b.query,
+                   CAST(-1 AS BIGINT) AS doc_id, count(*)::BIGINT AS pos,
+                   'repo:' || m.source AS detail
+            FROM ({_BOOLEAN_SEARCH_SQL}) b JOIN documents m USING (doc_id)
+            GROUP BY b.query_id, b.query, m.source
+            UNION ALL
+            SELECT 'facets' AS mode, b.query_id, b.query,
+                   CAST(-1 AS BIGINT) AS doc_id, count(*)::BIGINT AS pos,
+                   'lang:' || m.lang AS detail
+            FROM ({_BOOLEAN_SEARCH_SQL}) b JOIN documents m USING (doc_id)
+            GROUP BY b.query_id, b.query, m.lang
+            UNION ALL
+            SELECT leg.mode, q.needle_id::BIGINT AS query_id,
+                   q.needle AS query, d.doc_id,
+                   strpos(d.text, q.needle)::BIGINT AS pos, '' AS detail
+            FROM (
+              SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+              UNION ALL
+              SELECT doc_id,
+                     'deltav2 ' || replace(text, 'table', 'tbl_replaced')
+              FROM documents WHERE doc_id % 7 = 3
+              UNION ALL
+              SELECT doc_id + 10000000, 'newdoc ' || text
+              FROM documents WHERE doc_id % 11 = 5
+            ) d
+            CROSS JOIN (VALUES {", ".join(f"({i}, '{n}')" for i, n in _DELTA_NEEDLES)})
+                 q(needle_id, needle)
+            CROSS JOIN (VALUES ('delta'), ('compact')) leg(mode)
+            WHERE strpos(d.text, q.needle) > 0""",
         "filtered_bm25": _FILTERED_BM25_SQL,
         "evalrank": _EVALRANK_SQL,
         "phrase_topk": _bm25_sql(
