@@ -73,6 +73,21 @@ def _queries_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that does not leak: entries that materialize an index /
+    curation root as a side effect of building their DataFrame register the
+    directory for removal at interpreter exit (the harness may invoke the
+    entry many times per session — unregistered workspaces accumulate a
+    full index copy in /tmp per invocation)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over sf0.001 documents for the fixed query set."""
     docs = load_documents(spark, "/root/testdata/sf0.001")
@@ -289,8 +304,6 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mode='delta' searches base ∪ open deltas; mode='compact' repeats the
     # SAME needles after compact_trigram_index folds the deltas in — both
     # must equal the oracle's scan over the CURRENT corpus.
-    import tempfile
-
     from searchenginesimple_spark.operators.trigram import (
         append_trigram_delta,
         compact_trigram_index,
@@ -298,7 +311,7 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_trigram_index,
     )
 
-    work = tempfile.mkdtemp(prefix="bool_delta_entry_")
+    work = _scratch_dir("bool_delta_entry_")
     idx = f"{work}/tri"
     write_trigram_index(raw_postings, idx)
     repl = base.filter(F.col("doc_id") % 7 == 3).select(
@@ -336,8 +349,16 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dp, ds = read_trigram_index(spark, idx)
     # compaction CLEARS the open-delta directories this leg's lazy plan
-    # reads, so pin the delta-side result before compacting (entry-sized)
-    delta = _delta_leg("delta", dp, ds).localCheckpoint()
+    # reads, so pin the delta-side result before compacting.  Pin =
+    # materialize to parquet and read back (durable on disk for the life
+    # of the workspace) — NOT localCheckpoint, whose blocks live in
+    # unreplicated executor memory: losing one after the deletes below
+    # would make the plan unrecoverable (re-evaluation would read
+    # directories that no longer exist).
+    _delta_leg("delta", dp, ds).write.mode("overwrite").parquet(
+        f"{work}/delta_leg"
+    )
+    delta = spark.read.parquet(f"{work}/delta_leg")
     cp, cs = compact_trigram_index(spark, idx)
     compacted = _delta_leg("compact", cp, cs)
     return (
@@ -1230,8 +1251,6 @@ def _q_streaming_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — the SQL oracle.
     """
     import shutil
-    import tempfile
-
     from searchenginesimple_spark.streaming.clicklog import (
         clicks_per_window,
         write_clicklog,
@@ -1245,7 +1264,7 @@ def _q_streaming_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("events table is empty: no watermark sentinel can be placed")
     sentinel = spark.createDataFrame([("__sentinel__", max_ts)], "url string, ts timestamp")
     sentinel = sentinel.withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
-    work = tempfile.mkdtemp(prefix="clickstream_")
+    work = _scratch_dir("clickstream_")
     try:
         ev.unionByName(sentinel).write.mode("overwrite").parquet(f"{work}/in")
 
@@ -1391,8 +1410,6 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (remaining budget = cap − batch-kept-per-source) through the
     generation-partitioned commit (inc_kept, read back from
     curate_kept_gen gen=1)."""
-    import tempfile
-
     from searchenginesimple_spark.plans.curate import CurateConfig, curate
     from searchenginesimple_spark.plans.curate_inc import curate_increment
     from searchenginesimple_spark.sources.io import TableIO
@@ -1437,7 +1454,7 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    io = TableIO(spark, tempfile.mkdtemp(prefix="curate_entry_"))
+    io = TableIO(spark, _scratch_dir("curate_entry_"))
     cfg = CurateConfig(
         minhash_threshold=0.5,
         minhash_family="poly",
@@ -2128,7 +2145,7 @@ m AS (
   SELECT n.needle_id, n.needle, d2.doc_id,
          (len(list_filter({sym_arrs}, s -> strpos(s, n.needle) > 0)) > 0)::INT AS symbol_match,
          (strpos(d2.path, n.needle) > 0)::INT AS path_match,
-         ((length(d2.c) - length(replace(d2.c, n.needle, ''))) / length(n.needle))::BIGINT AS n_occurrences
+         ((length(d2.c) - length(replace(d2.c, n.needle, ''))) // length(n.needle))::BIGINT AS n_occurrences
   FROM d2 CROSS JOIN n
   WHERE strpos(d2.c, n.needle) > 0
 ),
@@ -2180,8 +2197,12 @@ def _branked_sql() -> str:
         )
 
     def occ(c: str, a: str) -> str:
+        # DuckDB integer division (//) truncates like the engine's
+        # cast('long'); float / + ::BIGINT would round half-to-even — the
+        # two agree today only because replace-arithmetic divides exactly,
+        # and // removes that latent drift hazard by construction
         return (
-            f"((length({c}) - length(replace({c}, '{a}', ''))) / {len(a)})::BIGINT"
+            f"((length({c}) - length(replace({c}, '{a}', ''))) // {len(a)})::BIGINT"
         )
 
     def symflag(expr: str, atoms: list[str]) -> str:

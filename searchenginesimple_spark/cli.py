@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--doc-id", action="append", type=int, required=True,
                    help="repeatable doc_id to delete")
+    d.add_argument(
+        "--compact-if-needed", action="store_true",
+        help="run compact_index right away when the pending tombstone set "
+        "exceeds the fastpath guard (the janitor wiring for "
+        "needs_compaction — every query path would otherwise run in its "
+        "distributed-tombstone mode until someone compacts)",
+    )
 
     x = sub.add_parser(
         "compact", help="fold tombstones into the index (rewrites affected shards)"
@@ -260,11 +267,25 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "delete":
-        from searchenginesimple_spark.plans.delete import delete_docs
+        from searchenginesimple_spark.plans.delete import (
+            compact_index,
+            delete_docs,
+            needs_compaction,
+        )
         from searchenginesimple_spark.sources.io import TableIO
 
-        n = delete_docs(TableIO(spark, args.index), args.doc_id)
-        print(json.dumps({"tombstoned": n}))
+        io = TableIO(spark, args.index)
+        n = delete_docs(io, args.doc_id)
+        # post-delete janitor check: past the fastpath guard every query
+        # path degrades to its distributed-tombstone mode — surface the
+        # signal (and optionally act on it) instead of leaving it latent
+        needed = needs_compaction(io, DEFAULT)
+        out = {"tombstoned": n, "needs_compaction": needed}
+        if needed and args.compact_if_needed:
+            res = compact_index(spark, io, DEFAULT)
+            out["compacted"] = res.__dict__
+            out["needs_compaction"] = needs_compaction(io, DEFAULT)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "compact":

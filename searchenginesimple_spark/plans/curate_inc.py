@@ -346,6 +346,33 @@ def curate_increment(
 
     # ---- commit generation g: kept partition, sigs partition, marker ------
     admitted = new_docs.join(final_ids, "doc_id", "left_semi")
+    # kept-table schema contract: every generation's partition must carry
+    # the SAME columns — plain parquet readers sample one file's footer
+    # (no mergeSchema), so a generation whose delta lacked e.g. 'path'
+    # would make read_curated() file-sampling-order dependent.  Align the
+    # admitted delta to the existing kept schema: missing columns are
+    # null-filled at the kept type; a delta-only EXTRA column is rejected
+    # loudly (committing it would silently fork the table schema; evolve
+    # the base table first, or drop the column caller-side).
+    kept_fields = [
+        f for f in io.read("curate_kept_gen").schema.fields if f.name != "gen"
+    ]
+    kept_names = {f.name for f in kept_fields}
+    extra = [c for c in admitted.columns if c not in kept_names]
+    if extra:
+        raise ValueError(
+            f"curate_increment: delta columns {extra} do not exist in "
+            f"curate_kept_gen ({sorted(kept_names)}) — partitioned parquet "
+            f"cannot carry per-generation schemas"
+        )
+    admitted = admitted.select(
+        *[
+            F.col(f.name)
+            if f.name in admitted.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in kept_fields
+        ]
+    )
     io.overwrite_partitions(
         admitted.withColumn("gen", F.lit(g)), "curate_kept_gen", "gen"
     )

@@ -138,10 +138,26 @@ def needs_compaction(io: TableIO, cfg: EngineConfig = DEFAULT) -> bool:
 
 def load_tombstones(io: TableIO) -> DataFrame | None:
     """The current deleted set (deduped), or None when nothing is deleted —
-    pass straight to the query paths' ``tombstones`` parameter."""
+    pass straight to the query paths' ``tombstones`` parameter.
+
+    Concurrent-compaction safe: compact_index clears the snapshotted part
+    files LAST (its commit point), so a reader that listed the directory
+    just before that clear would try to open vanished files mid-scan.
+    ``ignoreMissingFiles`` makes the scan skip them — which is exactly the
+    right semantics, not a lossy workaround: a part file only vanishes
+    because the compact that folded its ids into the index COMMITTED, so
+    those ids no longer need filtering.  Ids appended after the snapshot
+    live in newer files the clear never touches.  Catalog deployments get
+    the same property from Iceberg snapshot isolation instead."""
     if not io.exists("tombstones"):
         return None
-    return io.read("tombstones").select("doc_id").distinct()
+    if io.catalog:
+        t = io.read("tombstones")
+    else:
+        t = io.spark.read.option("ignoreMissingFiles", "true").parquet(
+            io.path("tombstones")
+        )
+    return t.select("doc_id").distinct()
 
 
 def _fs(io: TableIO, path: str):
@@ -349,14 +365,14 @@ def compact_index(
     # even ones landing at this very instant — are not in the snapshot
     # list and survive for the next compact: no read-modify-write window.
     # The empty append first keeps the table readable once the last
-    # snapshot file is gone.  Known reader race: a load_tombstones that
-    # LISTED the directory before this clear can still try to OPEN a
-    # just-deleted part file and fail mid-scan with FileNotFoundException —
-    # harmless (the ids it would have read are already folded into the
-    # index), so a concurrent reader should simply retry/reopen; on a
-    # catalog deployment Iceberg snapshot isolation removes the race
-    # entirely.  Renaming to a trash dir first would not help: the files
-    # vanish from their listed paths either way.
+    # snapshot file is gone.  Reader race, closed reader-side: a
+    # load_tombstones that LISTED the directory before this clear could
+    # try to OPEN a just-deleted part file mid-scan — load_tombstones
+    # reads with ignoreMissingFiles, which skips exactly those files (their
+    # ids are already folded into the index, so skipping is correct, not
+    # lossy); on a catalog deployment Iceberg snapshot isolation removes
+    # the race entirely.  Renaming to a trash dir first would not help:
+    # the files vanish from their listed paths either way.
     io.append_rows([], "doc_id long", "tombstones")
     fs, _ = _fs(io, io.path("tombstones"))
     jvm = spark.sparkContext._jvm

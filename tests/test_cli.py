@@ -411,7 +411,9 @@ def test_cli_delete_and_compact(spark, tmp_path, capsys):
     assert cli.main(
         ["delete", "--index", str(idx), "--doc-id", str(victim)]
     ) == 0
-    assert json.loads(capsys.readouterr().out.strip())["tombstoned"] == 1
+    del_out = json.loads(capsys.readouterr().out.strip())
+    assert del_out["tombstoned"] == 1
+    assert del_out["needs_compaction"] is False  # one id ≪ fastpath cap
     after_del = top()
     assert victim not in {r["docID"] for r in after_del}
     assert len(after_del) == len(before)  # top-k backfilled, no hole
@@ -422,6 +424,44 @@ def test_cli_delete_and_compact(spark, tmp_path, capsys):
     assert res["n_deleted"] == 1 and len(res["affected_shards"]) == 1
     after_cmp = top()
     assert victim not in {r["docID"] for r in after_cmp}
+
+
+def test_cli_delete_janitor_autocompacts(spark, tmp_path, capsys, monkeypatch):
+    """--compact-if-needed is the janitor wiring for needs_compaction():
+    a delete that pushes the pending set past the fastpath guard triggers
+    compact_index inline, and the emitted JSON reports the signal cleared
+    (every query path is back in fastpath mode)."""
+    import dataclasses
+
+    import searchenginesimple_spark.cli as cli
+    from searchenginesimple_spark.sources.corpus import docs_df
+
+    corpus, idx = tmp_path / "corpus", tmp_path / "idx"
+    docs_df(spark, 200).write.mode("overwrite").parquet(str(corpus))
+    assert cli.main(["build", "--input", str(corpus), "--index", str(idx)]) == 0
+    capsys.readouterr()
+
+    # guard shrunk so a 3-id delete counts as a mass delete (cli.main
+    # re-imports DEFAULT from config per call, so the module attr patch
+    # is what its delete handler reads)
+    import searchenginesimple_spark.config as config_mod
+
+    monkeypatch.setattr(
+        config_mod,
+        "DEFAULT",
+        dataclasses.replace(config_mod.DEFAULT, tombstone_fastpath_max=2),
+    )
+    assert cli.main(
+        ["delete", "--index", str(idx), "--doc-id", "0", "--doc-id", "1",
+         "--doc-id", "2", "--compact-if-needed"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["tombstoned"] == 3
+    assert "compacted" in out and out["compacted"]["n_deleted"] == 3
+    assert out["needs_compaction"] is False
+    from searchenginesimple_spark.sources.io import TableIO
+
+    assert TableIO(spark, str(idx)).read("tombstones").count() == 0
 
 
 def test_cli_despan(spark, tmp_path, capsys):

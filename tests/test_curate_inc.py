@@ -172,3 +172,39 @@ def test_id_contract_covers_dropped_delta_ids(spark, base_root):
         [(46, "yet another clean unique document with plenty words", "en", "s")],
     )
     assert [r["doc_id"] for r in curate_increment(spark, ok, io, _cfg()).collect()] == [46]
+
+
+def test_kept_gen_schema_reconciled_across_generations(spark, tmp_path):
+    """Partitioned parquet cannot carry per-generation schemas (readers
+    sample one footer; no mergeSchema): a delta MISSING a base column is
+    committed with that column null-filled, and a delta carrying an EXTRA
+    column fails loudly instead of silently forking the table schema."""
+    rows = [
+        (0, BASE_TXT + " one", "en", "srcA", "src/f0.py"),
+        (1, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es",
+         "srcB", "src/f1.py"),
+    ]
+    base = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string, source string, path string"
+    )
+    io = TableIO(spark, str(tmp_path))
+    curate(spark, base, io, _cfg())
+
+    delta = _docs(  # no 'path' column
+        spark,
+        [(10, "fresh unique tokens never seen before at all", "en", "srcA")],
+    )
+    kept = curate_increment(spark, delta, io, _cfg())
+    assert "path" in kept.columns
+    full = read_curated(io)
+    assert set(full.columns) == {"doc_id", "content", "lang", "source", "path"}
+    by_id = {r["doc_id"]: r["path"] for r in full.collect()}
+    assert by_id[0] == "src/f0.py" and by_id[10] is None
+
+    extra = spark.createDataFrame(
+        [(20, "clean unique words arriving here right now ok", "en", "srcA",
+          "branch-x")],
+        "doc_id long, content string, lang string, source string, branch string",
+    )
+    with pytest.raises(ValueError, match="do not exist in"):
+        curate_increment(spark, extra, io, _cfg())

@@ -507,3 +507,35 @@ def test_mass_delete_docs_appends_distributed(spark, tmp_path_factory):
     assert io.read("survivors").count() == n_before - n_in
     assert not needs_compaction(io, cfg)
     assert io.read("tombstones").count() == 0
+
+    # janitor loop closed: with the set folded in, a fresh serving engine
+    # runs in fastpath mode again (per-shard dict, no distributed join)
+    postings, dsp, idx = load_index(io)
+    eng = Bm25QueryEngine(
+        postings, dsp, idx, cfg, tombstones=load_tombstones(io)
+    )
+    assert not eng._del_too_big
+
+
+def test_load_tombstones_survives_concurrent_clear(spark, tmp_path_factory):
+    """The compact/reader race (plans/delete.py clear-LAST commit): a
+    reader that listed the tombstones directory BEFORE the clear must not
+    die with FileNotFoundException when snapshotted part files vanish
+    mid-evaluation.  load_tombstones reads with ignoreMissingFiles —
+    skipping a vanished file is exact, not lossy: it only vanishes because
+    the compact that folded its ids into the index committed."""
+    import glob
+    import os
+
+    io = TableIO(spark, str(tmp_path_factory.mktemp("tomb_race")))
+    delete_docs(io, [1, 2, 3])
+    delete_docs(io, [4, 5])  # second append → second part file
+    t = load_tombstones(io)  # directory listing happens at read/plan time
+    assert t is not None
+    files = sorted(glob.glob(io.path("tombstones") + "/part-*.parquet"))
+    assert len(files) >= 2
+    # simulate the compact commit racing this reader: one listed part gone
+    os.remove(files[0])
+    got = {r["doc_id"] for r in t.collect()}  # must not raise
+    # the vanished file's ids are already folded in; the rest must remain
+    assert got in ({1, 2, 3}, {4, 5})
