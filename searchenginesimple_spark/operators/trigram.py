@@ -50,6 +50,13 @@ def content_trigrams(col: Column) -> Column:
     The ``length >= 3`` guard matters: ``sequence(1, length-2)`` with
     ``length < 3`` would *descend* (Spark infers step −1 when start > stop)
     and emit junk windows.
+
+    QUERY-SIDE ONLY (needles are tens of chars): ``substring(col, i, 3)``
+    re-scans the string from byte 0 to find char offset i on every call
+    (UTF8String stores variable-width UTF-8, so char→byte offset is a
+    linear walk), making this expression O(len²) per value.  The BUILD
+    uses the staged char-array form in build_trigram_index — identical
+    output (pinned incl. CJK/emoji in tests), linear cost.
     """
     windows = F.transform(
         F.sequence(F.lit(1), F.length(col) - 2),
@@ -69,6 +76,21 @@ def build_trigram_index(
     already yields unique (trigram, doc_id) pairs with NO distinct shuffle;
     the only shuffle is the df hash-agg (map-side partial count first).
 
+    Trigram generation is the staged two-projection form: project the
+    char ARRAY once per doc (``split(content, '')``), then window over it
+    with O(1) ``element_at`` — O(len) per doc.  The naive
+    ``substring(content, i, 3)`` window is O(len²) per doc (UTF8String
+    char offsets are a linear byte walk from 0), which MEASURED as ~100 s
+    of the 143 s/100k-doc build at the r4 bench point; this form does the
+    same work in ~10-30 s.  The staging ``withColumn`` is load-bearing:
+    inlining the split into the lambda re-evaluates it per element_at
+    (Catalyst does not CSE across lambda-function calls) and is O(len²)
+    again — worse than the substring form (measured: hangs the 100k
+    bench).  CollapseProject keeps the two projections separate because
+    the char-array alias is referenced more than once and split is not
+    cheap; tests pin output equality against content_trigrams including
+    CJK and surrogate-pair (emoji) content.
+
     ``case_insensitive`` indexes trigrams of ``lower(content)`` — the
     case-folded index code search defaults to (zoekt folds case and keeps
     case bits; this build keeps two indexes instead — simpler, and the
@@ -77,7 +99,18 @@ def build_trigram_index(
     versa) silently misses — the flag pairs are pinned in tests.
     """
     c = F.lower(F.col(content_col)) if case_insensitive else F.col(content_col)
-    postings = docs.select("doc_id", F.explode(content_trigrams(c)).alias("trigram"))
+    staged = docs.withColumn("_tri_ch", F.split(c, ""))
+    ch = F.col("_tri_ch")
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(ch) - 2),
+        lambda i: F.concat(
+            F.element_at(ch, i), F.element_at(ch, i + 1), F.element_at(ch, i + 2)
+        ),
+    )
+    tris = F.when(F.size(ch) >= 3, F.array_distinct(windows)).otherwise(
+        F.array().cast("array<string>")
+    )
+    postings = staged.select("doc_id", F.explode(tris).alias("trigram"))
     stats = postings.groupBy("trigram").agg(F.count("*").cast("long").alias("df"))
     return postings, stats
 
@@ -97,34 +130,36 @@ def write_trigram_index(
     stats then confine a needle's scan to its own slice (and usually its
     own files).  This is the trigram analogue of the BM25 postings' sorted
     shard runs (operators/postings.py), and the one extra shuffle it costs
-    the build is the classic build-once/query-forever trade.
+    the build is the classic build-once/query-forever trade.  (Hash
+    clustering is NOT the cheap alternative — hash scatters every file
+    across the full trigram range, so file/row-group min-max stats prune
+    nothing; measured: queries got SLOWER than the doc-major layout.)
 
-    Two-phase write, both phases load-bearing (measured at the 100k bench
-    point):
-
-    1. stage the doc-major postings as parquet FIRST — the explode runs
-       exactly once.  Feeding the un-materialized explode straight into
-       ``repartitionByRange`` doubles the build (212 s vs ~120 s): range
-       partitioning runs a boundary-SAMPLING job that re-executes its
-       upstream.  Staging also rules out hash clustering as the cheap
-       alternative — hash scatters every file across the full trigram
-       range, so file/row-group min-max stats prune nothing (measured:
-       queries got SLOWER than the doc-major layout).
-    2. range-cluster from the staged parquet (sampling now reads compact
-       columns), sort within partitions, write.  The staged copy stays on
-       disk as the doc-major twin — it is the layout a delete/compact pass
-       wants (all of one doc's trigrams contiguous).
+    Single-phase write: the un-materialized explode feeds
+    ``repartitionByRange`` directly, so the trigram projection executes
+    twice — once in the range-partitioner's boundary-SAMPLING job, once
+    for the real shuffle write.  That is the cheaper side of a measured
+    trade-off that FLIPPED in r5: with the O(len²)-per-doc substring
+    windowing the build used through r4, re-running the explode doubled
+    the build (212 s vs ~120 s at the 100k bench point) and a doc-major
+    parquet staging phase paid for itself; with the staged char-array
+    generation (build_trigram_index — ~10-30 s for the same corpus), two
+    cheap explodes beat one explode plus a full extra write+read of the
+    index-sized doc-major copy (measured r5: ~20-40 s single-phase vs
+    ~75-130 s two-phase on the same input).  At 10^12 files the same
+    arithmetic holds harder: postings are the LARGEST dataset in the
+    system, and the staging phase wrote and re-read all of them.
 
     The df stats aggregate from the materialized clustered postings (one
     re-read of compact parquet) and land beside them.
 
     ``resume=True`` makes the write a checkpointed pipeline (the build-plan
     discipline, plans/build.py): each phase is skipped iff its output
-    carries the ``_SUCCESS`` job-commit marker — a crashed run re-executes
-    exactly the phases that did not commit, and a completed index is a
-    no-op re-run (exploding the corpus again is the expensive part this
-    saves).  Off by default: an in-memory one-shot build (tests, bench)
-    should not trust whatever a previous experiment left at ``path``.
+    carries the ``_SUCCESS`` job-commit marker — a completed index is a
+    no-op re-run, and a run that crashed after the postings commit resumes
+    at the stats/metrics phases without re-shuffling.  Off by default: an
+    in-memory one-shot build (tests, bench) should not trust whatever a
+    previous experiment left at ``path``.
     """
     spark = postings.sparkSession
 
@@ -134,24 +169,19 @@ def write_trigram_index(
         fs, p, _ = _fs(spark, f"{path}/{sub}/_SUCCESS")
         return bool(fs.exists(p))
 
-    if _committed("postings") and _committed("stats"):
-        if not _committed("metrics"):  # index from a crashed metrics phase
-            write_trigram_metrics(spark, path)
-        return (
-            spark.read.parquet(f"{path}/postings"),
-            spark.read.parquet(f"{path}/stats"),
-        )
-    if not _committed("postings_by_doc"):
-        postings.write.mode("overwrite").parquet(f"{path}/postings_by_doc")
-    staged = spark.read.parquet(f"{path}/postings_by_doc")
-    p = staged.repartitionByRange(
-        *([partitions] if partitions else []), F.col("trigram")
-    ).sortWithinPartitions("trigram", "doc_id")
-    p.write.mode("overwrite").parquet(f"{path}/postings")
+    if not _committed("postings"):
+        p = postings.repartitionByRange(
+            *([partitions] if partitions else []), F.col("trigram")
+        ).sortWithinPartitions("trigram", "doc_id")
+        p.write.mode("overwrite").parquet(f"{path}/postings")
     p_read = spark.read.parquet(f"{path}/postings")
-    stats = p_read.groupBy("trigram").agg(F.count("*").cast("long").alias("df"))
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
-    write_trigram_metrics(spark, path)
+    if not _committed("stats"):
+        stats = p_read.groupBy("trigram").agg(
+            F.count("*").cast("long").alias("df")
+        )
+        stats.write.mode("overwrite").parquet(f"{path}/stats")
+    if not _committed("metrics"):
+        write_trigram_metrics(spark, path)
     return p_read, spark.read.parquet(f"{path}/stats")
 
 
@@ -165,17 +195,40 @@ def write_trigram_metrics(spark, path: str) -> DataFrame:
     data: a correctly clustered index has (near-)disjoint per-file
     trigram ranges, which is exactly what lets row-group pruning confine
     a needle's scan (tests assert this instead of trusting timings).
+
+    The two exact distinct counts run as SEPARATE pre-distinct
+    aggregations joined back on file, NOT as two countDistincts in one
+    agg: multiple distinct aggregates make Catalyst Expand every input
+    row once per distinct column (3× the index through the shuffle —
+    measured 54-58 s of a ~80 s 100k-doc build, the whole-build
+    bottleneck after the r5 windowing fix), while each pre-distinct
+    collapses map-side — (file, trigram) is contiguous in the clustered
+    layout, (file, doc_id) is bounded by docs-per-file — and measured
+    2-4 s on the same input.  Metrics rows stay one-per-file either way.
     """
-    m = (
-        spark.read.parquet(f"{path}/postings")
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(
-            F.count("*").cast("long").alias("n_postings"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.countDistinct("trigram").cast("long").alias("n_trigrams"),
-            F.min("trigram").alias("min_trigram"),
-            F.max("trigram").alias("max_trigram"),
-        )
+    base = spark.read.parquet(f"{path}/postings").select(
+        F.input_file_name().alias("file"), "doc_id", "trigram"
+    )
+    m1 = base.groupBy("file").agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.min("trigram").alias("min_trigram"),
+        F.max("trigram").alias("max_trigram"),
+    )
+    nd = (
+        base.select("file", "doc_id")
+        .distinct()
+        .groupBy("file")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    nt = (
+        base.select("file", "trigram")
+        .distinct()
+        .groupBy("file")
+        .agg(F.count("*").cast("long").alias("n_trigrams"))
+    )
+    m = m1.join(nd, "file").join(nt, "file").select(
+        "file", "n_postings", "n_docs", "n_trigrams", "min_trigram",
+        "max_trigram",
     )
     m.write.mode("overwrite").parquet(f"{path}/metrics")
     return spark.read.parquet(f"{path}/metrics")
@@ -283,6 +336,21 @@ def compact_trigram_index(
     re-explodes content), so its cost is proportional to index size, not
     corpus tokenization — the LSM compaction trade.
     """
+    # recover a crashed swap first: a previous compact that died between
+    # deleting the old postings dir and renaming the committed replacement
+    # left postings_compacted/_SUCCESS with no postings — finish the
+    # rename; anything else at that path is a crashed partial write and is
+    # discarded (the deltas are still present, so re-compacting is exact).
+    fs0, cmp_path, jvm0 = _fs(spark, f"{path}/postings_compacted")
+    if fs0.exists(cmp_path):
+        post_path = jvm0.org.apache.hadoop.fs.Path(f"{path}/postings")
+        ok = jvm0.org.apache.hadoop.fs.Path(
+            f"{path}/postings_compacted/_SUCCESS"
+        )
+        if fs0.exists(ok) and not fs0.exists(post_path):
+            fs0.rename(cmp_path, post_path)
+        else:
+            fs0.delete(cmp_path, True)
     fs, dbase, _ = _fs(spark, f"{path}/deltas")
     if not fs.exists(dbase):
         return (
@@ -297,22 +365,29 @@ def compact_trigram_index(
     delta_ids = delta.select("doc_id").distinct()
     merged = base_p.join(delta_ids, "doc_id", "left_anti").unionByName(delta)
 
-    # two-phase, same rationale as write_trigram_index: materialize the
-    # merge once, then let range sampling read the compact staging copy.
-    merged.write.mode("overwrite").parquet(f"{path}/compact_staged")
-    staged = spark.read.parquet(f"{path}/compact_staged")
-    p = staged.repartitionByRange(
+    # single-phase, same r5 trade as write_trigram_index: the range
+    # sampler re-executes the merge (parquet re-read + broadcast anti-join
+    # + small-delta distinct — all cheap), which beats writing and
+    # re-reading an index-sized staging copy.  The output lands in a fresh
+    # dir swapped in AFTER commit — range sampling reads {path}/postings,
+    # so writing over it in place would have the sampler race its own
+    # overwrite.
+    p = merged.repartitionByRange(
         *([partitions] if partitions else []), F.col("trigram")
     ).sortWithinPartitions("trigram", "doc_id")
-    p.write.mode("overwrite").parquet(f"{path}/postings")
+    p.write.mode("overwrite").parquet(f"{path}/postings_compacted")
+    fs2, old_postings, jvm2 = _fs(spark, f"{path}/postings")
+    fs2.delete(old_postings, True)
+    fs2.rename(
+        jvm2.org.apache.hadoop.fs.Path(f"{path}/postings_compacted"),
+        old_postings,
+    )
     p_read = spark.read.parquet(f"{path}/postings")
     p_read.groupBy("trigram").agg(
         F.count("*").cast("long").alias("df")
     ).write.mode("overwrite").parquet(f"{path}/stats")
     write_trigram_metrics(spark, path)
 
-    fs2, staged_path, _ = _fs(spark, f"{path}/compact_staged")
-    fs2.delete(staged_path, True)
     fs2.delete(dbase, True)
     return p_read, spark.read.parquet(f"{path}/stats")
 

@@ -68,6 +68,35 @@ def test_content_trigrams_windows(spark):
     assert row["dup"] == ["aaa"]       # distinct per doc
 
 
+def test_build_char_array_form_equals_substring_form(spark):
+    """The build's staged char-array trigram generation (O(len) per doc)
+    must emit byte-identical postings to the query-side substring form
+    (content_trigrams) — including CJK, combining marks, and surrogate-pair
+    (emoji) content, where a code-unit/code-point mismatch between
+    ``split(content, '')`` and ``substring`` would diverge."""
+    texts = [
+        "中文搜索引擎测试", "mixé ünïcode ẞ", "emoji 😀😁x😀ab", "ab", "",
+        "aaa", "中a文b", "tab\tand\nnewline end", "ααβγ αβγ",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    built, _ = build_trigram_index(docs)
+    ref = docs.select(
+        "doc_id", F.explode(content_trigrams(F.col("content"))).alias("trigram")
+    )
+    assert built.exceptAll(ref).count() == 0
+    assert ref.exceptAll(built).count() == 0
+    # ci build folds before windowing, same equality
+    built_ci, _ = build_trigram_index(docs, case_insensitive=True)
+    ref_ci = docs.select(
+        "doc_id",
+        F.explode(content_trigrams(F.lower(F.col("content")))).alias("trigram"),
+    )
+    assert built_ci.exceptAll(ref_ci).count() == 0
+    assert ref_ci.exceptAll(built_ci).count() == 0
+
+
 def test_index_path_equals_bruteforce(spark, corpus, index):
     postings, stats = index
     needles = _needles(spark)
@@ -219,6 +248,7 @@ def test_write_resume_skips_committed_phases(spark, tmp_path):
 
     p1, s1 = write_trigram_index(raw, path, resume=True)
     before = sorted(map(tuple, p1.collect()))
+    n_stats = s1.count()
     mtimes = {
         f: os.path.getmtime(os.path.join(path, "postings", f))
         for f in os.listdir(f"{path}/postings")
@@ -228,18 +258,16 @@ def test_write_resume_skips_committed_phases(spark, tmp_path):
     assert sorted(map(tuple, p2.collect())) == before
     for f, t in mtimes.items():
         assert os.path.getmtime(os.path.join(path, "postings", f)) == t
-    # a crashed final phase (no _SUCCESS) re-runs it without re-staging
-    os.remove(f"{path}/postings/_SUCCESS")
-    stage_mtime = max(
-        os.path.getmtime(os.path.join(path, "postings_by_doc", f))
-        for f in os.listdir(f"{path}/postings_by_doc")
-    )
-    p3, _ = write_trigram_index(raw, path, resume=True)
+    # a crash AFTER the postings commit (stats phase uncommitted) resumes
+    # at the stats phase without re-shuffling the committed postings
+    import shutil
+
+    shutil.rmtree(f"{path}/stats")
+    p3, s3 = write_trigram_index(raw, path, resume=True)
     assert sorted(map(tuple, p3.collect())) == before
-    assert max(
-        os.path.getmtime(os.path.join(path, "postings_by_doc", f))
-        for f in os.listdir(f"{path}/postings_by_doc")
-    ) == stage_mtime
+    for f, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, "postings", f)) == t
+    assert s3.count() == n_stats
 
 
 def test_topk_ranked_by_occurrences(spark):

@@ -226,3 +226,43 @@ def test_boolean_search_over_shards_equals_scan(spark, idx_path):
     assert 2 not in by_qid
     assert by_qid.get(3) == {1, 5}
     assert by_qid.get(4) == {5}
+
+
+def test_compact_recovers_crashed_swap(spark, idx_path):
+    """compact_trigram_index commits the re-clustered postings to a fresh
+    dir and swaps it in (delete old → rename).  A crash BETWEEN those two
+    steps leaves postings_compacted/_SUCCESS and no postings dir; the next
+    compact must finish the swap, re-apply the still-present deltas
+    idempotently, and converge to the fresh-rebuild index."""
+    import os
+    import shutil
+
+    _build_base_and_delta(spark, idx_path)
+    # simulate the crash state: a COMMITTED compacted dir, postings gone
+    # (the committed content of a crashed run is the pre-delta base here —
+    # recovery only needs _SUCCESS + deltas to finish correctly)
+    shutil.move(f"{idx_path}/postings", f"{idx_path}/postings_compacted")
+    assert os.path.exists(f"{idx_path}/postings_compacted/_SUCCESS")
+
+    compact_trigram_index(spark, idx_path)
+    assert not os.path.exists(f"{idx_path}/postings_compacted")
+    assert not os.path.exists(f"{idx_path}/deltas")
+
+    current = _docs(spark, CURRENT_DOCS)
+    fresh_p, fresh_s = build_trigram_index(current)
+    got_p, _ = read_trigram_index(spark, idx_path)
+    # doc 4's deletion is invisible to compaction (absent from deltas);
+    # its stale postings remain and verify prunes them — same NOTE as
+    # test_compaction_converges_to_fresh_rebuild
+    not4 = F.col("doc_id") != 4
+    assert _rows(got_p.filter(not4)) == _rows(fresh_p)
+
+    # the OTHER crash state: an UNCOMMITTED partial compacted dir (no
+    # _SUCCESS) is discarded and the compact re-runs from base ∪ deltas
+    _build_base_and_delta(spark, str(idx_path) + "2")
+    os.makedirs(f"{idx_path}2/postings_compacted")
+    with open(f"{idx_path}2/postings_compacted/part-junk.parquet", "w") as f:
+        f.write("not parquet")
+    compact_trigram_index(spark, f"{idx_path}2")
+    got_p2, _ = read_trigram_index(spark, f"{idx_path}2")
+    assert _rows(got_p2.filter(not4)) == _rows(fresh_p)
