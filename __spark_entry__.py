@@ -296,20 +296,30 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("pos"),
         F.concat_ws(":", "facet", "value").alias("detail"),
     )
-    # r4 legs 8-9 — LSM maintenance (operators/trigram.py:193,232,275;
-    # pytest-twin only until now).  Base index over the RAW documents, then
-    # two deltas: d001 REPLACES every doc_id % 7 == 3 (its 'table' tokens
-    # rewritten, so the base's stale postings for those docs must be pruned
-    # by exact verify), d002 APPENDS re-keyed copies of doc_id % 11 == 5.
-    # mode='delta' searches base ∪ open deltas; mode='compact' repeats the
-    # SAME needles after compact_trigram_index folds the deltas in — both
-    # must equal the oracle's scan over the CURRENT corpus.
+    # r4 legs 8-9, STREAM-FED as of r5 — LSM maintenance
+    # (operators/trigram.py + streaming/index.py::stream_trigram_deltas,
+    # the last pytest-only streaming family).  Base index over the RAW
+    # documents; the two deltas are now written by the STREAMING
+    # maintenance query instead of direct append_trigram_delta calls: the
+    # replacement wave (every doc_id % 7 == 3, its 'table' tokens
+    # rewritten so the base's stale postings must be pruned by exact
+    # verify) lands as parquet in a watched directory and one
+    # availableNow drain commits it as shard stream-…0; the append wave
+    # (re-keyed copies of doc_id % 11 == 5) is added to the SAME
+    # directory and a second drain over the SAME checkpoint picks up only
+    # the new files and commits shard stream-…1 — exercising foreachBatch
+    # shard commit AND checkpointed continuation across restarts.
+    # mode='delta' searches base ∪ the stream-written shards;
+    # mode='compact' repeats the SAME needles after compact_trigram_index
+    # folds them in — both hash-checked against the oracle's scan of the
+    # CURRENT corpus, which is what turns the drained-stream ≡ batch
+    # pytest pin into a driver-gate row.
     from searchenginesimple_spark.operators.trigram import (
-        append_trigram_delta,
         compact_trigram_index,
         read_trigram_index,
         write_trigram_index,
     )
+    from searchenginesimple_spark.streaming.index import stream_trigram_deltas
 
     work = _scratch_dir("bool_delta_entry_")
     idx = f"{work}/tri"
@@ -325,8 +335,17 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10_000_000).cast("long").alias("doc_id"),
         F.concat(F.lit("newdoc "), F.col("content")).alias("content"),
     )
-    append_trigram_delta(repl, idx, "d001")
-    append_trigram_delta(adds, idx, "d002")
+
+    def _drain_delta_wave(wave: DataFrame) -> None:
+        wave.write.mode("append").parquet(f"{work}/doc_stream")
+        stream = spark.readStream.schema("doc_id long, content string").parquet(
+            f"{work}/doc_stream"
+        )
+        q = stream_trigram_deltas(stream, idx, f"{work}/stream_ckpt")
+        q.awaitTermination()
+
+    _drain_delta_wave(repl)
+    _drain_delta_wave(adds)
     current = (
         base.filter(F.col("doc_id") % 7 != 3)
         .select("doc_id", "content")
@@ -361,6 +380,39 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = spark.read.parquet(f"{work}/delta_leg")
     cp, cs = compact_trigram_index(spark, idx)
     compacted = _delta_leg("compact", cp, cs)
+
+    # r5 leg — mode='percolate' (streaming/percolate.py, the other
+    # previously pytest-only streaming family): the full BOOL_QUERY_SET
+    # registered as STANDING queries, the synthesized code docs flowing
+    # past them in multiple micro-batches (maxFilesPerTrigger under an
+    # availableNow drain), matches committed per batch_id.  The union of
+    # committed batches must equal the batch boolean_search over the same
+    # docs — the mode='bool' leg's own row set — so the oracle is the
+    # same per-query SQL with the mode literal swapped; hashing it closes
+    # the drained-stream ≡ batch pin under the driver gate.
+    from searchenginesimple_spark.streaming.percolate import (
+        read_percolated,
+        stream_percolate,
+    )
+
+    docs.repartition(4).write.mode("overwrite").parquet(f"{work}/perc_docs")
+    pstream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{work}/perc_docs")
+    )
+    pq = stream_percolate(
+        pstream, BOOL_QUERY_SET, f"{work}/perc_out", f"{work}/perc_ckpt"
+    )
+    pq.awaitTermination()
+    perc = read_percolated(spark, f"{work}/perc_out").select(
+        F.lit("percolate").alias("mode"),
+        "query_id",
+        "query",
+        "doc_id",
+        F.lit(0).cast("long").alias("pos"),
+        F.lit("").alias("detail"),
+    )
     return (
         booll.unionByName(sub)
         .unionByName(rex)
@@ -370,6 +422,7 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(facets)
         .unionByName(delta)
         .unionByName(compacted)
+        .unionByName(perc)
     )
 
 
@@ -4098,7 +4151,11 @@ SELECT 'fmm' AS mode, * FROM ({_TOKENIZE_CJK_DICT_SQL})""",
             CROSS JOIN (VALUES {", ".join(f"({i}, '{n}')" for i, n in _DELTA_NEEDLES)})
                  q(needle_id, needle)
             CROSS JOIN (VALUES ('delta'), ('compact')) leg(mode)
-            WHERE strpos(d.text, q.needle) > 0""",
+            WHERE strpos(d.text, q.needle) > 0
+            UNION ALL
+            SELECT 'percolate' AS mode, query_id, query, doc_id,
+                   0::BIGINT AS pos, '' AS detail
+            FROM ({_BOOLEAN_SEARCH_SQL})""",
         "filtered_bm25": _FILTERED_BM25_SQL,
         "evalrank": _EVALRANK_SQL,
         "phrase_topk": _bm25_sql(
