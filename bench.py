@@ -427,6 +427,48 @@ def main() -> None:
         bool_batch()  # warmup
         queries["bool_search"], extra["bool_search_reps"] = _min_of(bool_batch)
 
+        # --- r4 results-page surfaces over the same index -------------------
+        # (facet counts + boost-ladder ranked top-k + grep-style line
+        # matches — the boolean_search entry's other driver-gated modes,
+        # without perf rows until r5).  One timed pass runs all three, the
+        # shape a results page actually issues per query batch.
+        from searchenginesimple_spark.operators.boolquery import (
+            boolean_search_facets,
+            boolean_search_topk_ranked,
+        )
+        from searchenginesimple_spark.operators.trigram import (
+            trigram_search_lines,
+        )
+        from pyspark.sql import functions as _F
+
+        surf_docs = tri_docs.withColumn(
+            "path",
+            _F.concat(
+                _F.lit("src/"), _F.col("doc_id").cast("string"), _F.lit(".txt")
+            ),
+        ).withColumn("repo", _F.lit("bench")).withColumn("lang", _F.lit("en"))
+        line_needles = spark.createDataFrame(
+            [(0, "return ident"), (1, "ident_00")],
+            "needle_id long, needle string",
+        )
+
+        def surfaces_batch():
+            boolean_search_facets(
+                surf_docs, tri_post, tri_stats, bool_queries
+            ).count()
+            boolean_search_topk_ranked(
+                surf_docs, tri_post, tri_stats, bool_queries, k=10
+            ).count()
+            trigram_search_lines(
+                surf_docs, tri_post, tri_stats, line_needles,
+                max_lines_per_doc=3,
+            ).count()
+
+        surfaces_batch()  # warmup
+        queries["bool_surfaces"], extra["bool_surfaces_reps"] = _min_of(
+            surfaces_batch
+        )
+
         # --- winnowing clone mining (operators/winnow.py) -------------------
         # fingerprints are shuffle-free array HOFs; pair join shuffles on
         # fingerprint with max_df capping per-key fan-out.  One timed pass =
@@ -499,6 +541,76 @@ def main() -> None:
         queries["curate_pipeline"] = min(cur_walls)
         extra["curate_pipeline_reps"] = cur_walls
         tri_docs.unpersist()
+
+        # --- 10× scale point (1M docs): per-doc linearity evidence ----------
+        # Every 100-TB claim in the tree extrapolated from the 100k bench
+        # point until r5 (r4 verdict #1) — this leg runs the two dominant
+        # builds and the curation pipeline at 10× the corpus and emits
+        # per-doc cost ratios vs the 100k components above (≈1.0 = linear;
+        # sub-linear is expected where fixed orchestration amortizes).
+        # min-of-2 with early-stop, same burst-noise discipline as every
+        # other component; outputs are deleted between reps to bound tmpfs.
+        if not os.environ.get("SPARK_GRAFT_SKIP_SCALE10X"):
+            n10 = int(os.environ.get("SPARK_GRAFT_SCALE10X_DOCS", "1000000"))
+            s10: dict = {"docs": n10}
+            _stage_corpus(spark, n10, f"{work}/raw_10x")
+
+            b10: list[float] = []
+            for rep in range(2):
+                wall, _ = _build(
+                    spark, f"{work}/raw_10x", f"{work}/full10x", cfg
+                )
+                b10.append(round(wall, 3))
+                shutil.rmtree(f"{work}/full10x", ignore_errors=True)
+                if rep > 0 or b10[-1] <= queries["build_full"] * (n10 / n_docs):
+                    break  # already at-or-below linear — no second rep needed
+            s10["build_full_walls"] = b10
+            s10["build_full_docs_per_sec"] = round(n10 / min(b10), 1)
+            s10["build_per_doc_vs_100k"] = round(
+                (min(b10) / n10) / (queries["build_full"] / n_docs), 3
+            )
+
+            # stage the id-assigned corpus once: with_doc_ids is a bucketed
+            # window rank (a corpus shuffle) and the un-cached frame would
+            # re-execute it inside every timed action — the 100k leg reads
+            # its ids from a cached frame, this leg from tmpfs parquet
+            with_doc_ids(spark.read.parquet(f"{work}/raw_10x")).select(
+                "doc_id", "content"
+            ).write.mode("overwrite").parquet(f"{work}/raw_10x_ids")
+            tri10_docs = spark.read.parquet(f"{work}/raw_10x_ids")
+            t10: list[float] = []
+            for rep in range(2):
+                t0 = time.time()
+                raw10, _ = build_trigram_index(tri10_docs)
+                write_trigram_index(raw10, f"{work}/tri10x")
+                t10.append(round(time.time() - t0, 3))
+                shutil.rmtree(f"{work}/tri10x", ignore_errors=True)
+                if rep > 0 or t10[-1] <= queries["trigram_build"] * (n10 / n_docs):
+                    break
+            s10["trigram_build_walls"] = t10
+            s10["trigram_per_doc_vs_100k"] = round(
+                (min(t10) / n10) / (queries["trigram_build"] / n_docs), 3
+            )
+
+            cur10_n = min(n10, cur_docs_n * 10)
+            cur10_docs = tri10_docs.filter(_F.col("doc_id") < cur10_n)
+            c10: list[float] = []
+            for rep in range(
+                int(os.environ.get("SPARK_GRAFT_SCALE10X_CURATE_REPS", "1"))
+            ):
+                cio = _TableIO(spark, f"{work}/curate10x_{rep}")
+                t0 = time.time()
+                curate(spark, cur10_docs, cio, CurateConfig())
+                c10.append(round(time.time() - t0, 3))
+                shutil.rmtree(f"{work}/curate10x_{rep}", ignore_errors=True)
+            s10["curate_docs"] = cur10_n
+            s10["curate_walls"] = c10
+            s10["curate_per_doc_vs_base"] = round(
+                (min(c10) / cur10_n) / (queries["curate_pipeline"] / cur_docs_n), 3
+            )
+            shutil.rmtree(f"{work}/raw_10x", ignore_errors=True)
+            shutil.rmtree(f"{work}/raw_10x_ids", ignore_errors=True)
+            extra["scale10x"] = s10
 
         # --- N → 4N scaling (hard-capped subprocesses, same staged input) ---
         # Interleaved reps, min per config: the sandbox VM shows bursty

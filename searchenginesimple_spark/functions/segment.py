@@ -23,6 +23,13 @@ Scale: the dictionary rides a Spark broadcast (one copy per executor, not
 per task); the UDF is Arrow-batched.  The inner loop is per-text Python —
 the same shape as jieba itself — and runs only on corpora that opt into the
 dictionary mode; the identifier fast path stays all-JVM.
+
+Measured envelope (r5, BASELINE.md): ≈90k docs/s ≈ 31 M chars/s
+steady-state on 16 threads over a 339-char-avg mixed-CJK corpus — ~2.5×
+slower than the all-JVM unigram default (≈150-240k docs/s on the same
+input).  Routing a 100× corpus through the dictionary mode is therefore a
+known, linear cost (~11 h per 10⁹ docs per 16-thread executor), not an
+unmeasured cliff.
 """
 
 from __future__ import annotations

@@ -68,3 +68,19 @@ def test_entry_smoke(spark):
     assert len(rows) >= 0
     assert set(df.columns) == {"query", "rank", "docID", "score"}
     assert all(not math.isnan(r["score"]) for r in rows)
+
+
+def test_readme_operator_catalog_matches_registry():
+    """README's operator catalog is generated from queries() and may not
+    drift: regenerating it must reproduce the committed text exactly
+    (refresh with `python -m searchenginesimple_spark.catalog`), and the
+    registry stays at exactly 50 entries (the driver's checked window)."""
+    import os
+
+    from searchenginesimple_spark import catalog
+
+    rows = catalog.operator_catalog_rows()
+    assert len(rows) == 50
+    assert [r[0] for r in rows] == list(entrymod.queries().keys())
+    readme = open(os.path.join(catalog._REPO, "README.md")).read()
+    assert catalog.render_catalog() in readme
