@@ -206,7 +206,15 @@ def write_trigram_metrics(spark, path: str) -> DataFrame:
     layout, (file, doc_id) is bounded by docs-per-file — and measured
     2-4 s on the same input.  Metrics rows stay one-per-file either way.
     """
-    base = spark.read.parquet(f"{path}/postings").select(
+    m = _metrics_frame(spark.read.parquet(f"{path}/postings"))
+    m.write.mode("overwrite").parquet(f"{path}/metrics")
+    return spark.read.parquet(f"{path}/metrics")
+
+
+def _metrics_frame(postings: DataFrame) -> DataFrame:
+    """The metrics aggregation plan (split out so tests can pin its shape
+    — specifically the absence of an Expand node, see the caller)."""
+    base = postings.select(
         F.input_file_name().alias("file"), "doc_id", "trigram"
     )
     m1 = base.groupBy("file").agg(
@@ -226,12 +234,10 @@ def write_trigram_metrics(spark, path: str) -> DataFrame:
         .groupBy("file")
         .agg(F.count("*").cast("long").alias("n_trigrams"))
     )
-    m = m1.join(nd, "file").join(nt, "file").select(
+    return m1.join(nd, "file").join(nt, "file").select(
         "file", "n_postings", "n_docs", "n_trigrams", "min_trigram",
         "max_trigram",
     )
-    m.write.mode("overwrite").parquet(f"{path}/metrics")
-    return spark.read.parquet(f"{path}/metrics")
 
 
 def _fs(spark, path: str):

@@ -323,3 +323,56 @@ def test_topk_matches_python_count(spark):
             reverse=True,
         )[: len(counts)]
         assert sorted(counts, reverse=True) == top  # true top-k by count
+
+
+def test_build_plan_evaluates_split_once(spark):
+    """The build's O(len)-per-doc property hangs on the char-array staging
+    projection surviving CollapseProject: if Catalyst ever inlines the
+    split into the window lambda, it re-evaluates per element_at and the
+    build goes O(len²) per doc again (~100 s of the pre-r5 143 s build).
+    Pin: exactly ONE split(...) in the optimized postings plan."""
+    docs = spark.createDataFrame(
+        [(1, "hello world of text")], "doc_id long, content string"
+    )
+    p, _ = build_trigram_index(docs)
+    plan = p._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+
+
+def test_metrics_plan_has_no_expand(spark, tmp_path):
+    """The per-file lineage metrics must stay Expand-free: two
+    countDistincts in one aggregate make Catalyst Expand every posting
+    once per distinct column (3× the index through the shuffle — measured
+    54-58 s of an ~80 s 100k build); the split pre-distinct form measured
+    2-4 s.  Pin the plan property, and that the exact counts match the
+    naive dual-countDistinct result."""
+    from pyspark.sql import functions as F
+
+    from searchenginesimple_spark.operators.trigram import (
+        _metrics_frame,
+        write_trigram_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body_{i} text") for i in range(50)],
+        "doc_id long, content string",
+    )
+    raw, _ = build_trigram_index(docs)
+    path = str(tmp_path / "idx")
+    write_trigram_index(raw, path, partitions=3)
+    pr = spark.read.parquet(f"{path}/postings")
+
+    m = _metrics_frame(pr)
+    assert "Expand" not in m._jdf.queryExecution().executedPlan().toString()
+
+    naive = pr.groupBy(F.input_file_name().alias("file")).agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("trigram").cast("long").alias("n_trigrams"),
+        F.min("trigram").alias("min_trigram"),
+        F.max("trigram").alias("max_trigram"),
+    )
+    cols = ["file", "n_postings", "n_docs", "n_trigrams", "min_trigram", "max_trigram"]
+    got = sorted(map(tuple, m.select(*cols).collect()))
+    want = sorted(map(tuple, naive.select(*cols).collect()))
+    assert got == want
