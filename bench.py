@@ -453,16 +453,29 @@ def main() -> None:
         )
 
         def surfaces_batch():
-            boolean_search_facets(
-                surf_docs, tri_post, tri_stats, bool_queries
-            ).count()
-            boolean_search_topk_ranked(
-                surf_docs, tri_post, tri_stats, bool_queries, k=10
-            ).count()
-            trigram_search_lines(
-                surf_docs, tri_post, tri_stats, line_needles,
-                max_lines_per_doc=3,
-            ).count()
+            # the results-page shape: ONE match pass (persisted), every
+            # boolean surface reads it via the hits= hook instead of
+            # re-running the postings joins + exact verify per surface
+            hits = (
+                boolean_search(tri_docs, tri_post, tri_stats, bool_queries)
+                .select("query_id", "query", "doc_id")
+                .persist()
+            )
+            try:
+                hits.count()
+                boolean_search_facets(
+                    surf_docs, tri_post, tri_stats, bool_queries, hits=hits
+                ).count()
+                boolean_search_topk_ranked(
+                    surf_docs, tri_post, tri_stats, bool_queries, k=10,
+                    hits=hits,
+                ).count()
+                trigram_search_lines(
+                    surf_docs, tri_post, tri_stats, line_needles,
+                    max_lines_per_doc=3,
+                ).count()
+            finally:
+                hits.unpersist()
 
         surfaces_batch()  # warmup
         queries["bool_surfaces"], extra["bool_surfaces_reps"] = _min_of(

@@ -844,6 +844,7 @@ def boolean_search_topk_ranked(
     case_insensitive: bool = False,
     priority: DataFrame | None = None,
     priority_col: str = "rank",
+    hits: DataFrame | None = None,
     **search_kwargs,
 ) -> DataFrame:
     """zoekt-ordered boolean results → (query_id, query, rank, doc_id,
@@ -880,6 +881,14 @@ def boolean_search_topk_ranked(
     Scale shape: boosts are computed on VERIFIED MATCHES only (the join
     and extract_symbols run over candidate-sized data); the per-query
     top-k is the usual map-side WindowGroupLimit.
+
+    ``hits``: optional precomputed match set — a (query_id, query, doc_id)
+    frame from ONE ``boolean_search`` call over the same (docs, queries),
+    typically persisted.  A results page renders ranked results AND facet
+    counts for the same query batch; without this hook each surface
+    re-runs the whole match pipeline (postings joins + exact verify).
+    Caller contract: same query set, same knobs — the signals here are
+    recomputed from the AST either way, only the match set is reused.
     """
     from searchenginesimple_spark.functions.code import extract_symbols
 
@@ -891,15 +900,17 @@ def boolean_search_topk_ranked(
     }
     leaves_by_qid = {qid: sorted(_positive_leaves(asts[qid])) for qid, _ in queries}
 
-    hits = boolean_search(
-        docs,
-        postings,
-        stats,
-        queries,
-        content_col=content_col,
-        case_insensitive=case_insensitive,
-        **search_kwargs,
-    ).select("query_id", "query", "doc_id")
+    if hits is None:
+        hits = boolean_search(
+            docs,
+            postings,
+            stats,
+            queries,
+            content_col=content_col,
+            case_insensitive=case_insensitive,
+            **search_kwargs,
+        )
+    hits = hits.select("query_id", "query", "doc_id")
     matched = hits.join(docs.select("doc_id", content_col, path_col), "doc_id")
 
     occ_expr = F.lit(0).cast("long")
@@ -1017,6 +1028,7 @@ def boolean_search_facets(
     queries: list[tuple[int, str]],
     by: tuple[str, ...] = ("repo", "lang"),
     content_col: str = "content",
+    hits: DataFrame | None = None,
     **search_kwargs,
 ) -> DataFrame:
     """Result facets → (query_id, query, facet, value, n_docs): per query,
@@ -1028,10 +1040,17 @@ def boolean_search_facets(
     candidate-sized join to the metadata columns, then ONE hash-agg per
     facet column (map-side partials; the unpivot to (facet, value) rows is
     a map-side stack over the agg output, so adding facet columns never
-    adds passes over content)."""
-    hits = boolean_search(
-        docs, postings, stats, queries, content_col=content_col, **search_kwargs
-    ).select("query_id", "query", "doc_id")
+    adds passes over content).
+
+    ``hits``: optional precomputed (query_id, query, doc_id) match set —
+    same contract as boolean_search_topk_ranked: a results page computes
+    matches ONCE and feeds every surface."""
+    if hits is None:
+        hits = boolean_search(
+            docs, postings, stats, queries, content_col=content_col,
+            **search_kwargs,
+        )
+    hits = hits.select("query_id", "query", "doc_id")
     meta = hits.join(docs.select("doc_id", *by), "doc_id")
     out = None
     for col in by:

@@ -963,3 +963,45 @@ def test_case_modifier_lines_and_ranked(spark, case_corpus):
     assert by[(1, 1)]["symbol_match"] == 1
     assert by[(1, 2)]["symbol_match"] == 1
     assert by[(0, 0)]["n_occurrences"] == 1
+
+
+def test_surfaces_accept_precomputed_hits(spark, ranked_corpus):
+    """The results-page reuse hook: facets and the boost-ladder top-k fed
+    a precomputed boolean_search match set (hits=) must equal their
+    compute-internally output exactly — one match pass can serve every
+    surface of a page without changing a single row."""
+    from searchenginesimple_spark.operators.boolquery import (
+        boolean_search,
+        boolean_search_facets,
+        boolean_search_topk_ranked,
+    )
+
+    rows, docs = ranked_corpus
+    docs2 = docs.withColumn("repo", F.concat(F.lit("r"), F.col("doc_id") % 3)).withColumn(
+        "lang", F.lit("py")
+    )
+    postings, stats = build_trigram_index(docs2)
+    queries = [
+        (0, "handler_1"),
+        (1, "re:handler_[12] return"),
+        (2, "return -handler_1"),
+    ]
+    hits = (
+        boolean_search(docs2, postings, stats, queries)
+        .select("query_id", "query", "doc_id")
+        .persist()
+    )
+    try:
+        hits.count()
+        got_r = sorted(map(tuple, boolean_search_topk_ranked(
+            docs2, postings, stats, queries, k=7, hits=hits).collect()))
+        want_r = sorted(map(tuple, boolean_search_topk_ranked(
+            docs2, postings, stats, queries, k=7).collect()))
+        assert got_r == want_r and got_r
+        got_f = sorted(map(tuple, boolean_search_facets(
+            docs2, postings, stats, queries, hits=hits).collect()))
+        want_f = sorted(map(tuple, boolean_search_facets(
+            docs2, postings, stats, queries).collect()))
+        assert got_f == want_f and got_f
+    finally:
+        hits.unpersist()
