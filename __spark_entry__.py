@@ -1317,7 +1317,12 @@ def _q_streaming_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("events table is empty: no watermark sentinel can be placed")
     sentinel = spark.createDataFrame([("__sentinel__", max_ts)], "url string, ts timestamp")
     sentinel = sentinel.withColumn("ts", F.col("ts") + F.expr("INTERVAL 365 DAYS"))
-    work = _scratch_dir("clickstream_")
+    # plain mkdtemp: this entry collects its result and removes the dir in
+    # its own finally — _scratch_dir's atexit hook is only for entries
+    # that return lazy plans over the workspace (boolean_search, curate)
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="clickstream_")
     try:
         ev.unionByName(sentinel).write.mode("overwrite").parquet(f"{work}/in")
 

@@ -621,11 +621,14 @@ def main() -> None:
                 curate(spark, cur10_docs, cio, CurateConfig())
                 c10.append(round(time.time() - t0, 3))
                 shutil.rmtree(f"{work}/curate10x_{rep}", ignore_errors=True)
-            s10["curate_docs"] = cur10_n
-            s10["curate_walls"] = c10
-            s10["curate_per_doc_vs_base"] = round(
-                (min(c10) / cur10_n) / (queries["curate_pipeline"] / cur_docs_n), 3
-            )
+            if c10:  # reps knob may be 0 = skip the slow curate leg
+                s10["curate_docs"] = cur10_n
+                s10["curate_walls"] = c10
+                s10["curate_per_doc_vs_base"] = round(
+                    (min(c10) / cur10_n)
+                    / (queries["curate_pipeline"] / cur_docs_n),
+                    3,
+                )
             shutil.rmtree(f"{work}/raw_10x", ignore_errors=True)
             shutil.rmtree(f"{work}/raw_10x_ids", ignore_errors=True)
             extra["scale10x"] = s10

@@ -34,7 +34,8 @@ def operator_catalog_rows() -> list[tuple[str, str, str, str]]:
     """→ [(entry, file:line, gate, summary)] in registry order."""
     import sys
 
-    sys.path.insert(0, _REPO)
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
     import __spark_entry__ as entry
 
     oracles = entry.oracle_sql()

@@ -288,6 +288,33 @@ def append_trigram_delta(
     ).write.mode("overwrite").parquet(f"{d}/stats")
 
 
+def _recover_crashed_swap(spark, path: str) -> None:
+    """Finish (or discard) a compact swap that crashed mid-commit.
+
+    compact_trigram_index commits via delete-old → rename-new; a crash
+    between the two leaves ``postings_compacted/_SUCCESS`` with no
+    ``postings`` dir.  Called from BOTH the compact entry point and the
+    read path (read_trigram_index), so a crashed swap heals on the next
+    READ — queries never wait for someone to re-run compaction.  A
+    ``postings_compacted`` without ``_SUCCESS`` is a crashed partial write
+    and is discarded (the deltas are still present, so re-compacting is
+    exact).  Rename failures raise — a silently failed rename would leave
+    the no-postings state with no error at the point of failure."""
+    fs, cmp_path, jvm = _fs(spark, f"{path}/postings_compacted")
+    if not fs.exists(cmp_path):
+        return
+    post_path = jvm.org.apache.hadoop.fs.Path(f"{path}/postings")
+    ok = jvm.org.apache.hadoop.fs.Path(f"{path}/postings_compacted/_SUCCESS")
+    if fs.exists(ok) and not fs.exists(post_path):
+        if not fs.rename(cmp_path, post_path):
+            raise IOError(
+                f"could not finish crashed compact swap: rename "
+                f"{path}/postings_compacted -> {path}/postings failed"
+            )
+    else:
+        fs.delete(cmp_path, True)
+
+
 def read_trigram_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """→ (postings, stats) over base ∪ all deltas.
 
@@ -305,6 +332,7 @@ def read_trigram_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     sums (approximate while deltas are open: superseded base rows inflate
     df; ordering/pruning-only, never results — see append_trigram_delta).
     """
+    _recover_crashed_swap(spark, path)  # heal on READ, not just on compact
     fs, dbase, _ = _fs(spark, f"{path}/deltas")
     base = spark.read.parquet(f"{path}/postings")
     stat_shards = [f"{path}/stats"]
@@ -342,21 +370,7 @@ def compact_trigram_index(
     re-explodes content), so its cost is proportional to index size, not
     corpus tokenization — the LSM compaction trade.
     """
-    # recover a crashed swap first: a previous compact that died between
-    # deleting the old postings dir and renaming the committed replacement
-    # left postings_compacted/_SUCCESS with no postings — finish the
-    # rename; anything else at that path is a crashed partial write and is
-    # discarded (the deltas are still present, so re-compacting is exact).
-    fs0, cmp_path, jvm0 = _fs(spark, f"{path}/postings_compacted")
-    if fs0.exists(cmp_path):
-        post_path = jvm0.org.apache.hadoop.fs.Path(f"{path}/postings")
-        ok = jvm0.org.apache.hadoop.fs.Path(
-            f"{path}/postings_compacted/_SUCCESS"
-        )
-        if fs0.exists(ok) and not fs0.exists(post_path):
-            fs0.rename(cmp_path, post_path)
-        else:
-            fs0.delete(cmp_path, True)
+    _recover_crashed_swap(spark, path)
     fs, dbase, _ = _fs(spark, f"{path}/deltas")
     if not fs.exists(dbase):
         return (
@@ -384,10 +398,14 @@ def compact_trigram_index(
     p.write.mode("overwrite").parquet(f"{path}/postings_compacted")
     fs2, old_postings, jvm2 = _fs(spark, f"{path}/postings")
     fs2.delete(old_postings, True)
-    fs2.rename(
+    if not fs2.rename(
         jvm2.org.apache.hadoop.fs.Path(f"{path}/postings_compacted"),
         old_postings,
-    )
+    ):
+        raise IOError(
+            f"compact swap rename {path}/postings_compacted -> "
+            f"{path}/postings failed"
+        )
     p_read = spark.read.parquet(f"{path}/postings")
     p_read.groupBy("trigram").agg(
         F.count("*").cast("long").alias("df")

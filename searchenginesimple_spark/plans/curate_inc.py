@@ -365,9 +365,12 @@ def curate_increment(
             f"curate_kept_gen ({sorted(kept_names)}) — partitioned parquet "
             f"cannot carry per-generation schemas"
         )
+    # present columns are CAST to the kept type too — a name-only
+    # reconciliation would commit e.g. an int doc_id into a long column and
+    # fork the physical schema just as badly as a missing column
     admitted = admitted.select(
         *[
-            F.col(f.name)
+            F.col(f.name).cast(f.dataType).alias(f.name)
             if f.name in admitted.columns
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in kept_fields

@@ -125,6 +125,24 @@ def delete_docs(io: TableIO, doc_ids, cfg: EngineConfig = DEFAULT) -> int:
     return len(rows)
 
 
+def _read_tombstones(io: TableIO) -> DataFrame:
+    """The one concurrent-compaction-safe way to scan the tombstones table
+    — EVERY reader goes through here: compact_index clears the snapshotted
+    part files LAST (its commit point), so any reader that listed the
+    directory just before that clear would try to open vanished files
+    mid-scan.  ``ignoreMissingFiles`` makes the scan skip them — which is
+    exactly the right semantics, not a lossy workaround: a part file only
+    vanishes because the compact that folded its ids into the index
+    COMMITTED, so those ids no longer need filtering.  Ids appended after
+    the snapshot live in newer files the clear never touches.  Catalog
+    deployments get the same property from Iceberg snapshot isolation."""
+    if io.catalog:
+        return io.read("tombstones")
+    return io.spark.read.option("ignoreMissingFiles", "true").parquet(
+        io.path("tombstones")
+    )
+
+
 def needs_compaction(io: TableIO, cfg: EngineConfig = DEFAULT) -> bool:
     """True when the pending tombstone set exceeds the fastpath guard —
     the signal an operator (or a scheduled janitor) uses to trigger
@@ -133,31 +151,16 @@ def needs_compaction(io: TableIO, cfg: EngineConfig = DEFAULT) -> bool:
     if not io.exists("tombstones"):
         return False
     cap = cfg.tombstone_fastpath_max
-    return io.read("tombstones").limit(cap + 1).count() > cap
+    return _read_tombstones(io).limit(cap + 1).count() > cap
 
 
 def load_tombstones(io: TableIO) -> DataFrame | None:
     """The current deleted set (deduped), or None when nothing is deleted —
     pass straight to the query paths' ``tombstones`` parameter.
-
-    Concurrent-compaction safe: compact_index clears the snapshotted part
-    files LAST (its commit point), so a reader that listed the directory
-    just before that clear would try to open vanished files mid-scan.
-    ``ignoreMissingFiles`` makes the scan skip them — which is exactly the
-    right semantics, not a lossy workaround: a part file only vanishes
-    because the compact that folded its ids into the index COMMITTED, so
-    those ids no longer need filtering.  Ids appended after the snapshot
-    live in newer files the clear never touches.  Catalog deployments get
-    the same property from Iceberg snapshot isolation instead."""
+    Concurrent-compaction safe via _read_tombstones."""
     if not io.exists("tombstones"):
         return None
-    if io.catalog:
-        t = io.read("tombstones")
-    else:
-        t = io.spark.read.option("ignoreMissingFiles", "true").parquet(
-            io.path("tombstones")
-        )
-    return t.select("doc_id").distinct()
+    return _read_tombstones(io).select("doc_id").distinct()
 
 
 def _fs(io: TableIO, path: str):

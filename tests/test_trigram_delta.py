@@ -244,6 +244,19 @@ def test_compact_recovers_crashed_swap(spark, idx_path):
     shutil.move(f"{idx_path}/postings", f"{idx_path}/postings_compacted")
     assert os.path.exists(f"{idx_path}/postings_compacted/_SUCCESS")
 
+    # the READ path heals the swap first (queries never wait for a
+    # re-compaction): read_trigram_index on the crashed state serves
+    # base ∪ open deltas correctly
+    healed_p, healed_s = read_trigram_index(spark, idx_path)
+    assert os.path.exists(f"{idx_path}/postings")
+    assert not os.path.exists(f"{idx_path}/postings_compacted")
+    current0 = _docs(spark, CURRENT_DOCS)
+    got0 = _rows(trigram_search(current0, healed_p, healed_s, _needles(spark)))
+    want0 = _rows(trigram_search_bruteforce(current0, _needles(spark)))
+    assert got0 == want0
+
+    # re-create the crash state and let compact itself recover it
+    shutil.move(f"{idx_path}/postings", f"{idx_path}/postings_compacted")
     compact_trigram_index(spark, idx_path)
     assert not os.path.exists(f"{idx_path}/postings_compacted")
     assert not os.path.exists(f"{idx_path}/deltas")
