@@ -202,7 +202,17 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_code_content(F.col("content")).alias("content"),
     )
     postings, stats = build_trigram_index(docs)
-    booll = boolean_search(docs, postings, stats, BOOL_QUERY_SET).select(
+    # ONE match pass for every boolean surface of this entry (the r5
+    # results-page reuse hook): booll IS the match set; facets and the
+    # branked ladder read it via hits= instead of re-running the postings
+    # joins + exact verify per leg.  persist() keeps the reuse real under
+    # the driver's evaluation (eviction only costs recompute, never rows).
+    bool_hits = (
+        boolean_search(docs, postings, stats, BOOL_QUERY_SET)
+        .select("query_id", "query", "doc_id")
+        .persist()
+    )
+    booll = bool_hits.select(
         F.lit("bool").alias("mode"), "query_id", "query", "doc_id",
         F.lit(0).cast("long").alias("pos"),
         F.lit("").alias("detail"),
@@ -274,6 +284,7 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [q for q in BOOL_QUERY_SET if q[0] in (0, 6, 7, 9)],
         k=10,
         priority=prio,
+        hits=bool_hits.filter(F.col("query_id").isin([0, 6, 7, 9])),
     ).select(
         F.lit("branked").alias("mode"),
         "query_id",
@@ -288,7 +299,9 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("priority"),
         ).alias("detail"),
     )
-    facets = boolean_search_facets(docs, postings, stats, BOOL_QUERY_SET).select(
+    facets = boolean_search_facets(
+        docs, postings, stats, BOOL_QUERY_SET, hits=bool_hits
+    ).select(
         F.lit("facets").alias("mode"),
         "query_id",
         "query",

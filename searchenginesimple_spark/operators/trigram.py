@@ -331,6 +331,16 @@ def read_trigram_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     posting of a 10¹²-file index on every read.  Stats are the per-shard
     sums (approximate while deltas are open: superseded base rows inflate
     df; ordering/pruning-only, never results — see append_trigram_delta).
+
+    Concurrency note: a plan from this function is a point-in-time view —
+    a CONCURRENT compact_trigram_index deletes the delta dirs this plan's
+    lazy scans reference, and (unlike the tombstones reader) skipping a
+    vanished delta file is NOT safe here: this plan's base predates the
+    compact, so the delta rows are the only copy of the replaced docs'
+    postings and dropping them would lose matches.  Serving therefore
+    follows the Lucene searcher-reopen discipline the delete plan
+    documents: evaluate (or re-open) after a compact, single
+    compaction-writer per index root.
     """
     _recover_crashed_swap(spark, path)  # heal on READ, not just on compact
     fs, dbase, _ = _fs(spark, f"{path}/deltas")
