@@ -11,6 +11,8 @@ The whole flow — zip the package, submit with --py-files, imports resolved
 from the ZIP (not a checkout) — is exercised end-to-end by
 tests/test_cli.py::test_spark_submit_py_files_ships.  Or locally:
 
+    python -m searchenginesimple_spark.cli ingest --root /path/checkout --output /path/docs_parquet \\
+                                                  [--repo name] [--commit sha] [--glob '*.py']
     python -m searchenginesimple_spark.cli build  --input /path/docs_parquet --index /path/idx
     python -m searchenginesimple_spark.cli query  --index /path/idx --query "spark window" [--mode or]
     python -m searchenginesimple_spark.cli delete --index /path/idx --doc-id 42 --doc-id 7
@@ -54,6 +56,17 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--input", required=True, help="parquet dir of docs(repo,path,commit,lang,content)")
     b.add_argument("--index", required=True, help="output index root")
     b.add_argument("--run-id", default=None)
+
+    i = sub.add_parser(
+        "ingest", help="scan a source tree into a docs parquet (distributed DirScanner)"
+    )
+    i.add_argument("--root", required=True, help="checkout tree to scan recursively")
+    i.add_argument("--output", required=True, help="output parquet dir (input_hint shape + doc_id)")
+    i.add_argument("--repo", default=None, help="repo name (default: basename of --root)")
+    i.add_argument("--commit", default="HEAD")
+    i.add_argument("--glob", default=None, help="filename glob pushed into the listing (e.g. '*.py')")
+    i.add_argument("--max-bytes", type=int, default=None,
+                   help="drop files larger than this before decode (default 1 MiB)")
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--index", required=True)
@@ -240,6 +253,26 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.input)
         res = build_index(spark, docs, TableIO(spark, args.index), DEFAULT, run_id=args.run_id)
         print(json.dumps(res.__dict__))
+        return 0
+
+    if args.cmd == "ingest":
+        from searchenginesimple_spark.sources.corpus import with_doc_ids
+        from searchenginesimple_spark.sources.files import (
+            DEFAULT_MAX_BYTES,
+            read_source_tree,
+        )
+
+        docs = read_source_tree(
+            spark,
+            args.root,
+            repo=args.repo,
+            commit=args.commit,
+            glob=args.glob,
+            max_bytes=args.max_bytes if args.max_bytes is not None else DEFAULT_MAX_BYTES,
+        )
+        with_doc_ids(docs).write.mode("error").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"ingested_docs": n, "output": args.output}))
         return 0
 
     if args.cmd == "query":

@@ -151,7 +151,14 @@ def with_doc_ids(docs: DataFrame, n_buckets: int = N_ID_BUCKETS) -> DataFrame:
     ``monotonically_increasing_id`` (partition-layout-dependent) the result
     is reproducible across cluster sizes; ids are dense but NOT globally
     key-ordered (no consumer requires that — dedup needs only a total order).
+
+    Idempotent: a ``doc_id`` column already present (e.g. a corpus written
+    by ``cli ingest``, which runs this same assignment) is kept as-is —
+    re-deriving would be a no-op for our own tables and would silently
+    clobber a caller's explicit id contract for anyone else's.
     """
+    if "doc_id" in docs.columns:
+        return docs
     keys = ["repo", "path", "commit"]
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
     ids = docs.select(*keys).withColumn("_b", bucket)

@@ -575,3 +575,49 @@ def test_cli_complete(spark, tmp_path, capsys):
     # whitespace-only normalizes to the empty prefix — same loud contract
     with _pytest.raises(SystemExit, match="empty"):
         cli.main(["complete", "--log", str(log), "--prefix", "   "])
+
+
+def test_cli_ingest_then_build_and_query(spark, tmp_path, capsys):
+    """ingest (distributed DirScanner) → docs parquet → build → query: the
+    full bootstrap path from a raw checkout tree to a served answer."""
+    import searchenginesimple_spark.cli as cli
+
+    root = tmp_path / "checkout"
+    (root / "src").mkdir(parents=True)
+    (root / ".git").mkdir()
+    for i in range(30):
+        (root / "src" / f"mod_{i:02d}.py").write_text(
+            f"def ident_{i:03d}():\n    return shared_token + {i}\n"
+        )
+    (root / ".git" / "HEAD").write_text("ref: refs/heads/main\n")
+
+    docs, idx = tmp_path / "docs", tmp_path / "idx"
+    rc = cli.main(
+        ["ingest", "--root", str(root), "--output", str(docs),
+         "--repo", "demo", "--commit", "abc123"]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ingested_docs"] == 30  # .git skipped
+
+    out = spark.read.parquet(str(docs))
+    assert set(out.columns) == {"repo", "path", "commit", "lang", "content", "doc_id"}
+    first = out.filter("path = 'src/mod_00.py'").first()
+    assert first.lang == "python" and first.commit == "abc123"
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == list(range(30))
+
+    rc = cli.main(["build", "--input", str(docs), "--index", str(idx)])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n_docs"] == 30
+
+    rc = cli.main(["query", "--index", str(idx), "--query", "ident_007"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and rows[0]["rank"] == 1
+
+    # --output is write-once (mode=error): a re-ingest cannot clobber a corpus
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import AnalysisException
+    with _pytest.raises((AnalysisException, Py4JJavaError)):
+        cli.main(["ingest", "--root", str(root), "--output", str(docs)])
