@@ -30,6 +30,15 @@ Semantics matched to the reference + the input_hint schema
 * ``path`` is repo-relative, ``repo``/``commit`` are caller-supplied
   metadata (no git binary dependency — at scale the checkout service
   knows the commit; default 'HEAD').
+
+Measured (BASELINE.md): 20k × 1.5 KB files ingest end-to-end (scan →
+decode → dense ids → parquet) in ≈6 s warm on local[16] (~3,350
+files/s).  Small-file task sizing: file sources bill each file at
+``spark.sql.files.openCostInBytes`` (4 MiB default), so a small-file
+corpus splits into ~4-files-per-task; on a many-million-file ingest
+raise that conf (or lower it for large files) to balance task count
+against open latency — it is the standard knob, deliberately left at
+the session level rather than mutated here.
 """
 
 from __future__ import annotations
