@@ -152,13 +152,16 @@ def with_doc_ids(docs: DataFrame, n_buckets: int = N_ID_BUCKETS) -> DataFrame:
     is reproducible across cluster sizes; ids are dense but NOT globally
     key-ordered (no consumer requires that — dedup needs only a total order).
 
-    Idempotent: a ``doc_id`` column already present (e.g. a corpus written
-    by ``cli ingest``, which runs this same assignment) is kept as-is —
-    re-deriving would be a no-op for our own tables and would silently
-    clobber a caller's explicit id contract for anyone else's.
+    A ``doc_id`` column already present (e.g. a corpus written by ``cli
+    ingest``, which runs this same assignment) is DROPPED and re-derived:
+    every caller of this function needs the dense-over-THIS-input contract
+    (plans/build.py and plans/merge.py both rank a FILTERED set, so stale
+    ids would carry gaps and break e.g. merge's first_id offsetting).
+    Callers that want to respect pre-assigned ids guard at the call site
+    (``if "doc_id" not in docs.columns`` — the cli query-path convention).
     """
     if "doc_id" in docs.columns:
-        return docs
+        docs = docs.drop("doc_id")
     keys = ["repo", "path", "commit"]
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
     ids = docs.select(*keys).withColumn("_b", bucket)

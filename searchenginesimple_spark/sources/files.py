@@ -3,48 +3,69 @@ distributed Spark source.
 
 The reference walks corpus directories driver-side and slurps each file
 into a string (``include/Page/Page.hpp:37-72`` DirScanner — skips
-dotfiles; ``include/helper/readAll.hpp:10-15`` ReadAll).  The Spark-first
-form is the ``binaryFile`` data source: file LISTING is parallelized and
-catalog-driven, file CONTENT arrives as a binary column in executor
-memory, and both inherit partition pruning / maxPartitionBytes sizing —
-nothing is ever collected to the driver.  At 10^12 files the listing
-itself is the scale problem, which is why a real deployment fronts this
-with a manifest/Iceberg table (sources/io.py); this module is the
-bootstrap that BUILDS such a table from a raw checkout tree.
+dotfiles; ``include/helper/readAll.hpp:10-15`` ReadAll).  Two engines,
+selected by ``mode`` (default: by root scheme):
 
-Semantics matched to the reference + the input_hint schema
+* ``mode='walk'`` (default for local paths) — a distributed tree walk:
+  the driver lists only a shallow seed frontier (depth ≤ ``seed_depth``,
+  directories-of-the-root scale, never the full file list), then
+  ``mapInPandas`` tasks walk their subtrees, apply the skip rule, stat
+  for the size cut, and read+decode — the per-partition imperative shape
+  Spark's declarative sources cannot express here, because the built-in
+  file listing HARD-CODES skipping ``_``-prefixed names (verified: even
+  explicitly-passed leaf paths are ignored), which would silently drop
+  every ``__init__.py`` from a Python corpus.  This mode reproduces the
+  reference's rule exactly: dotfiles (and dot-dirs) are skipped,
+  underscore names are KEPT.
+* ``mode='spark'`` (default for ``scheme://`` roots) — the ``binaryFile``
+  data source: catalog-driven parallel listing, Hadoop-connector access
+  to object stores/HDFS, partition sizing via
+  ``spark.sql.files.maxPartitionBytes`` / ``openCostInBytes``.  Inherits
+  Spark's hidden-file rule (skips ``_*`` AND ``.*``) — fine for a data
+  lake, wrong for a Python checkout; hence the walk default locally.
+
+At 10^12 files the listing itself is the scale problem, which is why a
+real deployment fronts this with a manifest/Iceberg table
+(sources/io.py); this module is the bootstrap that BUILDS such a table
+from a raw checkout tree.
+
+Shared semantics, matched to the reference + the input_hint schema
 ``(repo, path, commit, lang, content)``:
 
-* dotfiles / ``_``-prefixed files are skipped (Spark file sources filter
-  hidden files — the same rule DirScanner applies);
 * content is decoded as UTF-8 with U+FFFD replacement for invalid bytes
   (a code corpus always contains a few latin-1 strays; failing the whole
   scan on one of them is wrong, and the replacement is deterministic so
-  downstream hashes are stable);
+  downstream hashes are stable) — Python ``errors='replace'`` and the
+  JVM ``make_valid_utf8`` path are verified bit-identical in tests;
 * files over ``max_bytes`` are dropped BEFORE decode (generated bundles /
-  binaries; the curation prefilter handles the subtler cases) — the cut
-  happens on the source's ``length`` metadata column, so oversized blobs
-  never occupy executor memory;
+  binaries; the curation prefilter handles the subtler cases) — via
+  ``os.stat`` in walk mode, via the source's ``length`` metadata column
+  in spark mode, so oversized blobs never occupy executor memory;
+* ``glob`` restricts by FILENAME (fnmatch / pathGlobFilter — same
+  contract both modes);
 * ``lang`` derives from the file extension (the github-linguist shortcut
   — enough for the engine's lang facets/filters; unknown → 'unknown');
 * ``path`` is repo-relative, ``repo``/``commit`` are caller-supplied
   metadata (no git binary dependency — at scale the checkout service
-  knows the commit; default 'HEAD').
+  knows the commit; default 'HEAD').  Compose ``with_doc_ids`` on top
+  for the engine's dense id contract (it keys on (repo, path, commit)).
 
 Measured (BASELINE.md): 20k × 1.5 KB files ingest end-to-end (scan →
-decode → dense ids → parquet) in ≈6 s warm on local[16] (~3,350
-files/s).  Small-file task sizing: file sources bill each file at
-``spark.sql.files.openCostInBytes`` (4 MiB default), so a small-file
-corpus splits into ~4-files-per-task; on a many-million-file ingest
-raise that conf (or lower it for large files) to balance task count
-against open latency — it is the standard knob, deliberately left at
-the session level rather than mutated here.
+decode → dense ids → parquet) on local[16] — walk ≈2.6 s warm
+(~7,700 files/s), spark ≈5.6 s (~3,550 files/s; each file billed at
+``spark.sql.files.openCostInBytes``, 4 MiB default → ~4 small
+files/task — the standard knob a many-million-file ingest raises).
+Walk mode spreads seed subtrees over ``parallelism`` tasks; a single
+giant subtree under one seed is the skew case — raise ``seed_depth``
+to split it finer.
 """
 
 from __future__ import annotations
 
+import fnmatch
 import os
 import re
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,13 +91,82 @@ DEFAULT_MAX_BYTES = 1 << 20  # 1 MiB — same order as linguist's size cutoffs
 
 
 def lang_from_path(path_col) -> F.Column:
-    """Extension → lang column expression (one chained CASE, codegen'd)."""
-    name = F.element_at(F.split(path_col, "/"), -1)
-    ext = F.lower(F.regexp_extract(name, r"\.([A-Za-z0-9_]+)$", 1))
-    out = F.lit("unknown")
-    for e, lang in sorted(LANG_BY_EXT.items(), reverse=True):
-        out = F.when(ext == e, F.lit(lang)).otherwise(out)
-    return out
+    """Extension → lang as one flat map lookup (codegen'd, no CASE chain)."""
+    ext = F.lower(
+        F.regexp_extract(F.element_at(F.split(path_col, "/"), -1), r"\.([A-Za-z0-9_]+)$", 1)
+    )
+    lang_map = F.create_map(
+        *[F.lit(x) for kv in sorted(LANG_BY_EXT.items()) for x in kv]
+    )
+    # try_element_at: missing key → NULL (plain element_at throws under ANSI)
+    return F.coalesce(F.try_element_at(lang_map, ext), F.lit("unknown"))
+
+
+def _seed_frontier(root: str, seed_depth: int) -> tuple[list[str], list[str]]:
+    """Shallow driver-side BFS: (file seeds above the frontier, dir seeds at
+    the frontier).  Work and memory are O(entries in the top ``seed_depth``
+    levels) — never the full tree.  Skip rule: dotfiles/dot-dirs only
+    (DirScanner's rule; ``_`` names are corpus content, e.g. __init__.py)."""
+    files: list[str] = []
+    dirs = [root]
+    for _ in range(seed_depth):
+        nxt: list[str] = []
+        for d in dirs:
+            try:
+                entries = sorted(os.scandir(d), key=lambda e: e.name)
+            except NotADirectoryError:
+                raise ValueError(f"root is not a directory: {d}")
+            for e in entries:
+                if e.name.startswith("."):
+                    continue
+                (nxt if e.is_dir(follow_symlinks=False) else files).append(e.path)
+        dirs = nxt
+        if not dirs:
+            break
+    return files, dirs
+
+
+def _walk_reader(root: str, glob: str | None, max_bytes: int):
+    """mapInPandas generator factory: each batch of seed paths (files or
+    subtree roots) → (path, content) rows.  Runs on executors; reads via
+    the worker's POSIX view of the tree (local[, NFS] — the walk mode's
+    stated scope; object stores route to mode='spark')."""
+    import pandas as pd
+
+    def emit(abs_path: str):
+        name = os.path.basename(abs_path)
+        if name.startswith(".") or (glob and not fnmatch.fnmatch(name, glob)):
+            return None
+        try:
+            if os.stat(abs_path).st_size > max_bytes:
+                return None
+            with open(abs_path, "rb") as f:
+                raw = f.read()
+        except OSError:
+            return None  # vanished mid-scan / unreadable — skip, don't fail the job
+        return (
+            os.path.relpath(abs_path, root),
+            raw.decode("utf-8", "replace"),
+        )
+
+    def gen(batches) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for seed in pdf["seed"]:
+                if os.path.isdir(seed):
+                    for cur, dnames, fnames in os.walk(seed):
+                        dnames[:] = sorted(n for n in dnames if not n.startswith("."))
+                        for n in fnames:
+                            r = emit(os.path.join(cur, n))
+                            if r:
+                                rows.append(r)
+                else:
+                    r = emit(seed)
+                    if r:
+                        rows.append(r)
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return gen
 
 
 def read_source_tree(
@@ -86,35 +176,50 @@ def read_source_tree(
     commit: str = "HEAD",
     glob: str | None = None,
     max_bytes: int = DEFAULT_MAX_BYTES,
+    mode: str | None = None,
+    seed_depth: int = 2,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """→ (repo, path, commit, lang, content): every non-hidden file under
-    ``root`` (recursive), read distributed via the binaryFile source.
+    ``root`` (recursive), read distributed.  See module docstring for the
+    walk/spark mode contract; ``mode=None`` picks walk for local paths and
+    spark for ``scheme://`` roots."""
+    is_uri = "://" in root
+    if mode is None:
+        mode = "spark" if is_uri else "walk"
+    if mode not in ("walk", "spark"):
+        raise ValueError(f"mode must be 'walk' or 'spark', got {mode!r}")
+    norm_root = root.rstrip("/") if is_uri else os.path.abspath(root).rstrip("/")
 
-    ``glob`` restricts files by name (e.g. ``"*.py"`` — pushed into the
-    listing as pathGlobFilter, so excluded files are never opened);
-    ``max_bytes`` drops oversized files on the length METADATA column
-    (never decoded, never held).  Compose ``with_doc_ids`` on top for the
-    engine's dense id contract (it keys on (repo, path, commit)).
-    """
-    norm_root = os.path.abspath(root).rstrip("/")
-    reader = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-    )
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    raw = reader.load(norm_root)
-    rel = F.regexp_replace(
-        F.col("_path"), "^.*" + re.escape(norm_root) + "/", ""
-    )
-    return (
-        raw.filter(F.col("length") <= max_bytes)
-        .withColumnRenamed("path", "_path")
-        .select(
-            F.lit(repo if repo is not None else os.path.basename(norm_root))
-            .alias("repo"),
+    if mode == "walk":
+        if is_uri:
+            raise ValueError("mode='walk' needs a POSIX path; use mode='spark' for URIs")
+        file_seeds, dir_seeds = _seed_frontier(norm_root, seed_depth)
+        seeds = file_seeds + dir_seeds
+        n_part = parallelism or min(
+            max(len(seeds), 1), spark.sparkContext.defaultParallelism * 4
+        )
+        listed = (
+            spark.createDataFrame([(s,) for s in seeds] or [(norm_root,)], "seed string")
+            .repartition(n_part)
+            .mapInPandas(
+                _walk_reader(norm_root, glob, max_bytes), "path string, content string"
+            )
+        )
+    else:
+        reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        raw = reader.load(norm_root)
+        # non-greedy head: strip up to the FIRST occurrence of the root in
+        # the file URI, so a path that happens to contain the root string
+        # again deeper down is not over-stripped.  Match on the scheme-less
+        # part of the root: Hadoop normalizes URI forms (file:///x → file:/x)
+        # so the scheme'd prefix itself may never appear verbatim.
+        root_tail = norm_root.split("://", 1)[1] if is_uri else norm_root
+        rel = F.regexp_replace(F.col("path"), "^.*?" + re.escape(root_tail) + "/", "")
+        listed = raw.filter(F.col("length") <= max_bytes).select(
             rel.alias("path"),
-            F.lit(commit).alias("commit"),
             # cast interprets the bytes as UTF-8 without validating;
             # make_valid_utf8 then rewrites any invalid sequence to U+FFFD
             # (Spark 4's decode() instead THROWS on malformed input, which
@@ -122,6 +227,14 @@ def read_source_tree(
             # whole job).  Both steps are JVM expressions, no Python.
             F.make_valid_utf8(F.col("content").cast("string")).alias("content"),
         )
-        .withColumn("lang", lang_from_path(F.col("path")))
-        .select("repo", "path", "commit", "lang", "content")
+
+    default_repo = (
+        norm_root.rstrip("/").rsplit("/", 1)[-1] if is_uri else os.path.basename(norm_root)
+    )
+    return listed.select(
+        F.lit(repo if repo is not None else default_repo).alias("repo"),
+        F.col("path"),
+        F.lit(commit).alias("commit"),
+        lang_from_path(F.col("path")).alias("lang"),
+        F.col("content"),
     )
