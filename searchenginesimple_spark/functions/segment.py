@@ -124,6 +124,77 @@ def make_fmm_udf(words=DEFAULT_CJK_WORDS, token_re: str = TOKEN_RE, broadcast=No
     return _fmm
 
 
+def fmm_pattern(words=DEFAULT_CJK_WORDS, token_re: str = TOKEN_RE) -> str:
+    """The WHOLE FMM tokenizer as one Java regex: ``token_re`` first (the
+    identifier fast path — disjoint first-char set from CJK), then the
+    dictionary words sorted longest-first, then the single-CJK-codepoint
+    fallback.
+
+    Why this IS forward maximum matching: Java regex alternation is
+    leftmost-ALTERNATIVE (first listed alternative that matches at the
+    current position wins), and ``regexp_extract_all`` resumes scanning
+    immediately after each match — so at every position the longest
+    dictionary word starting there is taken, else one codepoint, which is
+    exactly ``fmm_segment_py``'s loop.  Run boundaries need no special
+    handling: dictionary words are pure-CJK (enforced here), so a match can
+    never span a non-CJK character, and the unigram fallback keeps the
+    scanner from skipping any CJK char mid-run.
+
+    Words shorter than 2 chars or containing non-CJK chars are dropped —
+    the Python twin can never use them either (its ``range(.., 1, -1)``
+    skips length 1; non-CJK words can't occur inside a CJK run)."""
+    usable = sorted(
+        {w for w in words if len(w) >= 2 and all(_CJK_LO <= c <= _CJK_HI for c in w)},
+        key=lambda w: (-len(w), w),
+    )
+    alts = "".join(re.escape(w) + "|" for w in usable)
+    return f"{token_re}|{alts}[{_CJK_LO}-{_CJK_HI}]"
+
+
+def fmm_tokens_jvm(
+    col: Column, words=DEFAULT_CJK_WORDS, token_re: str = TOKEN_RE
+) -> Column:
+    """All-JVM FMM twin — no Python in the hot path, bit-identical to the
+    Arrow UDF (identity pytest + hypothesis property in tests/test_segment.py).
+
+    Scale note (measured, BASELINE.md): Java regex tries the alternatives
+    linearly — O(dict size) per position vs the UDF's O(maxlen) hash probes
+    — so the JVM twin wins only for SMALL dictionaries (~2.6× at the 10-word
+    default, roughly break-even at ~100 words, 4× SLOWER at 1k, 18× at 5k).
+    ``fmm_tokens`` applies that threshold automatically; a jieba-scale
+    dictionary stays on the broadcast UDF.  Pattern is built driver-side
+    once and ships as a literal."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(col, F.lit(""))), F.lit(fmm_pattern(words, token_re)), 0
+    )
+
+
+# measured break-even between the linear regex alternation and the hash-set
+# UDF on this host class (BASELINE.md: jvm/udf docs/s — 10 words: 370k/145k;
+# 100: 94k/114k; 1k: 23k/98k; 5k: 5.4k/119k)
+FMM_JVM_MAX_WORDS = 100
+
+
+def fmm_tokens(
+    col: Column,
+    words=DEFAULT_CJK_WORDS,
+    token_re: str = TOKEN_RE,
+    spark=None,
+) -> Column:
+    """Engine-selecting FMM tokenizer: the all-JVM regex twin for
+    dictionaries up to ``FMM_JVM_MAX_WORDS`` (where it is faster AND keeps
+    the plan Python-free), the Arrow UDF beyond (hash probes beat linear
+    alternation there — broadcast via ``spark`` when given, so a 100k-word
+    dictionary ships once per executor, not per task).  Both engines are
+    bit-identical by test, so the switch is invisible downstream."""
+    if len(set(words)) <= FMM_JVM_MAX_WORDS:
+        return fmm_tokens_jvm(col, words=words, token_re=token_re)
+    bc = spark.sparkContext.broadcast(tuple(words)) if spark is not None else None
+    return make_fmm_udf(words=words, token_re=token_re, broadcast=bc)(col)
+
+
 def fmm_case_sql(rest_expr: str, words=DEFAULT_CJK_WORDS) -> str:
     """The FMM longest-match step as a SQL expression over ``rest_expr`` —
     shared with the DuckDB recursive-CTE oracle so engine and oracle run the

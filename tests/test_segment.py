@@ -110,3 +110,89 @@ def test_fmm_words_survive_into_postings_and_phrase(spark):
     assert (1, 2) in got        # 搜索引擎·数据库 adjacent in doc 2
     assert (0, 1) not in got    # doc 1 tokenizes as 搜索/引擎 — no word token
     assert all(p != 2 for p, _ in got)  # reversed order matches nothing
+
+
+def test_fmm_jvm_twin_identity(spark):
+    """fmm_tokens_jvm (longest-first alternation, all-JVM) is bit-identical
+    to the Arrow UDF and the pure-Python spec twin on the rule-stress set."""
+    from searchenginesimple_spark.functions.segment import fmm_tokens_jvm
+
+    texts = [
+        "搜索引擎的简单数据库 hello_world 分布式索引中文文本数据",
+        "搜索搜索引擎引擎",     # 4-char word must beat its 2-char prefixes, twice
+        "数据数据库库",          # 2 vs 3 char competition + orphan char
+        "abc 的的的 x9_y",       # OOV unigram fallback
+        "pure ascii only", "", None,
+        "纯ASCII mixed 中文 simple_ident 文本123你好",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, content string")
+    rows = df.select(
+        "i",
+        fmm_tokens_jvm(F.col("content")).alias("jvm"),
+        make_fmm_udf()(F.col("content")).alias("udf"),
+    ).collect()
+    for r in rows:
+        t = texts[r.i]
+        assert r.jvm == r.udf == fmm_tokenize_py(t or ""), t
+
+
+def test_fmm_jvm_twin_property(spark):
+    """Hypothesis sweep: random mixes of dictionary words, their prefixes,
+    OOV CJK, identifiers and separators — JVM regex path ≡ Python FMM spec.
+    Driver-side generation, ONE Spark job for all examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from searchenginesimple_spark.functions.segment import fmm_tokens_jvm
+
+    atoms = st.sampled_from(
+        list(DEFAULT_CJK_WORDS)
+        + [w[:1] for w in DEFAULT_CJK_WORDS]          # word prefixes
+        + [w[:-1] for w in DEFAULT_CJK_WORDS]
+        + ["的", "了", "好", "x1", "foo_bar", " ", ", ", "\n", "9"]
+    )
+    cases: list[str] = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(atoms, max_size=8))
+    def collect(parts):
+        cases.append("".join(parts))
+
+    collect()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i long, content string")
+    got = {r.i: r.toks for r in df.select("i", fmm_tokens_jvm(F.col("content")).alias("toks")).collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == fmm_tokenize_py(t), repr(t)
+
+
+def test_fmm_pattern_drops_unusable_words():
+    """Non-CJK and single-char dictionary entries can never match in the
+    Python spec (CJK-run scope; lengths stop at 2) — the pattern builder
+    must drop them so both engines share one effective dictionary."""
+    from searchenginesimple_spark.functions.segment import fmm_pattern
+
+    base = fmm_pattern(DEFAULT_CJK_WORDS)
+    assert fmm_pattern(DEFAULT_CJK_WORDS + ("的", "abc", "中a文")) == base
+
+
+def test_fmm_tokens_selects_engine_by_dict_size(spark):
+    """fmm_tokens routes small dictionaries to the JVM regex twin (plan is
+    Python-free) and large ones to the Arrow UDF — outputs identical."""
+    from searchenginesimple_spark.functions.segment import (
+        FMM_JVM_MAX_WORDS,
+        fmm_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("搜索引擎的简单数据库 mixed 分布式索引",)], "content string"
+    )
+    small = df.select(fmm_tokens(F.col("content")).alias("t"))
+    assert "pythonUDF" not in small._jdf.queryExecution().executedPlan().toString()
+
+    big_words = DEFAULT_CJK_WORDS + tuple(
+        chr(ord("一") + i) + chr(ord("一") + i + 1) for i in range(FMM_JVM_MAX_WORDS + 5)
+    )
+    big = df.select(fmm_tokens(F.col("content"), words=big_words, spark=spark).alias("t"))
+    assert "pythonUDF" in big._jdf.queryExecution().executedPlan().toString().replace("PythonUDF", "pythonUDF")
+    # the extra (absent-from-text) words change nothing: same tokens either way
+    assert small.first().t == big.first().t == fmm_tokenize_py("搜索引擎的简单数据库 mixed 分布式索引")
