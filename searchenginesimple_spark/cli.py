@@ -67,6 +67,13 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--glob", default=None, help="filename glob pushed into the listing (e.g. '*.py')")
     i.add_argument("--max-bytes", type=int, default=None,
                    help="drop files larger than this before decode (default 1 MiB)")
+    i.add_argument("--mode", choices=["walk", "spark"], default=None,
+                   help="walk = distributed tree walk, exact dotfile-only skip "
+                        "(default for local roots); spark = binaryFile listing "
+                        "(default for scheme:// roots; hides _* names)")
+    i.add_argument("--seed-depth", type=int, default=2,
+                   help="walk mode: driver seed-frontier depth (raise to split "
+                        "one giant subtree across more tasks)")
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--index", required=True)
@@ -269,6 +276,8 @@ def main(argv: list[str] | None = None) -> int:
             commit=args.commit,
             glob=args.glob,
             max_bytes=args.max_bytes if args.max_bytes is not None else DEFAULT_MAX_BYTES,
+            mode=args.mode,
+            seed_depth=args.seed_depth,
         )
         with_doc_ids(docs).write.mode("error").parquet(args.output)
         n = spark.read.parquet(args.output).count()
