@@ -88,6 +88,28 @@ def _scratch_dir(prefix: str) -> str:
     return d
 
 
+# Persisted frames from the PREVIOUS invocation of an entry (the harness may
+# invoke an entry many times per session; without this, each invocation's
+# persist() accumulates cached blocks until driver GC happens to reclaim
+# them).  Each entry unpersists its own previous generation on re-entry, so
+# at most one live set exists per entry at a time.
+_ENTRY_PERSISTS: dict[str, list] = {}
+
+
+def _persist_scoped(key: str, df: DataFrame) -> DataFrame:
+    """persist() with an invocation-scoped lifetime: the previous persisted
+    frame registered under ``key`` is unpersisted (non-blocking) before the
+    new one is cached.  The returned plan stays lazily evaluable for the
+    caller's lifetime — eviction only ever costs recompute, never rows."""
+    for old in _ENTRY_PERSISTS.get(key, []):
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # a stopped/replaced SparkContext makes unpersist moot
+    _ENTRY_PERSISTS[key] = [df.persist()]
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over sf0.001 documents for the fixed query set."""
     docs = load_documents(spark, "/root/testdata/sf0.001")
@@ -207,10 +229,11 @@ def _q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branked ladder read it via hits= instead of re-running the postings
     # joins + exact verify per leg.  persist() keeps the reuse real under
     # the driver's evaluation (eviction only costs recompute, never rows).
-    bool_hits = (
-        boolean_search(docs, postings, stats, BOOL_QUERY_SET)
-        .select("query_id", "query", "doc_id")
-        .persist()
+    bool_hits = _persist_scoped(
+        "boolean_search.hits",
+        boolean_search(docs, postings, stats, BOOL_QUERY_SET).select(
+            "query_id", "query", "doc_id"
+        ),
     )
     booll = bool_hits.select(
         F.lit("bool").alias("mode"), "query_id", "query", "doc_id",

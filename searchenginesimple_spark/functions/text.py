@@ -189,12 +189,40 @@ def repetition_features(text_col: Column) -> dict[str, Column]:
     n_distinct = F.size(F.array_distinct(toks))
 
     def _top_frac(arr: Column, m: Column) -> Column:
-        counts = F.transform(
-            F.array_distinct(arr),
-            lambda u: F.size(F.filter(arr, lambda t: t == u)),
+        # Max occurrence count == max run length of the SORTED array — the
+        # r6 rewrite of the former transform(distinct, u -> size(filter(
+        # arr, t == u))) nest, which was O(distinct·n) INTERPRETED lambda
+        # evals per doc (HOFs never enter whole-stage codegen) and measured
+        # as ~76 s of the ~94 s curate quality stage at 50k docs (guide
+        # §1.2: fix the per-task work once the shape is right).  This form
+        # is O(n) lambda evals: native-sort, zip the sorted array with its
+        # shifted self into an equal-to-predecessor mask, then one
+        # aggregate() fold tracks (current run, best run).  Lambdas touch
+        # ONLY their own arguments — element_at(<derived array>, i) inside
+        # a lambda would re-evaluate the sort per element (the tf_mapside
+        # trap).  Output is bit-identical (same integer max, same
+        # rounding), so the FROZEN oracle SQL's transform/filter mirror
+        # still matches hash-for-hash.
+        srt = F.array_sort(arr)
+        same = F.zip_with(
+            F.slice(srt, 1, F.greatest(m - 1, F.lit(0))),
+            F.slice(srt, 2, F.greatest(m - 1, F.lit(0))),
+            lambda a, b: (a == b).cast("int"),
+        )
+        top = F.aggregate(
+            same,
+            F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+            lambda acc, x: F.struct(
+                F.when(x == 1, acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == 1, acc["cur"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
         return F.round(
-            F.when(m > 0, F.array_max(counts).cast("double") / m).otherwise(F.lit(0.0)), 6
+            F.when(m > 0, top.cast("double") / m).otherwise(F.lit(0.0)), 6
         )
 
     bigrams = F.when(

@@ -59,7 +59,7 @@ class IndexStats:
 def tokens_of(
     docs: DataFrame,
     text_col: str = "content",
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = False,
     token_re: str = TOKEN_RE,
 ) -> DataFrame:
     """docs(doc_id, <text_col>) → (doc_id, term) exploded token stream."""
@@ -164,9 +164,14 @@ def build_index_stats(
     docs: DataFrame,
     text_col: str = "content",
     cfg: EngineConfig = DEFAULT,
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = False,
 ) -> IndexStats:
     """docs(doc_id, <text_col>) → BM25 statistics tables.
+
+    ``use_pandas_udf`` defaults to False (r6): the all-JVM tokenizer is
+    bit-identical (tests/test_tokenize.py) and measured 20-25 % faster
+    end-to-end — the token stream never crosses the JVM↔Python Arrow hop
+    (guide §4.1).  The Arrow path stays selectable.
 
     tf is computed map-side (``tf_mapside`` — run-length counting in the
     scan projection, NO shuffle of the raw token stream); the only shuffles
@@ -200,7 +205,7 @@ def build_index_stats(
 def query_terms(
     queries: DataFrame,
     query_col: str = "query",
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = False,
     token_re: str = TOKEN_RE,
 ) -> DataFrame:
     """queries(query_id, query) → (query_id, query, term, qtf).
@@ -227,7 +232,7 @@ def bm25_topk(
     queries: DataFrame,
     cfg: EngineConfig = DEFAULT,
     query_col: str = "query",
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = False,
     mode: str = "and",
     candidates: DataFrame | None = None,
     exclude_self: bool = False,

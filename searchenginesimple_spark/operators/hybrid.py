@@ -45,7 +45,7 @@ def filtered_bm25_topk(
     cfg: EngineConfig = DEFAULT,
     content_col: str = "content",
     case_insensitive: bool = False,
-    use_pandas_udf: bool = True,
+    use_pandas_udf: bool = False,
     mode: str = "and",
     **bool_kwargs,
 ) -> DataFrame:

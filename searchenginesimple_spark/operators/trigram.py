@@ -67,37 +67,21 @@ def content_trigrams(col: Column) -> Column:
     )
 
 
-def build_trigram_index(
-    docs: DataFrame, content_col: str = "content", case_insensitive: bool = False
-) -> tuple[DataFrame, DataFrame]:
-    """→ (postings(trigram, doc_id) — unique pairs, stats(trigram, df)).
-
-    ``array_distinct`` runs inside the per-doc projection, so the explode
-    already yields unique (trigram, doc_id) pairs with NO distinct shuffle;
-    the only shuffle is the df hash-agg (map-side partial count first).
-
-    Trigram generation is the staged two-projection form: project the
-    char ARRAY once per doc (``split(content, '')``), then window over it
-    with O(1) ``element_at`` — O(len) per doc.  The naive
-    ``substring(content, i, 3)`` window is O(len²) per doc (UTF8String
-    char offsets are a linear byte walk from 0), which MEASURED as ~100 s
-    of the 143 s/100k-doc build at the r4 bench point; this form does the
-    same work in ~10-30 s.  The staging ``withColumn`` is load-bearing:
-    inlining the split into the lambda re-evaluates it per element_at
-    (Catalyst does not CSE across lambda-function calls) and is O(len²)
-    again — worse than the substring form (measured: hangs the 100k
-    bench).  CollapseProject keeps the two projections separate because
-    the char-array alias is referenced more than once and split is not
-    cheap; tests pin output equality against content_trigrams including
-    CJK and surrogate-pair (emoji) content.
-
-    ``case_insensitive`` indexes trigrams of ``lower(content)`` — the
-    case-folded index code search defaults to (zoekt folds case and keeps
-    case bits; this build keeps two indexes instead — simpler, and the
-    fold shrinks the trigram universe so the ci index is never larger).
-    Search with the SAME flag: a ci query against a cs index (or vice
-    versa) silently misses — the flag pairs are pinned in tests.
-    """
+def _trigram_postings_jvm(
+    docs: DataFrame, content_col: str, case_insensitive: bool
+) -> DataFrame:
+    """All-JVM trigram projection (the pre-r6 build path, kept as the
+    selectable twin): staged two-projection form — project the char ARRAY
+    once per doc (``split(content, '')``), then window over it with O(1)
+    ``element_at`` — O(len) per doc.  The naive ``substring(content, i,
+    3)`` window is O(len²) per doc (UTF8String char offsets are a linear
+    byte walk from 0), which MEASURED as ~100 s of the 143 s/100k-doc
+    build at the r4 bench point.  The staging ``withColumn`` is
+    load-bearing: inlining the split into the lambda re-evaluates it per
+    element_at (Catalyst does not CSE across lambda boundaries) and is
+    O(len²) again.  CollapseProject keeps the two projections separate
+    because the char-array alias is referenced more than once and split
+    is not cheap."""
     c = F.lower(F.col(content_col)) if case_insensitive else F.col(content_col)
     staged = docs.withColumn("_tri_ch", F.split(c, ""))
     ch = F.col("_tri_ch")
@@ -110,7 +94,140 @@ def build_trigram_index(
     tris = F.when(F.size(ch) >= 3, F.array_distinct(windows)).otherwise(
         F.array().cast("array<string>")
     )
-    postings = staged.select("doc_id", F.explode(tris).alias("trigram"))
+    return staged.select("doc_id", F.explode(tris).alias("trigram"))
+
+
+def _doc_trigrams_ascii(content: str):
+    """Distinct 3-byte windows of an ASCII string, fully vectorized:
+    (count, packed 3-bytes-per-trigram buffer), lexicographically sorted.
+    For ASCII, byte trigrams ≡ char trigrams, and the uint32 pack order
+    equals byte-lexicographic order."""
+    import numpy as np
+
+    a = np.frombuffer(content.encode("ascii"), dtype=np.uint8)
+    w = np.lib.stride_tricks.sliding_window_view(a, 3)
+    packed = (
+        (w[:, 0].astype(np.uint32) << 16)
+        | (w[:, 1].astype(np.uint32) << 8)
+        | w[:, 2].astype(np.uint32)
+    )
+    u = np.unique(packed)
+    buf = np.empty((u.size, 3), dtype=np.uint8)
+    buf[:, 0] = u >> 16
+    buf[:, 1] = (u >> 8) & 0xFF
+    buf[:, 2] = u & 0xFF
+    return u.size, buf.tobytes()
+
+
+def _trigram_postings_arrow(
+    docs: DataFrame, content_col: str, case_insensitive: bool
+) -> DataFrame:
+    """Arrow-native trigram projection (r6 default): ``mapInArrow`` hands
+    whole content batches to numpy, which computes each document's
+    DISTINCT 3-char windows with sliding-window views + ``np.unique`` and
+    materializes the output string column directly from its packed byte
+    buffer (``pa.StringArray.from_buffers`` — one offsets array over one
+    data buffer, zero per-trigram Python).  Guide §4.2's "vectorized
+    native code inside mapInArrow" shape.
+
+    Rationale (measured r6, 100k docs / 39M postings): the JVM HOF window
+    allocates one UTF8String per window via interpreted lambda evals —
+    ~250M windows → ~25 s per execution, and write_trigram_index executes
+    the projection twice (range sampler + shuffle).  The numpy path does
+    the same work in ~2-4 s; the Arrow transfer ships only (doc_id,
+    folded content) in and the exploded pairs out.
+
+    Exactness: ASCII documents (the overwhelming case for code payloads)
+    take the byte-window path — for ASCII, byte trigrams ≡ codepoint
+    trigrams.  Non-ASCII documents fall back to per-doc Python codepoint
+    slicing, which matches the JVM ``split(content, '')`` codepoint
+    semantics (incl. CJK and surrogate pairs — equality pinned in
+    tests/test_trigram.py against content_trigrams on exactly such
+    content).  Case folding stays in the JVM (``F.lower`` BEFORE the
+    Arrow hop), so ci-index keys are byte-identical to the JVM twin's.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    c = F.lower(F.col(content_col)) if case_insensitive else F.col(content_col)
+    src = docs.select(F.col("doc_id").cast("long").alias("doc_id"), c.alias("__c"))
+
+    def gen(batches):
+        for b in batches:
+            doc_ids = b.column(0).to_pylist()
+            contents = b.column(1).to_pylist()
+            out_ids: list = []
+            bufs: list = []
+            total = 0
+            py_ids: list = []
+            py_tris: list = []
+            for did, cval in zip(doc_ids, contents):
+                if cval is None or len(cval) < 3:
+                    continue
+                if cval.isascii():
+                    n, byts = _doc_trigrams_ascii(cval)
+                    out_ids.append(np.full(n, did, dtype=np.int64))
+                    bufs.append(byts)
+                    total += n
+                else:  # exact codepoint fallback (rare for code corpora)
+                    tris = list({cval[j : j + 3] for j in range(len(cval) - 2)})
+                    py_ids.extend([did] * len(tris))
+                    py_tris.extend(tris)
+            if total:
+                offs = np.arange(total + 1, dtype=np.int32) * 3
+                tri_arr = pa.StringArray.from_buffers(
+                    total, pa.py_buffer(offs.tobytes()), pa.py_buffer(b"".join(bufs))
+                )
+                id_arr = pa.array(np.concatenate(out_ids), type=pa.int64())
+                yield pa.RecordBatch.from_arrays(
+                    [id_arr, tri_arr], ["doc_id", "trigram"]
+                )
+            if py_tris:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(py_ids, type=pa.int64()),
+                        pa.array(py_tris, type=pa.string()),
+                    ],
+                    ["doc_id", "trigram"],
+                )
+
+    return src.mapInArrow(gen, "doc_id long, trigram string")
+
+
+def build_trigram_index(
+    docs: DataFrame,
+    content_col: str = "content",
+    case_insensitive: bool = False,
+    engine: str = "arrow",
+) -> tuple[DataFrame, DataFrame]:
+    """→ (postings(trigram, doc_id) — unique pairs, stats(trigram, df)).
+
+    Per-doc distinctness runs inside the projection (numpy ``unique`` /
+    ``array_distinct``), so the output already holds unique (trigram,
+    doc_id) pairs with NO distinct shuffle; the only shuffle is the df
+    hash-agg (map-side partial count first).
+
+    ``engine`` selects the projection implementation — identical output
+    (pinned in tests incl. CJK/surrogate-pair content):
+
+    * ``"arrow"`` (default, r6) — numpy sliding-window + ``np.unique``
+      inside ``mapInArrow`` (_trigram_postings_arrow); measured ~6-10×
+      faster than the JVM window at the 100k bench point.
+    * ``"jvm"`` — the staged char-array HOF form (_trigram_postings_jvm),
+      zero Python workers; the twin for environments where the Python
+      boundary is the scarce resource.
+
+    ``case_insensitive`` indexes trigrams of ``lower(content)`` — the
+    case-folded index code search defaults to (zoekt folds case and keeps
+    case bits; this build keeps two indexes instead — simpler, and the
+    fold shrinks the trigram universe so the ci index is never larger).
+    Search with the SAME flag: a ci query against a cs index (or vice
+    versa) silently misses — the flag pairs are pinned in tests.
+    """
+    if engine not in ("arrow", "jvm"):
+        raise ValueError(f"unknown trigram engine {engine!r}")
+    fn = _trigram_postings_arrow if engine == "arrow" else _trigram_postings_jvm
+    postings = fn(docs, content_col, case_insensitive)
     stats = postings.groupBy("trigram").agg(F.count("*").cast("long").alias("df"))
     return postings, stats
 
@@ -288,7 +405,7 @@ def append_trigram_delta(
     ).write.mode("overwrite").parquet(f"{d}/stats")
 
 
-def _recover_crashed_swap(spark, path: str) -> None:
+def _recover_crashed_swap(spark, path: str, heal_only: bool = False) -> None:
     """Finish (or discard) a compact swap that crashed mid-commit.
 
     compact_trigram_index commits via delete-old → rename-new; a crash
@@ -299,7 +416,15 @@ def _recover_crashed_swap(spark, path: str) -> None:
     ``postings_compacted`` without ``_SUCCESS`` is a crashed partial write
     and is discarded (the deltas are still present, so re-compacting is
     exact).  Rename failures raise — a silently failed rename would leave
-    the no-postings state with no error at the point of failure."""
+    the no-postings state with no error at the point of failure.
+
+    ``heal_only=True`` (the READ path): only repair the state that actually
+    blocks reads — postings missing with a committed ``postings_compacted``
+    → finish the rename.  Every other leftover (an uncommitted partial
+    write, or a committed one while ``postings`` still exists) may belong
+    to a LIVE concurrent compaction, whose output a reader must never
+    delete; those discards are the compact entry point's job, where the
+    single-compaction-writer discipline makes them safe."""
     fs, cmp_path, jvm = _fs(spark, f"{path}/postings_compacted")
     if not fs.exists(cmp_path):
         return
@@ -311,7 +436,7 @@ def _recover_crashed_swap(spark, path: str) -> None:
                 f"could not finish crashed compact swap: rename "
                 f"{path}/postings_compacted -> {path}/postings failed"
             )
-    else:
+    elif not heal_only:
         fs.delete(cmp_path, True)
 
 
@@ -342,7 +467,10 @@ def read_trigram_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     documents: evaluate (or re-open) after a compact, single
     compaction-writer per index root.
     """
-    _recover_crashed_swap(spark, path)  # heal on READ, not just on compact
+    # heal on READ, not just on compact — but read-safe: only the rename
+    # that unblocks reads; discards stay with the compact entry point so a
+    # reader can never destroy a live compaction's output
+    _recover_crashed_swap(spark, path, heal_only=True)
     fs, dbase, _ = _fs(spark, f"{path}/deltas")
     base = spark.read.parquet(f"{path}/postings")
     stat_shards = [f"{path}/stats"]

@@ -326,17 +326,40 @@ def test_topk_matches_python_count(spark):
 
 
 def test_build_plan_evaluates_split_once(spark):
-    """The build's O(len)-per-doc property hangs on the char-array staging
-    projection surviving CollapseProject: if Catalyst ever inlines the
-    split into the window lambda, it re-evaluates per element_at and the
-    build goes O(len²) per doc again (~100 s of the pre-r5 143 s build).
-    Pin: exactly ONE split(...) in the optimized postings plan."""
+    """The JVM engine's O(len)-per-doc property hangs on the char-array
+    staging projection surviving CollapseProject: if Catalyst ever inlines
+    the split into the window lambda, it re-evaluates per element_at and
+    the build goes O(len²) per doc again (~100 s of the pre-r5 143 s
+    build).  Pin: exactly ONE split(...) in the optimized postings plan."""
     docs = spark.createDataFrame(
         [(1, "hello world of text")], "doc_id long, content string"
     )
-    p, _ = build_trigram_index(docs)
+    p, _ = build_trigram_index(docs, engine="jvm")
     plan = p._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
+
+
+def test_build_engines_identical(spark):
+    """The r6 Arrow/numpy projection must emit the EXACT posting set the
+    JVM twin emits — including the non-ASCII fallback path (CJK,
+    combining marks, surrogate-pair emoji) and the ci fold (done JVM-side
+    in both engines, so keys can never diverge on locale case rules)."""
+    texts = [
+        "中文搜索引擎测试", "mixé ünïcode ẞ", "emoji 😀😁x😀ab", "ab", "",
+        "aaa", "中a文b", "tab\tand\nnewline end", "ααβγ αβγ",
+        "plain ascii body with return return",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    for ci in (False, True):
+        a = sorted(
+            map(tuple, build_trigram_index(docs, case_insensitive=ci, engine="arrow")[0].collect())
+        )
+        j = sorted(
+            map(tuple, build_trigram_index(docs, case_insensitive=ci, engine="jvm")[0].collect())
+        )
+        assert a == j and len(a) > 0
 
 
 def test_metrics_plan_has_no_expand(spark, tmp_path):

@@ -279,3 +279,40 @@ def test_compact_recovers_crashed_swap(spark, idx_path):
     compact_trigram_index(spark, f"{idx_path}2")
     got_p2, _ = read_trigram_index(spark, f"{idx_path}2")
     assert _rows(got_p2.filter(not4)) == _rows(fresh_p)
+
+
+def test_read_never_deletes_live_compaction_output(spark, idx_path):
+    """ADVICE r5: a reader racing a live compact_trigram_index must not
+    destroy the in-flight compaction's output.  The read path heals ONLY
+    the state that blocks reads (committed compacted dir + postings gone);
+    both discard cases — an uncommitted partial write, and a committed dir
+    while postings still exists — are left for the compact entry point,
+    because either may belong to a LIVE concurrent writer."""
+    import os
+
+    _build_base_and_delta(spark, idx_path)
+    current = _docs(spark, CURRENT_DOCS)
+    want = _rows(trigram_search_bruteforce(current, _needles(spark)))
+
+    # case 1: uncommitted partial compacted dir (a live writer mid-write)
+    os.makedirs(f"{idx_path}/postings_compacted")
+    with open(f"{idx_path}/postings_compacted/part-inflight.parquet", "w") as f:
+        f.write("in-flight")
+    p, s = read_trigram_index(spark, idx_path)
+    assert os.path.exists(f"{idx_path}/postings_compacted/part-inflight.parquet")
+    assert _rows(trigram_search(current, p, s, _needles(spark))) == want
+
+    # case 2: committed compacted dir while postings still exists (a live
+    # writer between its _SUCCESS commit and the delete-old step)
+    open(f"{idx_path}/postings_compacted/_SUCCESS", "w").close()
+    p, s = read_trigram_index(spark, idx_path)
+    assert os.path.exists(f"{idx_path}/postings_compacted/_SUCCESS")
+    assert os.path.exists(f"{idx_path}/postings")
+    assert _rows(trigram_search(current, p, s, _needles(spark))) == want
+
+    # the compact entry point still owns the discard: it clears the junk
+    # dir and converges (single-compaction-writer discipline)
+    compact_trigram_index(spark, idx_path)
+    assert not os.path.exists(f"{idx_path}/postings_compacted")
+    p, s = read_trigram_index(spark, idx_path)
+    assert _rows(trigram_search(current, p, s, _needles(spark))) == want
