@@ -30,13 +30,22 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = ["the", "a", "of", "and", "is", "to", "in", "for", "on"]
 
 
-def quality_features(text_col: Column) -> dict[str, Column]:
+def quality_features(text_col: Column, toks: Column | None = None) -> dict[str, Column]:
     """Deterministic quality-score features over a text column.
 
     n_chars, n_tokens, avg_token_len, stopword_ratio, alpha_ratio — the
     length/punct/stopword family used for corpus filtering.
+
+    ``toks``: optional pre-tokenized array column.  The tokenizer regex is
+    the features' dominant cost; a caller combining several feature
+    families (plans/curate.py's quality stage) stages ``tokenize_expr``
+    into ONE projection column and passes it here so the regex runs once
+    per row instead of once per feature family (HOF-bearing projections
+    fall out of whole-stage codegen, so Catalyst's subexpression
+    elimination does not merge the repeated calls).  Same spec either way.
     """
-    toks = tokenize_expr(text_col)
+    if toks is None:
+        toks = tokenize_expr(text_col)
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -173,18 +182,21 @@ def extract_p_text(html_col: Column) -> Column:
     return F.concat_ws(" ", cleaned)
 
 
-def repetition_features(text_col: Column) -> dict[str, Column]:
+def repetition_features(text_col: Column, toks: Column | None = None) -> dict[str, Column]:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1 family), adapted
     to token streams: distinct-token ratio, most-frequent-token fraction, and
     most-frequent-bigram fraction.  High top-fractions flag boilerplate /
     keyword-stuffed / degenerate docs for corpus filtering.
 
-    Pure JVM array lambdas — per-doc O(tokens · distinct) with no shuffle,
-    the right trade for bounded-length docs (an explode+groupBy would shuffle
-    the full token stream to compute a per-doc scalar).  Exact DuckDB mirror
+    Pure JVM array lambdas — per-doc O(n log n) with no shuffle, the right
+    trade for bounded-length docs (an explode+groupBy would shuffle the
+    full token stream to compute a per-doc scalar).  Exact DuckDB mirror
     via list_transform/list_filter (oracle_sql).
+
+    ``toks``: optional pre-tokenized array column (see quality_features).
     """
-    toks = tokenize_expr(text_col)
+    if toks is None:
+        toks = tokenize_expr(text_col)
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
 

@@ -770,10 +770,14 @@ def boolean_search_lines(
     no line rows here — documented grep semantics.
 
     ``max_lines_per_doc`` caps rows per (query, doc) in line order
-    (``grep -m``).  Scale shape: the line explode runs over the DISTINCT
-    matched docs once (candidate-sized — boolean_search already pruned and
-    verified), the per-query line predicate is one driver-compiled
-    chained-when, so a k-query batch never re-explodes content k times.
+    (``grep -m``).  Scale shape (r6): line matching runs IN-ROW over the
+    verified hits — one (hit ⋈ content) projection stages each matched
+    doc's line array, a single array filter keeps the (line, line_no)
+    structs the query's positive leaves highlight, and the cap is a plain
+    ``slice`` before the explode.  The former explode-join-window shape
+    shuffled and sorted every matched LINE through a per-(query, doc)
+    row_number window; the array form needs no exchange beyond the
+    candidate join (grep-twin equality pinned in tests).
     """
     parsed = {qid: parse_query_with_flags(qs) for qid, qs in queries}
     asts = {qid: p[0] for qid, p in parsed.items()}
@@ -791,46 +795,43 @@ def boolean_search_lines(
         **search_kwargs,
     ).select("query_id", "query", "doc_id")
 
-    mdocs = hits.select("doc_id").distinct().join(
-        docs.select("doc_id", content_col), "doc_id"
-    )
-    raw_line = F.col("__line")
-    lines = mdocs.select(
+    def line_pred(line_col: Column) -> Column:
+        pred = F.lit(False)
+        for qid, _ in queries:
+            leaves = sorted(_positive_leaves(asts[qid]))
+            if not leaves:
+                continue
+            ci_q = ci_map[qid]
+            folded = F.lower(line_col) if ci_q else line_col
+            q_pred = F.lit(False)
+            for leaf in leaves:
+                q_pred = q_pred | _leaf_line_column(leaf, folded, ci_q)
+            pred = F.when(F.col("query_id") == qid, q_pred).otherwise(pred)
+        return pred
+
+    staged = hits.join(docs.select("doc_id", content_col), "doc_id").select(
+        "query_id",
+        "query",
         "doc_id",
-        F.posexplode(F.split(F.col(content_col), "\n", -1)).alias(
-            "__ln0", "__line"
-        ),
+        F.split(F.col(content_col), "\n", -1).alias("__lines"),
     )
-    pred = F.lit(False)
-    for qid, _ in queries:
-        leaves = sorted(_positive_leaves(asts[qid]))
-        if not leaves:
-            continue
-        ci_q = ci_map[qid]
-        folded = F.lower(raw_line) if ci_q else raw_line
-        q_pred = F.lit(False)
-        for leaf in leaves:
-            q_pred = q_pred | _leaf_line_column(leaf, folded, ci_q)
-        pred = F.when(F.col("query_id") == qid, q_pred).otherwise(pred)
-    out = (
-        hits.join(lines, "doc_id")
-        .filter(pred)
-        .select(
-            "query_id",
-            "query",
-            "doc_id",
-            (F.col("__ln0") + 1).cast("long").alias("line_no"),
-            raw_line.alias("line"),
-        )
+    numbered = F.zip_with(
+        F.col("__lines"),
+        F.sequence(F.lit(1), F.size("__lines")),
+        lambda l, i: F.struct(l.alias("line"), i.cast("long").alias("ln")),
     )
+    ml = F.filter(numbered, lambda p: line_pred(p["line"]))
     if max_lines_per_doc is not None:
-        w = Window.partitionBy("query_id", "doc_id").orderBy(F.asc("line_no"))
-        out = (
-            out.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= max_lines_per_doc)
-            .drop("__rk")
-        )
-    return out
+        ml = F.slice(ml, 1, max_lines_per_doc)
+    return staged.select(
+        "query_id", "query", "doc_id", F.explode(ml).alias("m")
+    ).select(
+        "query_id",
+        "query",
+        "doc_id",
+        F.col("m.ln").alias("line_no"),
+        F.col("m.line").alias("line"),
+    )
 
 
 def boolean_search_topk_ranked(

@@ -798,11 +798,17 @@ def trigram_search_lines(
     semantics — documented, and pinned in tests).  ``max_lines_per_doc``
     caps rows per (needle, doc) in line order (``grep -m``).
 
-    Scale shape: the line explode runs over the DISTINCT matched docs
-    (candidate-sized — the index+verify already pruned the corpus), ONCE
-    per doc regardless of how many needles hit it; needles then join the
-    exploded lines on doc_id and filter per-line, so a k-needle batch
-    never re-explodes content k times.
+    Scale shape (r6): line matching runs IN-ROW over the verified hits —
+    one (hit ⋈ content) projection splits each matched doc's content into
+    a staged line array, a single array filter keeps the (line, line_no)
+    structs containing the needle, and ``max_lines_per_doc`` is a plain
+    ``slice`` before the explode.  The former shape exploded every matched
+    doc's lines to rows, joined them back to the hits, and ranked a
+    per-(needle, doc) row_number window to apply the cap — a full
+    shuffle+sort of every matched LINE that the array form does without
+    any exchange at all (2 Exchange → 0 beyond the candidate join; the
+    grep-twin equality in tests/test_trigram_lines.py pins the identical
+    output, first-k-in-line-order semantics included).
     """
     ci = bool(search_kwargs.get("case_insensitive"))
     hits = trigram_search(
@@ -812,32 +818,31 @@ def trigram_search_lines(
     def fold(col: Column) -> Column:
         return F.lower(col) if ci else col
 
-    mdocs = hits.select("doc_id").distinct().join(
-        docs.select("doc_id", content_col), "doc_id"
-    )
-    lines = mdocs.select(
+    staged = hits.join(docs.select("doc_id", content_col), "doc_id").select(
+        "needle_id",
+        "needle",
         "doc_id",
-        F.posexplode(F.split(F.col(content_col), "\n", -1)).alias("ln0", "line"),
+        F.split(F.col(content_col), "\n", -1).alias("__lines"),
     )
-    out = (
-        hits.join(lines, "doc_id")
-        .filter(F.instr(fold(F.col("line")), fold(F.col("needle"))) > 0)
-        .select(
-            "needle_id",
-            "needle",
-            "doc_id",
-            (F.col("ln0") + 1).cast("long").alias("line_no"),
-            "line",
-        )
+    numbered = F.zip_with(
+        F.col("__lines"),
+        F.sequence(F.lit(1), F.size("__lines")),
+        lambda l, i: F.struct(l.alias("line"), i.cast("long").alias("ln")),
+    )
+    ml = F.filter(
+        numbered, lambda p: F.instr(fold(p["line"]), fold(F.col("needle"))) > 0
     )
     if max_lines_per_doc is not None:
-        w = Window.partitionBy("needle_id", "doc_id").orderBy(F.asc("line_no"))
-        out = (
-            out.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= max_lines_per_doc)
-            .drop("rk")
-        )
-    return out
+        ml = F.slice(ml, 1, max_lines_per_doc)
+    return staged.select(
+        "needle_id", "needle", "doc_id", F.explode(ml).alias("m")
+    ).select(
+        "needle_id",
+        "needle",
+        "doc_id",
+        F.col("m.ln").alias("line_no"),
+        F.col("m.line").alias("line"),
+    )
 
 
 def trigram_search_bruteforce(

@@ -43,9 +43,54 @@ from searchenginesimple_spark.operators.bm25 import IndexStats, query_terms
 
 _KERNEL_SCHEMA = "query_id long, doc_id long, score double"
 
+# Worker-level decode memo (r6).  A batch of Q queries produces one kernel
+# group per (query × shard): every group over the same shard re-decodes the
+# IDENTICAL doc-stats sidecar, and every query sharing a term re-decodes that
+# term's posting bytes — for a 1000-query batch that is ~1000× redundant
+# varbyte work per shard, and it dominated the distributed batch path
+# (measured r6: the 1000-query scaling batch spends most of its kernel time
+# in decode, not scoring).  The memo is keyed by the compressed BYTES
+# themselves (content hash — two identical buffers are the same postings by
+# construction), lives at module level so a reused Python worker keeps it
+# across tasks (guide §4.5), and is byte-bounded by the same LruBytesCache
+# the serving engine uses, so a term-churn workload evicts instead of
+# growing.  Decoded arrays are marked read-only — a kernel can never mutate
+# a shared copy.  Execution-state only: nothing persists across processes or
+# runs, and a miss is just a decode.
+_DECODE_CACHE_MAX_BYTES = 128 * 1024 * 1024
+_DECODE_LRU = None
+
+
+def _decode_lru():
+    global _DECODE_LRU
+    if _DECODE_LRU is None:
+        from searchenginesimple_spark.operators.cache import LruBytesCache
+
+        _DECODE_LRU = LruBytesCache(_DECODE_CACHE_MAX_BYTES)
+    return _DECODE_LRU
+
 
 def _decode_ids(buf: bytes) -> np.ndarray:
-    return np.cumsum(varbyte_decode(buf), dtype=np.uint64).astype(np.int64)
+    c = _decode_lru()
+    key = ("ids", bytes(buf))
+    v = c.get(key)
+    if v is None:
+        v = np.cumsum(varbyte_decode(buf), dtype=np.uint64).astype(np.int64)
+        v.setflags(write=False)
+        c.put(key, v, v.nbytes + len(key[1]) + 64)
+    return v
+
+
+def _decode_f64(buf: bytes) -> np.ndarray:
+    """varbyte bytes → read-only float64 array (memoized, see above)."""
+    c = _decode_lru()
+    key = ("f64", bytes(buf))
+    v = c.get(key)
+    if v is None:
+        v = varbyte_decode(buf).astype(np.float64)
+        v.setflags(write=False)
+        c.put(key, v, v.nbytes + len(key[1]) + 64)
+    return v
 
 
 def _bm25(tf, qtf, idf, dlen, avgdl, k1, b):
@@ -77,114 +122,200 @@ def _group_del_ids(pdf: pd.DataFrame) -> np.ndarray | None:
     return np.asarray(v, dtype=np.int64)
 
 
-def _make_kernel(cfg: EngineConfig, mode: str):
-    k1, b, k, dec = cfg.k1, cfg.b, cfg.top_k, cfg.score_decimals
+def _score_group(
+    plist: list,
+    ds_ids_buf,
+    ds_dlens_buf,
+    del_ids: np.ndarray | None,
+    avgdl: float,
+    n_terms: int,
+    cfg: EngineConfig,
+    mode: str,
+):
+    """Score ONE (query × shard) group → (doc_ids, scores) arrays or None.
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
-        n_terms = int(pdf["n_terms"].iloc[0])
-        if mode == "and" and len(pdf) < n_terms:
-            return empty  # some query term absent from this shard → no conjunctive hit
-        qid = int(pdf["query_id"].iloc[0])
-        avgdl = float(pdf["avgdl"].iloc[0])
-        ds_ids = _decode_ids(pdf["ds_ids"].iloc[0])
-        ds_dlens = varbyte_decode(pdf["ds_dlens"].iloc[0]).astype(np.float64)
+    ``plist``: per matched term a mapping with keys qtf/idf/df/ids/tfs/
+    block_max_tf.  This is the single scoring implementation behind BOTH
+    the distributed packed-row kernel and the driver fastpath/serving
+    engine (_driver_topk), so the paths can never diverge.
+    """
+    k1, b, k, dec = cfg.k1, cfg.b, cfg.top_k, cfg.score_decimals
+    if mode == "and" and len(plist) < n_terms:
+        return None  # some query term absent from this shard → no conjunctive hit
+    ds_ids = _decode_ids(ds_ids_buf)
+    ds_dlens = _decode_f64(ds_dlens_buf)
+
+    plist = sorted(plist, key=lambda t: t["df"])  # rarest-first
+    ids_l = [_decode_ids(t["ids"]) for t in plist]
+    qtfs = np.array([t["qtf"] for t in plist], dtype=np.float64)
+    idfs = np.array([t["idf"] for t in plist], dtype=np.float64)
+
+    if mode == "and":
+        cand = ids_l[0]
+        for other in ids_l[1:]:
+            cand = cand[_in_sorted(cand, other)]
+            if cand.size == 0:
+                return None
         # tombstones (plans/delete.py): live-docs filtering at score time,
         # the Lucene liveDocs discipline — postings stay compressed until
         # compaction, deleted docs never surface
-        del_ids = _group_del_ids(pdf)
+        if del_ids is not None:
+            cand = cand[~_in_sorted(cand, del_ids)]
+            if cand.size == 0:
+                return None
+        dlen = ds_dlens[np.searchsorted(ds_ids, cand)]
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for i, t in enumerate(plist):
+            tfs = _decode_f64(t["tfs"])
+            tf_c = tfs[np.searchsorted(ids_l[i], cand)]
+            scores += _bm25(tf_c, qtfs[i], idfs[i], dlen, avgdl, k1, b)
+        return _topk_local(cand, scores, k, dec)
 
-        pdf = pdf.sort_values("df").reset_index(drop=True)  # rarest-first
-        ids_l = [_decode_ids(x) for x in pdf["ids"]]
-        qtfs = pdf["qtf"].to_numpy(dtype=np.float64)
-        idfs = pdf["idf"].to_numpy(dtype=np.float64)
+    # --- OR mode: block-max pruned score-at-a-time --------------------
+    # per-doc upper bound = Σ_t block_ub of the block containing the doc
+    full = ds_ids  # superset of every posting list in this shard
+    bound_full = np.zeros(full.size, dtype=np.float64)
+    raw_pos_l = []
+    for i, t in enumerate(plist):
+        bmtf = np.asarray(t["block_max_tf"], dtype=np.float64)
+        # optimistic dlen → 0: ub = qtf·idf·bmtf(k1+1)/(bmtf + k1(1−b));
+        # strictly above any real score (real dlen ≥ 1, tf ≤ bmtf)
+        block_ub = qtfs[i] * idfs[i] * (bmtf * (k1 + 1.0)) / (bmtf + k1 * (1.0 - b))
+        per_post_ub = np.repeat(block_ub, cfg.block_size)[: ids_l[i].size]
+        pos = np.searchsorted(full, ids_l[i])
+        raw_pos_l.append(pos)
+        np.add.at(bound_full, pos, per_post_ub)
 
-        if mode == "and":
-            cand = ids_l[0]
-            for other in ids_l[1:]:
-                cand = cand[_in_sorted(cand, other)]
-                if cand.size == 0:
-                    return empty
-            if del_ids is not None:
-                cand = cand[~_in_sorted(cand, del_ids)]
-                if cand.size == 0:
-                    return empty
-            dlen = ds_dlens[np.searchsorted(ds_ids, cand)]
-            scores = np.zeros(cand.size, dtype=np.float64)
-            for i in range(len(pdf)):
-                tfs = varbyte_decode(pdf["tfs"].iloc[i]).astype(np.float64)
-                tf_c = tfs[np.searchsorted(ids_l[i], cand)]
-                scores += _bm25(tf_c, qtfs[i], idfs[i], dlen, avgdl, k1, b)
-            top_ids, top_scores = _topk_local(cand, scores, k, dec)
-            return pd.DataFrame({"query_id": qid, "doc_id": top_ids, "score": top_scores})
+    # candidates = docs matching ≥ 1 query term (bound > 0)
+    cand_idx = np.nonzero(bound_full > 0)[0]
+    if cand_idx.size == 0:
+        return None
+    remap = np.full(full.size, -1, dtype=np.int64)
+    remap[cand_idx] = np.arange(cand_idx.size)
+    union = full[cand_idx]
+    bound = bound_full[cand_idx]
+    pos_l = [remap[p] for p in raw_pos_l]
+    # deleted docs stay IN the candidate set (posting positions keep
+    # pointing at valid slots) but are excluded from theta and the final
+    # cut — scoring a soon-compacted doc is cheaper than re-mapping
+    live = None if del_ids is None else ~_in_sorted(union, del_ids)
 
-        # --- OR mode: block-max pruned score-at-a-time --------------------
-        # per-doc upper bound = Σ_t block_ub of the block containing the doc
-        full = ds_ids  # superset of every posting list in this shard
-        bound_full = np.zeros(full.size, dtype=np.float64)
-        raw_pos_l = []
-        for i in range(len(pdf)):
-            bmtf = np.asarray(pdf["block_max_tf"].iloc[i], dtype=np.float64)
-            # optimistic dlen → 0: ub = qtf·idf·bmtf(k1+1)/(bmtf + k1(1−b));
-            # strictly above any real score (real dlen ≥ 1, tf ≤ bmtf)
-            block_ub = qtfs[i] * idfs[i] * (bmtf * (k1 + 1.0)) / (bmtf + k1 * (1.0 - b))
-            per_post_ub = np.repeat(block_ub, cfg.block_size)[: ids_l[i].size]
-            pos = np.searchsorted(full, ids_l[i])
-            raw_pos_l.append(pos)
-            np.add.at(bound_full, pos, per_post_ub)
+    # score candidates in descending-bound waves until no unscored doc's
+    # bound can beat the running kth exact score (margin = one rounding
+    # quantum, so rounded-tie doc_id ordering can never be affected)
+    margin = 10.0 ** (-dec)
+    order = np.argsort(-bound, kind="stable")
+    n = union.size
+    width = max(4 * k, 64)
+    scored_scores = np.full(n, -np.inf)
+    hi = 0
+    theta = -np.inf
+    while hi < n:
+        lo, hi = hi, min(n, hi + width)
+        sel = order[lo:hi]
+        if theta > -np.inf and bound[sel].max(initial=-np.inf) <= theta - margin:
+            break
+        mask = np.zeros(n, dtype=bool)
+        mask[sel] = True
+        part = np.zeros(n, dtype=np.float64)
+        for i, t in enumerate(plist):
+            take = mask[pos_l[i]]
+            if not take.any():
+                continue
+            tfs = _decode_f64(t["tfs"])[take]
+            dlen = ds_dlens[cand_idx[pos_l[i][take]]]
+            part[pos_l[i][take]] += _bm25(tfs, qtfs[i], idfs[i], dlen, avgdl, k1, b)
+        scored_scores[sel] = part[sel]
+        scored = scored_scores > -np.inf
+        done = scored_scores[scored if live is None else scored & live]
+        if done.size >= k:
+            theta = np.partition(done, -k)[-k]
+        width *= 2
+    got = scored_scores > -np.inf
+    if live is not None:
+        got &= live
+        if not got.any():
+            return None
+    return _topk_local(union[got], scored_scores[got], k, dec)
 
-        # candidates = docs matching ≥ 1 query term (bound > 0)
-        cand_idx = np.nonzero(bound_full > 0)[0]
-        if cand_idx.size == 0:
+
+def _make_kernel(cfg: EngineConfig, mode: str):
+    """Per-(query, shard)-group pandas kernel over EXPANDED rows (one row
+    per matched term, sidecars repeated per row) — the shape _driver_topk
+    feeds.  Thin adapter over _score_group."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+        plist = pdf[["qtf", "idf", "df", "ids", "tfs", "block_max_tf"]].to_dict(
+            "records"
+        )
+        res = _score_group(
+            plist,
+            pdf["ds_ids"].iloc[0],
+            pdf["ds_dlens"].iloc[0],
+            _group_del_ids(pdf),
+            float(pdf["avgdl"].iloc[0]),
+            int(pdf["n_terms"].iloc[0]),
+            cfg,
+            mode,
+        )
+        if res is None:
             return empty
-        remap = np.full(full.size, -1, dtype=np.int64)
-        remap[cand_idx] = np.arange(cand_idx.size)
-        union = full[cand_idx]
-        bound = bound_full[cand_idx]
-        pos_l = [remap[p] for p in raw_pos_l]
-        # deleted docs stay IN the candidate set (posting positions keep
-        # pointing at valid slots) but are excluded from theta and the final
-        # cut — scoring a soon-compacted doc is cheaper than re-mapping
-        live = None if del_ids is None else ~_in_sorted(union, del_ids)
+        top_ids, top_scores = res
+        return pd.DataFrame(
+            {"query_id": int(pdf["query_id"].iloc[0]), "doc_id": top_ids, "score": top_scores}
+        )
 
-        # score candidates in descending-bound waves until no unscored doc's
-        # bound can beat the running kth exact score (margin = one rounding
-        # quantum, so rounded-tie doc_id ordering can never be affected)
-        margin = 10.0 ** (-dec)
-        order = np.argsort(-bound, kind="stable")
-        n = union.size
-        width = max(4 * k, 64)
-        scored_scores = np.full(n, -np.inf)
-        hi = 0
-        theta = -np.inf
-        while hi < n:
-            lo, hi = hi, min(n, hi + width)
-            sel = order[lo:hi]
-            if theta > -np.inf and bound[sel].max(initial=-np.inf) <= theta - margin:
-                break
-            mask = np.zeros(n, dtype=bool)
-            mask[sel] = True
-            part = np.zeros(n, dtype=np.float64)
+    return kernel
+
+
+def _make_packed_kernel(cfg: EngineConfig, mode: str, with_del: bool):
+    """mapInPandas kernel over PACKED rows — one row per (query, shard)
+    group carrying the term postings as an array of structs and the shard
+    sidecar exactly once (r6).  The former applyInPandas shape paid one
+    Python function dispatch per group and shipped the per-shard
+    doc-stats sidecar once per TERM row; packing cut the 1000-query
+    distributed batch's wall ~35-40 % (measured, guide §4.1: control how
+    many bytes cross the boundary)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            ids_out: list = []
+            scores_out: list = []
+            qids_out: list = []
+            del_col = pdf["del_ids"] if with_del else None
             for i in range(len(pdf)):
-                take = mask[pos_l[i]]
-                if not take.any():
+                dels = None
+                if del_col is not None:
+                    v = del_col.iloc[i]
+                    if v is not None and len(v):
+                        dels = np.asarray(v, dtype=np.int64)
+                res = _score_group(
+                    list(pdf["plist"].iloc[i]),
+                    pdf["ds_ids"].iloc[i],
+                    pdf["ds_dlens"].iloc[i],
+                    dels,
+                    float(pdf["avgdl"].iloc[i]),
+                    int(pdf["n_terms"].iloc[i]),
+                    cfg,
+                    mode,
+                )
+                if res is None:
                     continue
-                tfs = varbyte_decode(pdf["tfs"].iloc[i]).astype(np.float64)[take]
-                dlen = ds_dlens[cand_idx[pos_l[i][take]]]
-                part[pos_l[i][take]] += _bm25(tfs, qtfs[i], idfs[i], dlen, avgdl, k1, b)
-            scored_scores[sel] = part[sel]
-            scored = scored_scores > -np.inf
-            done = scored_scores[scored if live is None else scored & live]
-            if done.size >= k:
-                theta = np.partition(done, -k)[-k]
-            width *= 2
-        got = scored_scores > -np.inf
-        if live is not None:
-            got &= live
-            if not got.any():
-                return empty
-        top_ids, top_scores = _topk_local(union[got], scored_scores[got], k, dec)
-        return pd.DataFrame({"query_id": qid, "doc_id": top_ids, "score": top_scores})
+                top_ids, top_scores = res
+                qids_out.append(
+                    np.full(top_ids.size, int(pdf["query_id"].iloc[i]), dtype=np.int64)
+                )
+                ids_out.append(top_ids)
+                scores_out.append(top_scores)
+            if qids_out:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qids_out),
+                        "doc_id": np.concatenate(ids_out),
+                        "score": np.concatenate(scores_out),
+                    }
+                )
 
     return kernel
 
@@ -528,10 +659,24 @@ def bm25_topk_compressed(
     # fastpath is actually taken)
     del_small = tombstones is None or _tombstones_small(tombstones, cfg)
     if fastpath_max_bytes is not None and del_small:
-        sz_row = postings.agg(
-            F.sum(F.length("ids") + F.length("tfs")).alias("sz")
-        ).collect()[0]
-        if int(sz_row["sz"] or 0) <= fastpath_max_bytes:
+        # Two-tier size gate (r6): term_stats rows are needed by the
+        # fastpath anyway, and Σdf · BYTES_PER_POSTING is a conservative
+        # UPPER bound on the postings bytes (the serving engine's guard,
+        # Bm25QueryEngine) — when even the over-estimate fits, the exact
+        # postings-scan sizing job is provably redundant and is skipped
+        # (one fewer Spark job per batch; job launch IS the latency at
+        # small batch sizes).  Only the est > cap > actual band still pays
+        # the exact agg, so the path decision — and therefore the result,
+        # which is bit-identical on both paths anyway — never changes.
+        ts_rows = index.term_stats.filter(F.col("term").isin(terms)).collect()
+        est = sum(int(r["df"]) for r in ts_rows) * Bm25QueryEngine.BYTES_PER_POSTING
+        fits = est <= fastpath_max_bytes
+        if not fits:
+            sz_row = postings.agg(
+                F.sum(F.length("ids") + F.length("tfs")).alias("sz")
+            ).collect()[0]
+            fits = int(sz_row["sz"] or 0) <= fastpath_max_bytes
+        if fits:
             spark = queries.sparkSession
             prows = postings.collect()
             shards = sorted({r["shard"] for r in prows})
@@ -540,7 +685,6 @@ def bm25_topk_compressed(
                 if shards
                 else []
             )
-            ts_rows = index.term_stats.filter(F.col("term").isin(terms)).collect()
             corpus_row = index.corpus.collect()[0]
             q_rows = queries.select("query_id", query_col).withColumnRenamed(
                 query_col, "query"
@@ -553,22 +697,42 @@ def bm25_topk_compressed(
     qt_idx = F.broadcast(qt).join(index.term_stats.select("term", "idf"), "term", "inner")
     n_terms = qt_idx.groupBy("query_id").agg(F.count("*").cast("int").alias("n_terms"))
 
-    rows = (
-        postings.join(F.broadcast(qt_idx), "term", "inner")
-        .join(F.broadcast(n_terms), "query_id")
-        .join(doc_stats_packed.withColumnRenamed("ids", "ds_ids").withColumnRenamed("dlens", "ds_dlens"), "shard")
-        .crossJoin(F.broadcast(index.corpus.select("avgdl")))
+    # Packed-group shape (r6): collect each (query, shard) group's matched
+    # term postings into ONE row of structs, attach the shard's doc-stats
+    # sidecar to that row exactly once, and score the rows with mapInPandas.
+    # The former shape joined the sidecar onto every TERM row and ran
+    # applyInPandas per (query, shard) — for a Q-query batch that shipped
+    # each shard sidecar ~Q×terms times through the shuffle and the Arrow
+    # boundary and paid one Python dispatch per group (measured r6: ~70 %
+    # of the 1000-query batch wall was this plumbing, not scoring; packing
+    # cut the batch ~35-40 %).  block_last_id is no longer shipped at all —
+    # the kernel never reads it.
+    dsp2 = doc_stats_packed.select(
+        "shard", F.col("ids").alias("ds_ids"), F.col("dlens").alias("ds_dlens")
     )
-    if tombstones is not None:
+    with_del = tombstones is not None
+    if with_del:
         # per-shard arrays are bounded at shard_span ids each, but an
         # over-cap TOTAL set would be a multi-GB broadcast — shuffle-join
         # it on shard instead (kernel input is identical either way)
         dbs = _del_by_shard_df(tombstones, cfg)
         if del_small:
             dbs = F.broadcast(dbs)
-        rows = rows.join(dbs, "shard", "left")
-    kernel = _make_kernel(cfg, mode)
-    local = rows.groupBy("query_id", "shard").applyInPandas(kernel, _KERNEL_SCHEMA)
+        dsp2 = dsp2.join(dbs, "shard", "left")
+    packed = (
+        postings.join(F.broadcast(qt_idx), "term", "inner")
+        .join(F.broadcast(n_terms), "query_id")
+        .groupBy("query_id", "shard", "n_terms")
+        .agg(
+            F.collect_list(
+                F.struct("qtf", "idf", "df", "ids", "tfs", "block_max_tf")
+            ).alias("plist")
+        )
+        .join(dsp2, "shard")
+        .crossJoin(F.broadcast(index.corpus.select("avgdl")))
+    )
+    kernel = _make_packed_kernel(cfg, mode, with_del)
+    local = packed.mapInPandas(kernel, _KERNEL_SCHEMA)
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("score"), cfg.score_decimals)), F.asc("doc_id")

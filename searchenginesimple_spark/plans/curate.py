@@ -283,6 +283,10 @@ def curate(
             )
 
     # ---- stage 3: quality filter (map-side, no shuffle) --------------------
+    # (measured r6: pre-staging the token array into its own projection is
+    # NOT a win — Spark 4's runtime subexpression elimination already
+    # dedupes the repeated tokenize across the feature columns, and the
+    # extra projection materializes the array per row for nothing)
     if not io.exists(_ids("quality"), committed=True):
         c = F.col(text_col)
         q = dict(quality_features(c))

@@ -136,7 +136,11 @@ def docs_df_distributed(
 N_ID_BUCKETS = 256
 
 
-def with_doc_ids(docs: DataFrame, n_buckets: int = N_ID_BUCKETS) -> DataFrame:
+def with_doc_ids(
+    docs: DataFrame,
+    n_buckets: int = N_ID_BUCKETS,
+    broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
     """Assign deterministic, dense doc_ids — parallel at any scale.
 
     Two-phase bucketed rank (SURVEY.md §4.6): bucket = pmod(xxhash64(keys), B)
@@ -174,13 +178,36 @@ def with_doc_ids(docs: DataFrame, n_buckets: int = N_ID_BUCKETS) -> DataFrame:
         [(b, o) for b, o in offsets.items()], "_b int, _off long"
     )
     w = Window.partitionBy("_b").orderBy(*keys)
-    ranked = (
-        ids.withColumn("_rank", F.row_number().over(w).cast("long"))
+    # How the ids get back onto the full rows (r6: the former unconditional
+    # docs ⋈ ranked equi-join planned as a sort-merge join under the build's
+    # AQE-off phase — shuffling AND sorting the full CONTENT column on three
+    # string keys twice per build, the guide-§2.4 accidental exchange).  The
+    # bucket counts are already on the driver, so the plan picks by size:
+    #
+    # * corpus ≤ broadcast_max_rows → rank the key-only frame and BROADCAST
+    #   the (keys → doc_id) map: content never moves at all;
+    # * larger corpora → run the SAME window over the full rows: content
+    #   moves in exactly ONE bucket-keyed exchange (256 buckets spread any
+    #   cluster) instead of two join-side exchanges + sorts.
+    #
+    # Identical doc_id assignment either way (same bucket/rank/offset
+    # arithmetic over the same keys) — pinned by tests/test_corpus.py.
+    if acc <= broadcast_max_rows:
+        ranked = (
+            ids.withColumn("_rank", F.row_number().over(w).cast("long"))
+            .join(F.broadcast(off_df), "_b")
+            .withColumn("doc_id", F.col("_off") + F.col("_rank") - 1)
+            .select(*keys, "doc_id")
+        )
+        return docs.join(F.broadcast(ranked), keys)
+    out_cols = docs.columns + ["doc_id"]
+    return (
+        docs.withColumn("_b", bucket)
+        .withColumn("_rank", F.row_number().over(w).cast("long"))
         .join(F.broadcast(off_df), "_b")
         .withColumn("doc_id", F.col("_off") + F.col("_rank") - 1)
-        .select(*keys, "doc_id")
+        .select(*out_cols)
     )
-    return docs.join(ranked, keys)
 
 
 QUERY_SET: list[str] = [

@@ -185,3 +185,20 @@ def test_more_like_this_duplicate_seeds_no_cross_join(spark):
     # each seed's top hit is its twin (highest term overlap)
     top = {s: sorted(rows)[0][1] for s, rows in per_seed.items()}
     assert top == {0: 1, 1: 0}
+
+
+def test_with_doc_ids_paths_identical(spark):
+    """r6: with_doc_ids picks its physical shape by corpus size (broadcast
+    the (keys → doc_id) map vs one bucket-keyed window over the full rows).
+    Both paths must assign byte-identical ids — same bucket/rank/offset
+    arithmetic — at any parallelism."""
+    pdf = generate_docs_pdf(250)
+    df = spark.createDataFrame(pdf).repartition(5)
+    a = with_doc_ids(df).select("repo", "path", "commit", "doc_id")
+    b = with_doc_ids(df, broadcast_max_rows=0).select(
+        "repo", "path", "commit", "doc_id"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # dense ids either way
+    ids = sorted(r["doc_id"] for r in b.collect())
+    assert ids == list(range(250))

@@ -139,3 +139,22 @@ def test_pagerank_parallelism_invariant(spark):
     df_e2 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
     b = {r["node"]: r["rank"] for r in pagerank_int(df_e2, iterations=4).collect()}
     assert a == b
+
+
+def test_cc_fastpath_equals_distributed(spark):
+    """r6: connected_components takes a driver union-find fastpath below
+    CC_FASTPATH_MAX_EDGES, with the star loop as the at-scale path.  Both
+    must produce the identical (node, component) labelling — component =
+    smallest reachable id — including self-loop singletons and duplicate/
+    reversed edges."""
+    from searchenginesimple_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(100)]
+    edges += [(200, 200), (5, 5)]  # self-loop singleton + member self-loop
+    df = spark.createDataFrame(edges, "a long, b long")
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    dist = sorted(
+        map(tuple, connected_components(df, fastpath_max_edges=0).collect())
+    )
+    assert fast == dist and len(fast) > 0
