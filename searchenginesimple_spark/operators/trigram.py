@@ -330,12 +330,23 @@ def write_trigram_metrics(spark, path: str) -> DataFrame:
 
 def _metrics_frame(postings: DataFrame) -> DataFrame:
     """The metrics aggregation plan (split out so tests can pin its shape
-    — specifically the absence of an Expand node, see the caller)."""
+    — specifically the absence of an Expand node, see the caller).
+
+    Two passes over the index, not three (r6): the per-(file, trigram)
+    pre-distinct carries a row count, so the plain per-file totals
+    (n_postings, min/max trigram) fold into the SAME aggregation chain as
+    n_trigrams instead of a third full scan; only the (file, doc_id)
+    distinct stays separate.  Still Expand-free — each distinct is its own
+    map-side-collapsing aggregation, never two countDistincts in one agg."""
     base = postings.select(
         F.input_file_name().alias("file"), "doc_id", "trigram"
     )
-    m1 = base.groupBy("file").agg(
-        F.count("*").cast("long").alias("n_postings"),
+    per_tri = base.groupBy("file", "trigram").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    m1 = per_tri.groupBy("file").agg(
+        F.sum("c").cast("long").alias("n_postings"),
+        F.count("*").cast("long").alias("n_trigrams"),
         F.min("trigram").alias("min_trigram"),
         F.max("trigram").alias("max_trigram"),
     )
@@ -345,13 +356,7 @@ def _metrics_frame(postings: DataFrame) -> DataFrame:
         .groupBy("file")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
-    nt = (
-        base.select("file", "trigram")
-        .distinct()
-        .groupBy("file")
-        .agg(F.count("*").cast("long").alias("n_trigrams"))
-    )
-    return m1.join(nd, "file").join(nt, "file").select(
+    return m1.join(nd, "file").select(
         "file", "n_postings", "n_docs", "n_trigrams", "min_trigram",
         "max_trigram",
     )
