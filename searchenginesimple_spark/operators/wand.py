@@ -4,8 +4,9 @@ The scale path of the query engine (the dense join path in operators/bm25.py
 is the correctness baseline; both must be rank-identical).  Physical shape:
 
   query terms (tiny)  ─broadcast join→  postings(term, shard)  rows
-        + doc_stats_packed(shard) sidecar join
-        → applyInPandas grouped by (query_id, shard)     ← the scoring kernel
+        → packed into ONE row per (query_id, shard) group (posting structs
+          collected; the doc_stats_packed sidecar attached once per group)
+        → mapInPandas scoring kernel (row-batched — no per-group dispatch)
         → per-shard top-k → global window top-k per query
 
 Because shards are doc-id RANGES (operators/postings.py), conjunctive
