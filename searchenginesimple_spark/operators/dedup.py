@@ -92,24 +92,31 @@ def fingerprints_from_tf(
             ).cast("long"),
         )
     )
+    # Vote-sum identity (r6): v_j = Σ w·(2·bit_j − 1) = 2·Σ(w·bit_j) − Σw,
+    # so the 64 per-bit aggregates only sum w·bit_j (3 ops/row instead of 5)
+    # and Σw is ONE extra sum; the sign rule v_j > 0 becomes 2·s_j > S —
+    # exact integer arithmetic, bit-identical fingerprints (pinned by
+    # tests/test_simhash.py::test_vote_sum_identity_forms).  Measured at 1
+    # core / 250k docs: 21.4 → 19.1 s warm, 45 → 28 s cold (the smaller
+    # expression tree also ~halves the aggregate's codegen time).
     votes = w.groupBy("doc_id").agg(
+        F.sum("w").alias("S"),
         *[
             F.sum(
-                F.col("w")
-                * (F.shiftrightunsigned(F.col("h64"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"v{j}")
+                F.col("w") * F.shiftrightunsigned(F.col("h64"), j).bitwiseAND(F.lit(1))
+            ).alias(f"s{j}")
             for j in range(64)
-        ]
+        ],
     )
     fp = F.lit(0).cast("long")
     for j in range(63):
-        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        fp = fp + F.when(
+            F.col(f"s{j}") * 2 > F.col("S"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     # bit 63 is the int64 sign bit: add it as the two's-complement value
-    fp = fp + F.when(F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
-        F.lit(0).cast("long")
-    )
+    fp = fp + F.when(
+        F.col("s63") * 2 > F.col("S"), F.lit(-(1 << 63)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", fp.alias("simhash"))
 
 
@@ -296,20 +303,23 @@ def verifiable_fingerprints(
         )
         .withColumn("h", polyhash62_expr(F.col("term")))
     )
+    # same vote-sum identity as fingerprints_from_tf (r6): v_j > 0 ⇔
+    # 2·Σ(w·bit_j) > Σw — exact integer arithmetic, so the DuckDB oracle's
+    # transform/filter mirror (frozen SQL) still matches bit-for-bit
     votes = w.groupBy("doc_id").agg(
+        F.sum("w").alias("S"),
         *[
             F.sum(
-                F.col("w")
-                * (F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"v{j}")
+                F.col("w") * F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))
+            ).alias(f"s{j}")
             for j in range(62)
-        ]
+        ],
     )
     fp = F.lit(0).cast("long")
     for j in range(62):
-        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        fp = fp + F.when(
+            F.col(f"s{j}") * 2 > F.col("S"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return votes.select("doc_id", fp.alias("simhash"))
 
 

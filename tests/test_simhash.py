@@ -133,3 +133,83 @@ def test_exact_dedup(spark):
     want = set(pdf.groupby("content")["doc_id"].min())
     got = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert got == want
+
+
+def test_vote_sum_identity_forms(spark):
+    """r6 vote-agg rewrite: v_j = Σ w·(2·bit_j − 1) must equal 2·Σ(w·bit_j) − Σw
+    exactly — the shipped fingerprint implementations (rewritten form) are
+    pinned bit-for-bit against the original per-bit ±1-vote construction."""
+    from searchenginesimple_spark.functions.simhash import fnv64_udf
+    from searchenginesimple_spark.functions.text import polyhash62_expr
+    from searchenginesimple_spark.operators.bm25 import tokens_of
+    from searchenginesimple_spark.operators.dedup import (
+        IDF_VOTE_SCALE,
+        fingerprints_from_tf,
+        verifiable_fingerprints,
+    )
+
+    docs = with_doc_ids(docs_df(spark, 300)).cache()
+    n_docs = docs.count()
+    tf = (
+        tokens_of(docs, "content")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+    def old_form(hash_col_fn, n_bits, round_w):
+        dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+        w = tf.join(dfc.withColumn("h", hash_col_fn()), "term")
+        if round_w:
+            wexpr = F.col("tf").cast("long") * F.round(
+                F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.lit(IDF_VOTE_SCALE),
+                0,
+            ).cast("long")
+        else:
+            wexpr = F.col("tf").cast("long") * F.floor(
+                F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.lit(IDF_VOTE_SCALE)
+                + F.lit(0.5)
+            ).cast("long")
+        w = w.withColumn("w", wexpr)
+        votes = w.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.col("w")
+                    * (F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+                ).alias(f"v{j}")
+                for j in range(n_bits)
+            ]
+        )
+        fp = F.lit(0).cast("long")
+        for j in range(min(n_bits, 63)):
+            fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        if n_bits == 64:
+            fp = fp + F.when(
+                F.col("v63") > 0, F.lit(-(1 << 63)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return votes.select("doc_id", fp.alias("simhash"))
+
+    # FNV-64 build fingerprint (floor(+0.5) weights, 64 bits)
+    got = fingerprints_from_tf(tf, n_docs=n_docs)
+    want = old_form(lambda: fnv64_udf("term"), 64, round_w=False)
+    mism = (
+        got.withColumnRenamed("simhash", "a")
+        .join(want.withColumnRenamed("simhash", "b"), "doc_id")
+        .filter("a <> b")
+        .count()
+    )
+    assert mism == 0 and got.count() == want.count()
+
+    # polyhash62 verifiable fingerprint (round() weights, 62 bits)
+    got62 = verifiable_fingerprints(docs, n_docs=n_docs)
+    want62 = old_form(lambda: polyhash62_expr(F.col("term")), 62, round_w=True)
+    mism62 = (
+        got62.withColumnRenamed("simhash", "a")
+        .join(want62.withColumnRenamed("simhash", "b"), "doc_id")
+        .filter("a <> b")
+        .count()
+    )
+    assert mism62 == 0 and got62.count() == want62.count()
