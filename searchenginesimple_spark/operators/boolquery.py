@@ -392,7 +392,10 @@ def _ast_column(node, content: Column, case_insensitive: bool) -> Column:
 
 
 def _trigrams(s: str) -> set[str]:
-    return {s[i : i + 3] for i in range(len(s) - 2)}
+    # one rule, one place: the shared driver-side twin of content_trigrams
+    from searchenginesimple_spark.operators.trigram import py_trigrams
+
+    return py_trigrams(s)
 
 
 def _fields_used(node) -> set[str]:
@@ -611,7 +614,12 @@ def boolean_search(
         asts, queries, hot, case_insensitive, ci_map
     )
 
-    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    # arrow_local_df: broadcasts of the query batch (and of req below)
+    # materialize from one JVM Arrow batch instead of a multi-task Python
+    # conversion job per broadcast (sources/io.py, r6)
+    from searchenginesimple_spark.sources.io import arrow_local_df
+
+    qdf = arrow_local_df(spark, list(queries), "query_id long, query string")
     raw_content = F.col(content_col)
 
     def _content(qid: int) -> Column:
@@ -626,8 +634,8 @@ def boolean_search(
         universe = sorted({t for _, _, t in req_rows})
         postings = postings.filter(F.col("trigram").isin(universe))
         stats = stats.filter(F.col("trigram").isin(universe))
-        req = spark.createDataFrame(
-            req_rows, "query_id long, conjunct int, trigram string"
+        req = arrow_local_df(
+            spark, req_rows, "query_id long, conjunct int, trigram string"
         )
         req = req.join(stats, "trigram", "left").withColumn(
             "df", F.coalesce("df", F.lit(0).cast("long"))

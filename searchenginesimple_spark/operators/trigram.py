@@ -67,6 +67,20 @@ def content_trigrams(col: Column) -> Column:
     )
 
 
+def py_trigrams(s: str) -> set[str]:
+    """Driver-side twin of ``content_trigrams`` (needle compilation only).
+
+    Python slicing is per code point, exactly Spark's ``substring``
+    character semantics (incl. astral chars — both treat a surrogate pair
+    as ONE character), so the sets are equal for any string; pinned
+    against the JVM expression on CJK/emoji/combining-mark needles in
+    tests/test_trigram.py.  Case folding is NOT done here — callers fold
+    before calling, and the ASCII-only guard in trigram_search keeps
+    Python/JVM ``lower`` divergence (locale-special code points) off this
+    path.  Same rule as operators/boolquery.py's ``_trigrams``."""
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
 def _trigram_postings_jvm(
     docs: DataFrame, content_col: str, case_insensitive: bool
 ) -> DataFrame:
@@ -593,19 +607,66 @@ def trigram_search(
     filter is skipped (the IN-list would bloat the plan) and the join
     alone drives the scan.
     """
-    needle_c = F.lower(F.col("needle")) if case_insensitive else F.col("needle")
-    ntri = needles.select(
-        "needle_id", F.explode(content_trigrams(needle_c)).alias("trigram")
-    )
+    # Driver-compiled needle batch (r6): ONE limit-bounded collect replaces
+    # the former count job + distinct-universe collect, the needle trigrams
+    # come from the Python twin (py_trigrams — same rule boolean_search's
+    # compiler already uses), and the needle/ntri relations are rebuilt as
+    # Arrow-local frames so their broadcasts cost no Python-conversion job
+    # (sources/io.py::arrow_local_df).  Guard: under ci, non-ASCII needles
+    # keep the JVM path — Python str.lower and Spark lower can disagree on
+    # locale-special code points, and the index keys are folded JVM-side.
+    needle_rows = None
     try:
-        n_needles = needles.count()
-    except Exception:  # pragma: no cover - streaming/no-count sources
-        n_needles = pushdown_max_needles + 1
-    if n_needles <= pushdown_max_needles:
-        universe = [r["trigram"] for r in ntri.select("trigram").distinct().collect()]
+        needle_rows = needles.limit(pushdown_max_needles + 1).collect()
+    except Exception:  # pragma: no cover - streaming/no-collect sources
+        needle_rows = None
+    compiled = (
+        needle_rows is not None
+        and len(needle_rows) <= pushdown_max_needles
+        and (
+            not case_insensitive
+            or all((r["needle"] or "").isascii() for r in needle_rows)
+        )
+    )
+    if compiled:
+        from searchenginesimple_spark.sources.io import arrow_local_df
+
+        spark = needles.sparkSession
+        needles = arrow_local_df(
+            spark,
+            [(int(r["needle_id"]), r["needle"]) for r in needle_rows],
+            "needle_id long, needle string",
+        )
+        tri_rows: list[tuple[int, str]] = []
+        for r in needle_rows:
+            s = r["needle"] or ""
+            if case_insensitive:
+                s = s.lower()
+            tri_rows.extend(
+                (int(r["needle_id"]), t) for t in sorted(py_trigrams(s))
+            )
+        ntri = arrow_local_df(spark, tri_rows, "needle_id long, trigram string")
+        universe = sorted({t for _, t in tri_rows})
         if universe:
             postings = postings.filter(F.col("trigram").isin(universe))
             stats = stats.filter(F.col("trigram").isin(universe))
+    else:
+        needle_c = F.lower(F.col("needle")) if case_insensitive else F.col("needle")
+        ntri = needles.select(
+            "needle_id", F.explode(content_trigrams(needle_c)).alias("trigram")
+        )
+        n_needles = (
+            len(needle_rows)
+            if needle_rows is not None
+            else pushdown_max_needles + 1
+        )
+        if n_needles <= pushdown_max_needles:
+            universe = [
+                r["trigram"] for r in ntri.select("trigram").distinct().collect()
+            ]
+            if universe:
+                postings = postings.filter(F.col("trigram").isin(universe))
+                stats = stats.filter(F.col("trigram").isin(universe))
     # left join: a trigram absent from the index (df null → 0) is the BEST
     # evidence — it proves the needle matches nothing, and ranking it
     # rarest-first makes the intersection empty immediately.

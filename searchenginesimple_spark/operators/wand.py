@@ -647,11 +647,18 @@ def bm25_topk_compressed(
     # JVM tokenizer on the (tiny) query side: same spec as the build-side
     # pandas UDF (tested identical), avoids a python stage per query batch
     qt = query_terms(queries, query_col, use_pandas_udf=False, token_re=cfg.token_re)
+    qt_rows = None
     if pushdown_terms or fastpath_max_bytes is not None:
-        # materialize the (tiny) distinct term set and push it into the
-        # postings scan as an IN filter → parquet row-group min/max skipping
-        # turns the full-index scan into a selective read (one extra tiny job)
-        terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        # materialize the (tiny) tokenized query side ONCE and push its
+        # distinct terms into the postings scan as an IN filter → parquet
+        # row-group min/max skipping turns the full-index scan into a
+        # selective read.  The collected rows also feed the distributed
+        # plan's query-side relations below (r6): the former shape
+        # re-analyzed and re-executed the tokenize⋈term_stats subtree for
+        # every broadcast build — ~10 driver jobs and a 2 s planning gap
+        # per 1000-query batch at 1 core, all fixed cost (guide §1.2).
+        qt_rows = qt.collect()
+        terms = sorted({r["term"] for r in qt_rows})
         postings = postings.filter(F.col("term").isin(terms))
 
     # one guard decision shared by the fastpath gate and the distributed
@@ -659,6 +666,7 @@ def bm25_topk_compressed(
     # and never broadcast (the dict itself is only materialized if the
     # fastpath is actually taken)
     del_small = tombstones is None or _tombstones_small(tombstones, cfg)
+    ts_rows = None
     if fastpath_max_bytes is not None and del_small:
         # Two-tier size gate (r6): term_stats rows are needed by the
         # fastpath anyway, and Σdf · BYTES_PER_POSTING is a conservative
@@ -695,8 +703,54 @@ def bm25_topk_compressed(
                 del_by_shard=_collect_del_by_shard(tombstones, cfg),
             )
             return spark.createDataFrame(pdf, _OUT_SCHEMA)
-    qt_idx = F.broadcast(qt).join(index.term_stats.select("term", "idf"), "term", "inner")
-    n_terms = qt_idx.groupBy("query_id").agg(F.count("*").cast("int").alias("n_terms"))
+    spark = queries.sparkSession
+    if qt_rows is not None:
+        # Query-side relations as LOCAL relations (r6, guide §1.2/§2.4):
+        # qt is already collected (the pushdown above), so qt_idx / n_terms
+        # / the final query-string join are built from driver rows — their
+        # broadcasts materialize from a LocalTableScan with NO Spark job
+        # and no re-analysis of the tokenize⋈term_stats subtree (formerly
+        # re-executed per broadcast: ~10 driver jobs + ~2 s planning per
+        # batch at 1 core, pure fixed cost).  Values are the engine's own
+        # collected output, so the plan's inputs are identical.
+        if ts_rows is None:
+            ts_rows = index.term_stats.filter(F.col("term").isin(terms)).collect()
+        idf_map = {r["term"]: float(r["idf"]) for r in ts_rows}
+        qt_idx_rows = [
+            (int(r["query_id"]), r["term"], int(r["qtf"]), idf_map[r["term"]])
+            for r in qt_rows
+            if r["term"] in idf_map
+        ]
+        nt: dict[int, int] = {}
+        for qid, _t, _q, _i in qt_idx_rows:
+            nt[qid] = nt.get(qid, 0) + 1
+        # arrow_local_df, NOT createDataFrame(list): the list path builds a
+        # Python-RDD-backed frame whose broadcast materialization runs a
+        # multi-task Python conversion job (~0.5 s each at 4 cores —
+        # measured); the Arrow path ships one JVM-deserialized batch.
+        # n_terms rides qt_idx as a per-row column — one relation, one
+        # broadcast, one fewer join than the former separate-agg shape.
+        from searchenginesimple_spark.sources.io import arrow_local_df
+
+        qt_idx = arrow_local_df(
+            spark,
+            [(r[0], r[1], r[2], r[3], nt[r[0]]) for r in qt_idx_rows],
+            "query_id long, term string, qtf int, idf double, n_terms int",
+        )
+        n_terms = None  # folded into qt_idx
+        qmap = arrow_local_df(
+            spark,
+            sorted({(int(r["query_id"]), r[query_col]) for r in qt_rows}),
+            f"query_id long, {query_col} string",
+        )
+    else:
+        qt_idx = F.broadcast(qt).join(
+            index.term_stats.select("term", "idf"), "term", "inner"
+        )
+        n_terms = qt_idx.groupBy("query_id").agg(
+            F.count("*").cast("int").alias("n_terms")
+        )
+        qmap = queries.select("query_id", query_col)
 
     # Packed-group shape (r6): collect each (query, shard) group's matched
     # term postings into ONE row of structs, attach the shard's doc-stats
@@ -720,10 +774,11 @@ def bm25_topk_compressed(
         if del_small:
             dbs = F.broadcast(dbs)
         dsp2 = dsp2.join(dbs, "shard", "left")
+    joined = postings.join(F.broadcast(qt_idx), "term", "inner")
+    if n_terms is not None:
+        joined = joined.join(F.broadcast(n_terms), "query_id")
     packed = (
-        postings.join(F.broadcast(qt_idx), "term", "inner")
-        .join(F.broadcast(n_terms), "query_id")
-        .groupBy("query_id", "shard", "n_terms")
+        joined.groupBy("query_id", "shard", "n_terms")
         .agg(
             F.collect_list(
                 F.struct("qtf", "idf", "df", "ids", "tfs", "block_max_tf")
@@ -741,7 +796,7 @@ def bm25_topk_compressed(
     ranked = (
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= cfg.top_k)
-        .join(F.broadcast(queries.select("query_id", query_col)), "query_id")
+        .join(F.broadcast(qmap), "query_id")
     )
     return ranked.select(
         F.col(query_col).alias("query"),

@@ -20,6 +20,39 @@ from pyspark.sql import DataFrame, SparkSession
 _PA_TYPES = {"string": "string", "int": "int32", "long": "int64", "double": "float64"}
 
 
+def arrow_local_df(spark: SparkSession, rows: list[tuple], ddl: str):
+    """Small driver-local rows → DataFrame via pandas + Arrow.
+
+    ``spark.createDataFrame(list_of_tuples)`` builds a Python-RDD-backed
+    frame: every broadcast of it (or of anything derived from it) then
+    materializes through a multi-task Python pickle/conversion job —
+    measured ~0.5 s per broadcast at 4 cores (r6).  The pandas path with
+    Arrow enabled ships one JVM-deserialized Arrow batch instead, so
+    broadcast builds over these relations cost milliseconds.  DDL supports
+    the same scalar atoms as the driver-side writers above; numeric
+    columns must be null-free (the driver-compiled batches that use this
+    always are).
+    """
+    import numpy as np
+    import pandas as pd
+
+    _NP = {"string": object, "long": np.int64, "int": np.int32, "double": np.float64}
+    names, dtypes = [], []
+    for part in ddl.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        names.append(name)
+        dtypes.append(_NP[typ])
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    pdf = pd.DataFrame(
+        {
+            n: (list(c) if d is object else np.asarray(c, dtype=d))
+            for n, d, c in zip(names, dtypes, cols)
+        },
+        columns=names,
+    )
+    return spark.createDataFrame(pdf, ddl)
+
+
 def _pa_schema(ddl: str):
     import pyarrow as pa
 

@@ -399,3 +399,23 @@ def test_metrics_plan_has_no_expand(spark, tmp_path):
     got = sorted(map(tuple, m.select(*cols).collect()))
     want = sorted(map(tuple, naive.select(*cols).collect()))
     assert got == want
+
+
+def test_py_trigrams_matches_jvm_expression(spark):
+    """The driver-side needle compiler (py_trigrams) must produce exactly
+    the JVM content_trigrams set for any string — CJK, emoji (astral /
+    surrogate-pair), combining marks, and short/empty edge cases."""
+    from searchenginesimple_spark.operators.trigram import py_trigrams
+
+    needles = [
+        "", "a", "ab", "abc", "abcd", "aaaa", "return ident",
+        "中文字符测试", "日本語のテスト", "héllo wörld",
+        "éclair combining", "emoji 😀😁😂 run", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 math",
+        "mix中en文maç", "tab\tnew\nline",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(needles)],
+                               "i long, s string")
+    rows = df.select("i", content_trigrams(F.col("s")).alias("t")).collect()
+    jvm = {r["i"]: set(r["t"]) for r in rows}
+    for i, s in enumerate(needles):
+        assert py_trigrams(s) == jvm[i], (s, py_trigrams(s), jvm[i])
