@@ -67,9 +67,14 @@ _SQL_QUERIES_VALUES = ", ".join(
 
 
 def _queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    # arrow_local_df: broadcasts of the query side cost no Python-RDD
+    # conversion job (sources/io.py, r6)
+    from searchenginesimple_spark.sources.io import arrow_local_df
+
+    return arrow_local_df(
+        spark,
         [(i, q) for i, q in enumerate(DRIVER_QUERY_SET)],
-        schema="query_id long, query string",
+        "query_id long, query string",
     )
 
 

@@ -236,6 +236,10 @@ QUERY_SET: list[str] = [
 
 def queries_df(spark: SparkSession, queries: list[str] | None = None) -> DataFrame:
     qs = queries if queries is not None else QUERY_SET
-    return spark.createDataFrame(
-        [(i, q) for i, q in enumerate(qs)], schema="query_id long, query string"
+    # arrow_local_df: downstream broadcasts of the query batch materialize
+    # from one JVM Arrow batch instead of a Python-RDD conversion job
+    from searchenginesimple_spark.sources.io import arrow_local_df
+
+    return arrow_local_df(
+        spark, [(i, q) for i, q in enumerate(qs)], "query_id long, query string"
     )
